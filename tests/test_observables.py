@@ -1,0 +1,165 @@
+"""Observable-layer tests: C parity (via oracles + the compiled probe) and
+internal consistency of the corrected implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_smc.config import SMCConfig
+from tpu_smc import observables as obs
+from tests.reference_impls import cluster_analysis_c, density_mobility_c
+
+CFG = SMCConfig(dtype="float64")
+
+
+@pytest.mark.c_reference
+class TestClusterAnalysis:
+    @pytest.mark.parametrize("conf", ["R1", "R3"])
+    def test_c_oracle_matches_probe(self, goldens, conf):
+        """Validate our reading of the C algorithm (aliasing included)."""
+        r = goldens[conf]
+        lca = cluster_analysis_c(r, CFG.n, CFG.box_l, CFG.lca_cutoff)
+        np.testing.assert_array_equal(
+            lca.reshape(-1), goldens[f"clusterAnalysis_{conf}"].astype(np.int64)
+        )
+
+    @pytest.mark.parametrize("conf", ["R1", "R3"])
+    def test_num1_matches_c(self, goldens, conf):
+        """num1 (bond mask) is collision-OR in C; on configurations whose
+        aliased slots agree, our per-pair num1 restricted to bonded pairs
+        must imply the C num1 at the aliased index."""
+        r = jnp.asarray(goldens[conf].reshape(-1, 3))
+        counts = obs.cluster_analysis(r, CFG)
+        c_lca = goldens[f"clusterAnalysis_{conf}"].reshape(-1, 3)
+        lrow, icol = obs.pair_indices(CFG.n)
+        raw = (lrow.astype(np.int64) ** 2 - 3 * lrow + 2) // 2 + icol
+        ours = np.asarray(counts.num1)
+        # every bonded pair must have its aliased C slot set
+        assert np.all(c_lca[raw[ours], 0] == 1)
+
+    def test_corrected_cna_on_octahedra(self, goldens):
+        """On the R3 cluster config the corrected CNA has closed-form
+        values: at scale 0.8 even opposite vertices bond (1.6 < 1.7), so
+        each 6-particle octahedron is a complete K6 graph: all 15 pairs
+        bonded, 4 common neighbours per pair, and C(4,2) = 6 bonds among
+        them."""
+        r = jnp.asarray(goldens["R3"].reshape(-1, 3))
+        counts = obs.cluster_analysis(r, CFG)
+        bonded = np.asarray(counts.num1)
+        assert bonded.sum() == 18 * 15  # 18 octahedra, C(6,2) pairs each
+        assert np.all(np.asarray(counts.num2)[bonded] == 4)
+        assert np.all(np.asarray(counts.num3)[bonded] == 6)
+
+
+@pytest.mark.c_reference
+class TestDensityMobility:
+    def test_matches_c_sequence(self, goldens):
+        """Two gathers (R0 then R1) against the probe's D/Mu/Rbin."""
+        nvox = CFG.ncx * CFG.ncx * CFG.ncz
+        d = np.zeros(nvox, np.uint64)
+        rbin = np.zeros(CFG.n, np.int64)
+        mu = np.zeros(nvox, np.uint64)
+        for conf in ("R0", "R1"):
+            d, rbin, mu = density_mobility_c(
+                goldens[conf], CFG.box_l, CFG.box_lz, CFG.ncx, CFG.ncz, d, rbin, mu
+            )
+        np.testing.assert_array_equal(d, goldens["density_R0R1"].astype(np.uint64))
+        np.testing.assert_array_equal(mu, goldens["mobility_R0R1"].astype(np.uint64))
+        np.testing.assert_array_equal(rbin, goldens["rbin_R0R1"].astype(np.int64))
+
+    def test_device_version_matches_oracle_in_range(self, goldens):
+        """The jnp scatter version vs the C oracle on in-box positions."""
+        rng = np.random.default_rng(0)
+        r1 = rng.uniform(-0.49, 0.49, (CFG.n, 3)) * np.array(
+            [CFG.box_l, CFG.box_l, CFG.box_lz]
+        )
+        r2 = r1 + rng.normal(0, 0.8, r1.shape)
+        r2 = np.clip(
+            r2,
+            -0.499 * np.array([CFG.box_l, CFG.box_l, CFG.box_lz]),
+            0.499 * np.array([CFG.box_l, CFG.box_l, CFG.box_lz]),
+        )
+        nvox = CFG.n_voxels
+        d = np.zeros(nvox, np.uint64)
+        rbin = np.zeros(CFG.n, np.int64)
+        mu = np.zeros(nvox, np.uint64)
+        for rr in (r1, r2):
+            d, rbin, mu = density_mobility_c(
+                rr.reshape(-1), CFG.box_l, CFG.box_lz, CFG.ncx, CFG.ncz, d, rbin, mu
+            )
+
+        jd = jnp.zeros((nvox,), jnp.uint32)
+        jb = jnp.zeros((CFG.n,), jnp.int32)
+        jm = jnp.zeros((nvox,), jnp.uint32)
+        for rr in (r1, r2):
+            jb, jd, jm = obs.density_mobility_update(
+                jnp.asarray(rr), jb, jd, jm, CFG
+            )
+        np.testing.assert_array_equal(np.asarray(jd, np.uint64), d)
+        np.testing.assert_array_equal(np.asarray(jm, np.uint64), mu)
+        np.testing.assert_array_equal(np.asarray(jb, np.int64), rbin)
+
+
+@pytest.mark.c_reference
+class TestACF:
+    def test_fft_acf_parity(self, goldens):
+        acf = obs.autocorrelation(
+            jnp.asarray(goldens["acf_trace"]), 400, mode="reference"
+        )
+        np.testing.assert_allclose(np.asarray(acf), goldens["fft_acf"], atol=5e-7)
+
+    def test_simple_acf_parity(self, goldens):
+        acf = obs.autocorrelation_direct(jnp.asarray(goldens["acf_trace"]), 400)
+        np.testing.assert_allclose(np.asarray(acf), goldens["simple_acf"], rtol=1e-9)
+
+    def test_circular_mode_decay(self, goldens):
+        """Correct WK mode: AR(0.95) trace has tau ~ (1+rho)/(1-rho)/2."""
+        acf = obs.autocorrelation(
+            jnp.asarray(goldens["acf_trace"]), 200, mode="circular"
+        )
+        acf = np.asarray(acf)
+        assert acf[0] == pytest.approx(1.0)
+        assert 0.9 < acf[1] < 1.0
+        assert abs(acf[100]) < 0.5
+
+
+class TestNewObservables:
+    def test_gr_ideal_gas(self):
+        """g(r) ~ 1 for uniform random positions (bulk, full PBC)."""
+        cfg = SMCConfig(
+            dtype="float64", n=4096, use_walls=False, pbc_z=True,
+            box_l=20.0, box_lz=20.0, lj_cutoff=10.0,
+        )
+        rng = np.random.default_rng(1)
+        r = jnp.asarray(rng.uniform(-10.0, 10.0, (4096, 3)))
+        centers, g = obs.radial_distribution(r, cfg, nbins=32, rmax=8.0)
+        g = np.asarray(g)[4:]  # skip tiny-shell noise
+        assert np.all(np.abs(g - 1.0) < 0.25)
+
+    def test_z_profile_integrates_to_n(self):
+        cfg = SMCConfig(dtype="float64")
+        rng = np.random.default_rng(2)
+        r = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (cfg.n, 3))
+            * np.array([cfg.box_l, cfg.box_l, cfg.box_lz])
+        )
+        centers, prof = obs.z_density_profile(r, cfg, nbins=64)
+        integral = float(np.sum(np.asarray(prof)) * cfg.box_l ** 2 * cfg.box_lz / 64)
+        assert integral == pytest.approx(cfg.n, rel=1e-6)
+
+    def test_voxel_density_conserves_particles(self):
+        cfg = SMCConfig(dtype="float64")
+        rng = np.random.default_rng(3)
+        r = jnp.asarray(
+            rng.uniform(-0.49, 0.49, (cfg.n, 3))
+            * np.array([cfg.box_l, cfg.box_l, cfg.box_lz])
+        )
+        rbin, d, mu = obs.density_mobility_update(
+            r,
+            jnp.zeros((cfg.n,), jnp.int32),
+            jnp.zeros((cfg.n_voxels,), jnp.uint32),
+            jnp.zeros((cfg.n_voxels,), jnp.uint32),
+            cfg,
+        )
+        assert int(np.asarray(d).sum()) == cfg.n

@@ -1,0 +1,314 @@
+"""Simulation driver — the reference's sMC (SMC.c:21-267), restructured for
+a device-resident main loop.
+
+Structure: the run is a sequence of *windows* (the reference's STORAGE_TIME
+cadence, SMC.c:158-182). One window = one jitted `lax.scan` over gathers;
+one gather = an inner `lax.scan` of `gather_lapse` sweeps followed by the
+observable pass (pressure, voxel density/mobility, optional g(r)/z-profile,
+cluster analysis at the LCA cadence via `lax.cond`). The host only touches
+data between windows — never per sweep (SURVEY §5.8: no per-sweep host
+sync).
+
+Fixes over the reference, all documented in docs/DEVIATIONS.md:
+  * observables are measured after each gather block completes —
+    the reference gathers one sweep early and its P[k] indexing skips
+    P[0] and writes one past the end at the final gather (SMC.c:49,140);
+  * the incremental energy is re-synchronized by an exact recompute at a
+    configurable cadence (the reference never recomputes, SMC.c:194,341);
+  * cluster statistics accumulate real histograms (the reference's l1/l2/l3
+    divide by a truncating integer and stay zero, SMC.c:149-153).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunParams, SMCConfig
+from .observables import (
+    autocorrelation,
+    cluster_analysis,
+    cluster_histograms,
+    density_mobility_update,
+    integrated_autocorrelation_time,
+    radial_distribution,
+    trace_mean_var,
+    z_density_profile,
+)
+from .potentials import total_energy, total_pressure
+from .sampler import run_sweeps
+from .state import ChainState
+
+
+class GatherOut(NamedTuple):
+    """Per-gather scan outputs (one gather = gather_lapse sweeps)."""
+
+    energy_trace: jax.Array   # [gather_lapse] running E per sweep
+    accept_trace: jax.Array   # [gather_lapse] int32 accepted moves per sweep
+    pressure: jax.Array       # virial pressure after the block (SMC.c:140)
+    l1: jax.Array             # bonded pairs at this gather (0 off-cadence)
+    l2: jax.Array             # [7] num2 histogram
+    l3: jax.Array             # [7] num3 histogram
+    gr: jax.Array             # [gr_bins] g(r) accumulator contribution
+    zprof: jax.Array          # [z_bins] z-density contribution
+
+
+@dataclass(frozen=True)
+class ObservableOptions:
+    pressure: bool = True
+    clusters: bool = True
+    gr_bins: int = 0          # 0 disables g(r)
+    z_bins: int = 0           # 0 disables the z profile
+    collect_sweep_trace: bool = True  # full-resolution E/jj traces
+
+
+def _gather_step(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    gather_lapse: int,
+    gather_index: jax.Array,
+    opts: ObservableOptions,
+) -> tuple[ChainState, GatherOut]:
+    """gather_lapse sweeps + one observable pass (SMC.c:137-195)."""
+    dtype = cfg.jnp_dtype
+    state, trace = run_sweeps(
+        state, w, cfg, cfg.proposal_a, gather_lapse,
+        collect_trace=opts.collect_sweep_trace,
+    )
+
+    if cfg.recompute_every:
+        state = jax.lax.cond(
+            (gather_index + 1) % cfg.recompute_every == 0,
+            lambda s: s._replace(energy=total_energy(s.r, w, cfg)),
+            lambda s: s,
+            state,
+        )
+
+    p = (
+        total_pressure(state.r, w, cfg)
+        if opts.pressure
+        else jnp.zeros((), dtype)
+    )
+
+    rbin, density, mobility = density_mobility_update(
+        state.r, state.rbin, state.density, state.mobility, cfg
+    )
+    state = state._replace(rbin=rbin, density=density, mobility=mobility)
+
+    if opts.clusters:
+        def do_lca(r):
+            c = cluster_analysis(r, cfg)
+            return cluster_histograms(c)
+
+        def skip_lca(r):
+            return (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((7,), jnp.int32),
+                jnp.zeros((7,), jnp.int32),
+            )
+
+        l1, l2, l3 = jax.lax.cond(
+            (gather_index + 1) % cfg.lca_time == 0, do_lca, skip_lca, state.r
+        )
+    else:
+        l1 = jnp.zeros((), jnp.int32)
+        l2 = jnp.zeros((7,), jnp.int32)
+        l3 = jnp.zeros((7,), jnp.int32)
+
+    gr = (
+        radial_distribution(state.r, cfg, nbins=opts.gr_bins)[1]
+        if opts.gr_bins
+        else jnp.zeros((0,), jnp.float32)
+    )
+    zp = (
+        z_density_profile(state.r, cfg, nbins=opts.z_bins)[1]
+        if opts.z_bins
+        else jnp.zeros((0,), jnp.float32)
+    )
+
+    if opts.collect_sweep_trace:
+        e_tr, a_tr = trace.energy, trace.accepted
+    else:
+        e_tr = jnp.zeros((0,), dtype)
+        a_tr = jnp.zeros((0,), jnp.int32)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "gather_lapse", "n_gathers", "opts"),
+)
+def simulate_window(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    gather_lapse: int,
+    n_gathers: int,
+    gather_offset: jax.Array,
+    opts: ObservableOptions,
+) -> tuple[ChainState, GatherOut]:
+    """One storage window: `n_gathers` gathers as a single compiled scan."""
+
+    def body(carry, k):
+        s, out = _gather_step(carry, w, cfg, gather_lapse, gather_offset + k, opts)
+        return s, out
+
+    return jax.lax.scan(body, state, jnp.arange(n_gathers))
+
+
+class SimResults(NamedTuple):
+    """The reference's struct Sim (SMC.h:76-88) plus the richer observables."""
+
+    mean_energy: float        # mean E incl. 3NT/2 (SMC.c:210-211, 244)
+    std_energy: float
+    mean_pressure: float      # incl. ideal rho*T (SMC.c:207-208)
+    std_pressure: float
+    acceptance_ratio: float   # SMC.c:248
+    cv: float                 # var(E)/T^2 (SMC.c:250)
+    tau: float                # sum of ACF (SMC.c:235)
+    acf: np.ndarray
+    r_final: np.ndarray
+    l1: float                 # mean bonded pairs per LCA pass
+    l2: np.ndarray            # [7] normalized num2 histogram
+    l3: np.ndarray            # [7] normalized num3 histogram
+    energy_trace: np.ndarray  # per-sweep E (+3NT/2), empty if not collected
+    accept_trace: np.ndarray
+    pressure_trace: np.ndarray
+    density: np.ndarray       # cumulative voxel density [ncx, ncx, ncz]
+    mobility: np.ndarray
+    gr: Optional[np.ndarray]
+    zprofile: Optional[np.ndarray]
+    therm_acceptance: float
+    sweeps_per_second: float
+
+
+def simulate(
+    cfg: SMCConfig,
+    params: RunParams,
+    state: ChainState,
+    w: jax.Array,
+    opts: ObservableOptions = ObservableOptions(),
+    on_window=None,
+    acf_mode: str = "reference",
+) -> tuple[ChainState, SimResults]:
+    """Full single-chain run: thermalization, windowed main loop,
+    post-processing. The equivalent of sMC (SMC.c:21-267).
+
+    `on_window(window_index, state, GatherOut)` is the host I/O hook,
+    called once per storage window with stacked per-gather data.
+    """
+    lapse = params.gather_lapse
+    gather_steps = params.gather_steps
+    dtype = cfg.jnp_dtype
+
+    # --- thermalization with doubled A (SMC.c:110-125) ---
+    therm_acc = 0.0
+    if params.eqsteps:
+        state = jax.jit(
+            lambda s: run_sweeps(
+                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps, collect_trace=False
+            )[0]
+        )(state)
+        state = jax.block_until_ready(state)
+        therm_acc = float(state.accepted) / (params.eqsteps * cfg.n)
+        # Re-sync the energy after thermalization. The reference instead
+        # restarts its production trace from the PRE-thermalization E[0]
+        # (SMC.c:48,116,194), leaving a constant offset on the whole trace —
+        # fixed here (docs/DEVIATIONS.md).
+        state = state._replace(energy=total_energy(state.r, w, cfg))
+
+    # E[0] of the production trace: energy at production start (SMC.c:48).
+    e_begin = float(state.energy)
+
+    # --- main loop, windowed at the storage cadence (SMC.c:134-196) ---
+    accepted_at_prod_start = int(state.accepted)
+    windows: list[GatherOut] = []
+    done = 0
+    t1 = time.perf_counter()
+    widx = 0
+    while done < gather_steps:
+        g = min(cfg.storage_time, gather_steps - done)
+        state, out = simulate_window(
+            state, w, cfg, lapse, g, jnp.int32(done), opts
+        )
+        state = jax.block_until_ready(state)
+        if on_window is not None:
+            on_window(widx, state, jax.tree.map(np.asarray, out))
+        windows.append(jax.tree.map(np.asarray, out))
+        done += g
+        widx += 1
+    elapsed = time.perf_counter() - t1
+    total_sweeps = gather_steps * lapse
+    sps = total_sweeps / elapsed if elapsed > 0 else float("nan")
+
+    # --- post-processing (SMC.c:204-256) ---
+    kinetic = 1.5 * cfg.n * cfg.temperature
+    cat = lambda name: np.concatenate([getattr(o, name) for o in windows], axis=0)
+    e_trace = (
+        np.concatenate([o.energy_trace.reshape(-1) for o in windows]) + kinetic
+        if opts.collect_sweep_trace
+        else np.zeros((0,))
+    )
+    a_trace = (
+        np.concatenate([o.accept_trace.reshape(-1) for o in windows])
+        if opts.collect_sweep_trace
+        else np.zeros((0,), np.int32)
+    )
+    p_trace = cat("pressure") + cfg.rho * cfg.temperature
+
+    if opts.collect_sweep_trace and e_trace.size:
+        e_full = np.concatenate([[e_begin + kinetic], e_trace])
+        me, ve = float(np.mean(e_full)), float(np.var(e_full))
+        acf = np.asarray(
+            autocorrelation(jnp.asarray(e_full), cfg.kmax, mode=acf_mode)
+        )
+        tau = float(np.sum(acf))
+        acceptance = float(np.mean(a_trace)) / cfg.n
+    else:
+        me = float(state.energy) + kinetic
+        ve = float("nan")
+        acf = np.zeros((0,))
+        tau = float("nan")
+        prod_moves = (int(state.accepted) - accepted_at_prod_start)
+        acceptance = prod_moves / (total_sweeps * cfg.n)
+
+    l1s = cat("l1")
+    lca_passes = max(1, int(np.sum(l1s > 0)))
+    l2 = cat("l2").reshape(-1, 7).sum(axis=0) / lca_passes
+    l3 = cat("l3").reshape(-1, 7).sum(axis=0) / lca_passes
+
+    gr = cat("gr").reshape(gather_steps, -1).mean(axis=0) if opts.gr_bins else None
+    zp = cat("zprof").reshape(gather_steps, -1).mean(axis=0) if opts.z_bins else None
+
+    results = SimResults(
+        mean_energy=me,
+        std_energy=float(np.sqrt(ve)),
+        mean_pressure=float(np.mean(p_trace)),
+        std_pressure=float(np.std(p_trace)),
+        acceptance_ratio=acceptance,
+        cv=ve / (cfg.temperature ** 2),
+        tau=tau,
+        acf=acf,
+        r_final=np.asarray(state.r),
+        l1=float(np.sum(l1s)) / lca_passes,
+        l2=l2,
+        l3=l3,
+        energy_trace=e_trace,
+        accept_trace=a_trace,
+        pressure_trace=p_trace,
+        density=np.asarray(state.density).reshape(cfg.ncx, cfg.ncx, cfg.ncz),
+        mobility=np.asarray(state.mobility).reshape(cfg.ncx, cfg.ncx, cfg.ncz),
+        gr=gr,
+        zprofile=zp,
+        therm_acceptance=therm_acc,
+        sweeps_per_second=sps,
+    )
+    return state, results

@@ -1,0 +1,273 @@
+"""On-device observables: voxel density/mobility, cluster analysis, ACF,
+g(r), z-profiles, summary statistics.
+
+Reference: localDensityAndMobility (SMC.c:912-927), clusterAnalysis
+(SMC.c:971-1045), fft_acf/simple_acf (SMC.c:1055-1122), variance_corr
+(SMC.c:1128-1142), plus the driver-side statistics (SMC.c:243-256).
+
+All hot observables are pure jnp on device state; host code only formats.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SMCConfig
+
+
+# ----------------------------------------------------------------------
+# Voxel density & mobility (SMC.c:912-927)
+# ----------------------------------------------------------------------
+
+def voxel_index(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
+    """Voxel id per particle: v = i*Ncx*Ncz + j*Ncz + k with
+    i = floor((x/L + 1/2) * Ncx) etc. (SMC.c:917-920).
+
+    Indices are clipped into range; the reference instead casts to uint8
+    and indexes its overallocated Ncx^3 buffer (SMC.c:28) — out-of-box
+    particles land in junk voxels either way, clipping just keeps it safe.
+    """
+    i = jnp.floor((r[:, 0] / cfg.box_l + 0.5) * cfg.ncx).astype(jnp.int32)
+    j = jnp.floor((r[:, 1] / cfg.box_l + 0.5) * cfg.ncx).astype(jnp.int32)
+    k = jnp.floor((r[:, 2] / cfg.box_lz + 0.5) * cfg.ncz).astype(jnp.int32)
+    i = jnp.clip(i, 0, cfg.ncx - 1)
+    j = jnp.clip(j, 0, cfg.ncx - 1)
+    k = jnp.clip(k, 0, cfg.ncz - 1)
+    return i * (cfg.ncx * cfg.ncz) + j * cfg.ncz + k
+
+
+def density_mobility_update(
+    r: jnp.ndarray,
+    rbin: jnp.ndarray,
+    density: jnp.ndarray,
+    mobility: jnp.ndarray,
+    cfg: SMCConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One gather's cumulative voxel update (SMC.c:916-926):
+    D[v]++ for every particle; Mu[v]++ and Rbin[n]=v when particle n
+    changed voxel. Returns (rbin, density, mobility)."""
+    v = voxel_index(r, cfg)
+    density = density.at[v].add(jnp.uint32(1))
+    moved = (rbin != v).astype(jnp.uint32)
+    mobility = mobility.at[v].add(moved)
+    return v.astype(jnp.int32), density, mobility
+
+
+# ----------------------------------------------------------------------
+# Cluster analysis (Common Neighbour Analysis)
+# ----------------------------------------------------------------------
+
+class ClusterCounts(NamedTuple):
+    num1: jnp.ndarray  # [P] bool: pair within lca_cutoff
+    num2: jnp.ndarray  # [P] int32: common neighbours of the pair
+    num3: jnp.ndarray  # [P] int32: bonds among those common neighbours
+
+
+def pair_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Row/col arrays for the P = N(N-1)/2 unique pairs, row-major like the
+    reference's (l, i<l) loops."""
+    l, i = np.tril_indices(n, k=-1)
+    return l.astype(np.int32), i.astype(np.int32)
+
+
+def cluster_analysis(r: jnp.ndarray, cfg: SMCConfig) -> ClusterCounts:
+    """Common Neighbour Analysis, corrected.
+
+    The reference's clusterAnalysis (SMC.c:971-1045) intends standard CNA
+    but its triangular pair index `(l*l-3*l+2)/2 + i` (SMC.c:986) collides
+    across rows, its common-neighbour search only scans i2 < l, and its
+    bond count only tests consecutive common neighbours against an 8-slot
+    buffer it can overflow. We implement the analysis it documents:
+
+      num1[pair] = the two particles are within lca_cutoff (x/y min-image,
+                   z unwrapped, matching SMC.c:987-992);
+      num2[pair] = number of particles bonded to BOTH (all j != l,i);
+      num3[pair] = number of bonds among those common neighbours.
+
+    A line-faithful port of the buggy C algorithm lives in
+    tests/reference_impls.py as the parity oracle. Deviation documented in
+    docs/DEVIATIONS.md.
+    """
+    n = r.shape[0]
+    d = r[:, None, :] - r[None, :, :]
+    dx = d[..., 0] - cfg.box_l * jnp.round(d[..., 0] / cfg.box_l)
+    dy = d[..., 1] - cfg.box_l * jnp.round(d[..., 1] / cfg.box_l)
+    dz = d[..., 2]
+    if cfg.pbc_z:
+        dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
+    dr2 = dx * dx + dy * dy + dz * dz
+    adj = (dr2 < cfg.lca_cutoff * cfg.lca_cutoff) & ~jnp.eye(n, dtype=bool)
+    adj_f = adj.astype(jnp.float32)
+
+    # common[l, i] = #j: adj[l,j] & adj[i,j] — one MXU matmul.
+    common = jnp.dot(adj_f, adj_f.T, preferred_element_type=jnp.float32)
+
+    # bonds among common neighbours of (l, i):
+    # num3[l,i] = 1/2 sum_{j,k} adj[l,j] adj[i,j] adj[j,k] adj[l,k] adj[i,k]
+    # = 1/2 sum_{j,k} m[l,i,j] A[j,k] m[l,i,k] with m = outer AND.
+    # Computed as batched quadratic forms: for each l, M_l = diag-free
+    # (A_l ⊙ rows) — implement as einsum over the [N,N,N] mask (N<=2k ok).
+    m = adj_f[:, None, :] * adj_f[None, :, :]          # [l, i, j]
+    t = jnp.einsum("lij,jk->lik", m, adj_f)            # bonded-partner counts
+    num3_mat = 0.5 * jnp.einsum("lik,lik->li", t, m)
+
+    lrow, icol = pair_indices(n)
+    lrow = jnp.asarray(lrow)
+    icol = jnp.asarray(icol)
+    return ClusterCounts(
+        num1=adj[lrow, icol],
+        num2=common[lrow, icol].astype(jnp.int32),
+        num3=num3_mat[lrow, icol].astype(jnp.int32),
+    )
+
+
+def cluster_histograms(
+    counts: ClusterCounts, nbins: int = 7
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The l1/l2/l3 aggregation the reference driver intends (SMC.c:146-155):
+    among bonded pairs, histogram num2 and num3 into `nbins` buckets.
+    (The C accumulators divide by an integer ratio that truncates to zero,
+    so its l2/l3 are always 0 — fixed here, SURVEY §7.4.)
+
+    Returns (l1: bonded-pair count, l2: [nbins], l3: [nbins])."""
+    bonded = counts.num1
+    l1 = jnp.sum(bonded.astype(jnp.int32)).astype(jnp.int32)
+    l2 = jnp.zeros((nbins,), jnp.int32).at[
+        jnp.clip(counts.num2, 0, nbins - 1)
+    ].add(bonded.astype(jnp.int32))
+    l3 = jnp.zeros((nbins,), jnp.int32).at[
+        jnp.clip(counts.num3, 0, nbins - 1)
+    ].add(bonded.astype(jnp.int32))
+    return l1, l2, l3
+
+
+# ----------------------------------------------------------------------
+# Radial distribution function and z-profile (new capabilities required by
+# BASELINE.json's observable list; the reference has no g(r))
+# ----------------------------------------------------------------------
+
+def radial_distribution(
+    r: jnp.ndarray, cfg: SMCConfig, nbins: int = 128, rmax: float | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """g(r) histogram over unique pairs (x/y min-image as the system
+    dictates). Returns (bin_centers, g)."""
+    n = r.shape[0]
+    if rmax is None:
+        rmax = cfg.lj_cutoff if cfg.lj_cutoff < cfg.box_l / 2 else cfg.box_l / 2
+    d = r[:, None, :] - r[None, :, :]
+    dx = d[..., 0] - cfg.box_l * jnp.round(d[..., 0] / cfg.box_l)
+    dy = d[..., 1] - cfg.box_l * jnp.round(d[..., 1] / cfg.box_l)
+    dz = d[..., 2]
+    if cfg.pbc_z:
+        dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
+    dr = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    iu = jnp.triu_indices(n, k=1)
+    dr = dr[iu]
+    bins = jnp.clip((dr / rmax * nbins).astype(jnp.int32), 0, nbins)
+    hist = jnp.zeros((nbins + 1,), jnp.float32).at[bins].add(1.0)[:nbins]
+    edges = jnp.linspace(0.0, rmax, nbins + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    shell = (4.0 / 3.0) * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    norm = cfg.rho * shell * n / 2.0
+    return centers, hist / norm
+
+
+def z_density_profile(
+    r: jnp.ndarray, cfg: SMCConfig, nbins: int = 128
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Density vs wall-normal coordinate z in [-Lz/2, Lz/2]."""
+    z = jnp.clip(r[:, 2], -cfg.box_lz / 2, cfg.box_lz / 2)
+    b = jnp.clip(
+        ((z / cfg.box_lz + 0.5) * nbins).astype(jnp.int32), 0, nbins - 1
+    )
+    hist = jnp.zeros((nbins,), jnp.float32).at[b].add(1.0)
+    dz = cfg.box_lz / nbins
+    centers = -cfg.box_lz / 2 + dz * (jnp.arange(nbins) + 0.5)
+    return centers, hist / (cfg.box_l * cfg.box_l * dz)
+
+
+# ----------------------------------------------------------------------
+# Autocorrelation (SMC.c:1055-1122)
+# ----------------------------------------------------------------------
+
+def autocorrelation(
+    trace: jnp.ndarray, k_max: int, mode: str = "reference"
+) -> jnp.ndarray:
+    """Normalized autocorrelation of a scalar trace, acf[0] = 1.
+
+    mode="reference" reproduces fft_acf (SMC.c:1055-1093) exactly: de-mean,
+    full-length rfft, power spectrum TRUNCATED to lfft = n//2 + n%2 bins,
+    complex inverse FFT of those bins, normalize by lag 0. (That recipe is
+    a half-resolution circular ACF — kept for drop-in parity.)
+
+    mode="circular" is the standard Wiener-Khinchin circular ACF;
+    mode="unbiased" zero-pads to kill wrap-around and divides by (n-k).
+    """
+    n = trace.shape[0]
+    if n < 2 * k_max + 1:
+        # fft_acf clamps k_max to len/2 - 2 (SMC.c:1058-1061)
+        k_max = int(np.rint(n / 2)) - 2
+    z = trace - jnp.mean(trace)
+    if mode == "reference":
+        lfft = n // 2 + n % 2
+        f = jnp.fft.rfft(z)
+        psd = (f * jnp.conj(f))[:lfft]
+        ch = jnp.fft.ifft(psd)
+        return jnp.real(ch[:k_max]) / jnp.real(ch[0])
+    if mode == "circular":
+        f = jnp.fft.rfft(z)
+        ch = jnp.fft.irfft(f * jnp.conj(f), n=n)
+        return ch[:k_max] / ch[0]
+    if mode == "unbiased":
+        m = 2 * n  # next pow2 not required; XLA's FFT handles any length
+        f = jnp.fft.rfft(z, n=m)
+        ch = jnp.fft.irfft(f * jnp.conj(f), n=m)[:k_max]
+        counts = n - jnp.arange(k_max)
+        ch = ch / counts
+        return ch / ch[0]
+    raise ValueError(f"unknown acf mode {mode}")
+
+
+def autocorrelation_direct(trace: jnp.ndarray, k_max: int) -> jnp.ndarray:
+    """Direct O(n*k) ACF matching simple_acf (SMC.c:1096-1122): lag-k sums
+    over i < n - k_max - 1, divided by (n - k_max), normalized by lag 0."""
+    n = trace.shape[0]
+    z = trace - jnp.mean(trace)
+    m = n - k_max - 1
+
+    def one_lag(k):
+        zi = jax.lax.dynamic_slice(z, (0,), (m,))
+        zk = jax.lax.dynamic_slice(z, (k,), (m,))
+        return jnp.sum(zi * zk) / (n - k_max)
+
+    acf = jax.vmap(one_lag)(jnp.arange(k_max))
+    return acf / acf[0]
+
+
+def integrated_autocorrelation_time(acf: jnp.ndarray) -> jnp.ndarray:
+    """tau = sum of the ACF, as the driver computes it (SMC.c:235)."""
+    return jnp.sum(acf)
+
+
+def variance_strided(trace: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """Variance over tau-strided samples (variance_corr, SMC.c:1128-1142)."""
+    tauint = max(1, int(np.floor(tau)))
+    sub = trace[::tauint]
+    m = sub.shape[0]
+    mean_all = jnp.mean(trace)
+    return jnp.sum((sub - mean_all) ** 2) / (m - 1)
+
+
+# ----------------------------------------------------------------------
+# Summary statistics (struct Sim, SMC.c:243-256)
+# ----------------------------------------------------------------------
+
+def trace_mean_var(trace: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """mean and population variance exactly as matematicose computes them
+    (variance = E[x^2] - E[x]^2, matematicose.c:97-104)."""
+    m = jnp.mean(trace)
+    return m, jnp.mean(trace * trace) - m * m
