@@ -1,0 +1,168 @@
+"""Chain-ensemble and multi-chip parallelism.
+
+The reference's distributed model is one Markov chain per MPI rank with
+ZERO inter-rank communication (rank macro main.c:4, per-rank filenames
+SMC.c:66-96, per-process seeds SMC.c:40; no MPI_* calls exist — SURVEY
+§0, §5.8). The TPU-native replacement is two-level:
+
+  * **chains** (`vmap`): C independent chains per chip — a [C, N, 3]
+    batch. A 108-particle chain is far too small to fill an MXU/VPU; the
+    chip is filled by the chain batch, which is exactly the reference's
+    replica parallelism with the process boundary removed.
+  * **devices** (mesh + sharding): the chain axis is sharded over the
+    mesh's "chains" axis. Chains never communicate; XLA inserts the only
+    collectives needed — psum/all_gather for observable reductions —
+    when we reduce across the sharded axis.
+
+For large N there is also a **particle axis** ("tp"-style): the O(N^2)
+recompute/observable pass shards particle rows over a mesh axis, each
+device all-gathers positions over ICI and reduces its row block
+(`particle_sharded_energy`), the SURVEY §5.7 "sequence parallel" analog.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import SMCConfig
+from .potentials import wall_energy_force_single, _pair_displacements
+from .sampler import SweepStats, sweep_state
+from .state import ChainState
+
+
+def make_mesh(
+    n_devices: int | None = None, axis_names: Tuple[str, ...] = ("chains",),
+    shape: Tuple[int, ...] | None = None,
+) -> Mesh:
+    """A device mesh over the first n_devices devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = np.asarray(devs[:n_devices])
+    if shape is None:
+        shape = (n_devices,)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def shard_ensemble(state: ChainState, mesh: Mesh, axis: str = "chains") -> ChainState:
+    """Place a [C, ...] ensemble state with the chain axis sharded."""
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return jax.tree.map(put, state)
+
+
+def ensemble_sweeps(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    collect_trace: bool = False,
+) -> Tuple[ChainState, SweepStats | None]:
+    """n_sweeps sweeps of every chain: scan over sweeps, vmap over chains.
+
+    Shape: all state leaves carry a leading [C] axis. Under a sharded jit
+    the [C] axis is split across devices and the whole scan runs without
+    any cross-device traffic (chains are independent).
+    """
+
+    # One offset stream shared by all chains (see sampler.sweep: turns the
+    # per-move row access into a dynamic slice instead of a batched gather).
+    okey = jax.random.fold_in(state.key[0], 0x5EED)
+
+    def body(carry, _):
+        st, okey = carry
+        okey, k = jax.random.split(okey)
+        offset = jax.random.randint(k, (), 0, cfg.n)
+        st, stats = jax.vmap(
+            lambda s: sweep_state(s, w, cfg, a, offset=offset)
+        )(st)
+        return (st, okey), stats if collect_trace else None
+
+    (state, _), trace = jax.lax.scan(body, (state, okey), None, length=n_sweeps)
+    return state, trace
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "a_scale"))
+def ensemble_block(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    n_sweeps: int,
+    a_scale: float = 1.0,
+) -> Tuple[ChainState, jax.Array, jax.Array]:
+    """One compiled block: n_sweeps sweeps for every chain plus the
+    cross-chain observable reduction (the psum the reference never had).
+
+    Returns (state, mean_energy_across_chains, acceptance_across_chains).
+    """
+    state, _ = ensemble_sweeps(
+        state, w, cfg, a_scale * cfg.proposal_a, n_sweeps, collect_trace=False
+    )
+    mean_e = jnp.mean(state.energy)
+    acc = jnp.mean(state.accepted / (state.sweeps * cfg.n))
+    return state, mean_e, acc
+
+
+# ----------------------------------------------------------------------
+# Particle-axis sharding (the "tensor/sequence parallel" analog, §5.7/§2)
+# ----------------------------------------------------------------------
+
+def particle_sharded_energy(
+    r: jax.Array, w: jax.Array, cfg: SMCConfig, mesh: Mesh, axis: str = "particles"
+) -> jax.Array:
+    """Total energy with particle rows sharded over a mesh axis.
+
+    Each device holds an [N/D, 3] row block, all-gathers the full position
+    set over ICI, computes its block's pair rows + wall terms, and psums.
+    For N in the thousands this turns the O(N^2) pass into O(N^2/D) per
+    chip with one all-gather — the scaling-book recipe applied to the pair
+    matrix instead of an attention matrix.
+    """
+    n = r.shape[0]
+    nd = mesh.shape[axis]
+    assert n % nd == 0, f"N={n} must divide over {nd} devices"
+
+    def block(r_local):
+        r_full = jax.lax.all_gather(r_local, axis, tiled=True)  # [N, 3]
+        my = jax.lax.axis_index(axis)
+        row0 = my * (n // nd)
+
+        def row_energy(k, ri):
+            i = row0 + k
+            d, dr2 = _pair_displacements(ri, r_full, cfg)
+            mask = (dr2 < cfg.cutoff2) & (jnp.arange(n) != i)
+            safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
+            inv6 = 1.0 / (safe * safe * safe)
+            u = 4.0 * jnp.sum(jnp.where(mask, inv6 * inv6 - inv6, 0.0))
+            if cfg.use_walls:
+                u_w, _ = wall_energy_force_single(ri, w, cfg)
+            else:
+                u_w = jnp.zeros((), r_local.dtype)
+            return 0.5 * u + u_w
+
+        u_block = jax.vmap(row_energy)(jnp.arange(n // nd), r_local)
+        return jax.lax.psum(jnp.sum(u_block), axis)
+
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+    )
+    return fn(r)
+
+
+# ----------------------------------------------------------------------
+# Per-chain keys (replaces per-process srand(time(NULL)), SMC.c:40)
+# ----------------------------------------------------------------------
+
+def fold_chain_keys(base: jax.Array, n_chains: int) -> jax.Array:
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(n_chains))

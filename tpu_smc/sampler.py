@@ -66,11 +66,19 @@ def sweep(
     w: jax.Array,
     cfg: SMCConfig,
     a: float | jax.Array,
+    offset: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One SMC sweep over all N particles (oneParticleMoves, SMC.c:278-351).
 
     `a` is the proposal mobility — the driver doubles it during
     thermalization (SMC.c:110,125).
+
+    `offset` is the random cyclic starting particle (SMC.c:290). When None
+    it is drawn from this chain's key. Ensembles pass ONE offset shared by
+    all chains instead: the visit order is then common across chains (each
+    chain still uses its own noise/uniforms, so chains stay independent),
+    and the per-move position read/write becomes a cheap dynamic slice
+    instead of a per-chain gather/scatter — a large TPU win.
 
     Returns (r, energy, key, n_accepted).
     """
@@ -84,7 +92,8 @@ def sweep(
     # N uniforms for the Metropolis tests (SMC.c:335)
     unif = jax.random.uniform(k_unif, (cfg.n,), dtype)
     # random cyclic offset (SMC.c:290)
-    offset = jax.random.randint(k_off, (), 0, cfg.n)
+    if offset is None:
+        offset = jax.random.randint(k_off, (), 0, cfg.n)
 
     def move(nn, carry):
         r, energy, acc = carry
@@ -128,10 +137,14 @@ def sweep(
 
 
 def sweep_state(
-    state: ChainState, w: jax.Array, cfg: SMCConfig, a: float | jax.Array
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float | jax.Array,
+    offset: jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """One sweep expressed on the ChainState pytree."""
-    r, e, key, acc = sweep(state.r, state.energy, state.key, w, cfg, a)
+    r, e, key, acc = sweep(state.r, state.energy, state.key, w, cfg, a, offset=offset)
     new = state._replace(
         r=r,
         energy=e,
