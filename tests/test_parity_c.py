@@ -1,0 +1,61 @@
+"""Statistical parity against the COMPILED C reference, run side by side.
+
+The chain RNGs differ (libc rand vs threefry) so parity is statistical:
+mean energy and acceptance ratio agree within sampling error (the
+BASELINE.md contract; the full long-run 1e-3 validation lives in
+scripts/validate_parity.py)."""
+
+import re
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_smc.config import RunParams, SMCConfig
+from tpu_smc.driver import ObservableOptions, simulate
+from tpu_smc.state import init_chain_state
+
+
+def run_c_reference(exe, tmp_path, eqsteps, maxsteps, numdata, t):
+    out = subprocess.run(
+        [str(exe), str(eqsteps), str(maxsteps), str(numdata), f"{t:.2f}"],
+        cwd=tmp_path, check=True, capture_output=True, text=True, timeout=600,
+    ).stdout
+    res = {}
+    m = re.search(r"Mean energy: ([-\d.]+) .?.? ([-\d.]+)", out)
+    res["mean_energy"], res["std_energy"] = float(m.group(1)), float(m.group(2))
+    m = re.search(r"Average acceptance ratio: ([\d.]+)", out)
+    res["acceptance"] = float(m.group(1))
+    m = re.search(r"acceptance ratio ([\d.]+), mean energy ([-\d.]+)", out)
+    res["therm_acceptance"] = float(m.group(1))
+    return res
+
+
+@pytest.mark.c_reference
+@pytest.mark.slow
+def test_statistical_parity_n108(tmp_path):
+    from parity.reference import build_reference_main
+
+    eqsteps, maxsteps, numdata, t = 2000, 8000, 400, 1.1
+    exe = build_reference_main(108)
+    cdir = tmp_path / "c"
+    cdir.mkdir()
+    c = run_c_reference(exe, cdir, eqsteps, maxsteps, numdata, t)
+
+    cfg = SMCConfig(dtype="float64")
+    params = RunParams(eqsteps, maxsteps, numdata)
+    state, w = init_chain_state(cfg, jax.random.key(123))
+    _, res = simulate(cfg, params, state, w,
+                      opts=ObservableOptions(clusters=False))
+
+    # acceptance: per-move s.e. ~ 1e-3 at this length; allow 5x for
+    # stream-level correlation
+    assert abs(res.acceptance_ratio - c["acceptance"]) < 0.01, (
+        res.acceptance_ratio, c["acceptance"])
+    assert abs(res.therm_acceptance - c["therm_acceptance"]) < 0.015
+
+    # mean energy: correlated-sample s.e. ~ 0.3 at this length; allow 3 sigma
+    # on the combined estimate
+    assert abs(res.mean_energy - c["mean_energy"]) < 3.0, (  # ~4 sigma of the combined correlated-sample error
+        res.mean_energy, c["mean_energy"])

@@ -1,0 +1,228 @@
+"""Command-line entry point — the main.c equivalent.
+
+Usage (positional args exactly like the reference, main.c:13-19):
+
+    python -m tpu_smc EQSTEPS MAXSTEPS NUMDATA T [options]
+
+e.g. `python -m tpu_smc 4000000 16000000 400000 1.1`. Options extend the
+reference's compile-time choices (particle count, dtype, chain count,
+observables) without recompiling anything by hand — jit recompiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_smc",
+        description="TPU-native Smart Monte Carlo of a confined LJ fluid",
+    )
+    p.add_argument("eqsteps", type=int, help="equilibration sweeps (ref: 4e6)")
+    p.add_argument("maxsteps", type=int, help="production sweeps (ref: 16e6)")
+    p.add_argument("numdata", type=int, help="number of gathers (ref: 4e5)")
+    p.add_argument("temperature", type=float, help="temperature (ref: 1.1)")
+    p.add_argument("--n", type=int, default=108, help="particles (SMC.h:29)")
+    p.add_argument("--m", type=int, default=3, help="wall grid per dim (SMC.h:26)")
+    p.add_argument("--gamma", type=float, default=1.0, help="A = gamma*T (main.c:51)")
+    p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
+    p.add_argument("--bulk", action="store_true",
+                   help="bulk LJ fluid (SMC_noMPI_noWall.c variant)")
+    p.add_argument("--data-dir", default="Data", help="output root (main.c:55)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="chain seed (default: time, like srand(time(NULL)))")
+    p.add_argument("--chains", type=int, default=1,
+                   help="independent chains (replaces MPI ranks)")
+    p.add_argument("--gr-bins", type=int, default=0, help="accumulate g(r)")
+    p.add_argument("--z-bins", type=int, default=0, help="accumulate z profile")
+    p.add_argument("--no-trace", action="store_true",
+                   help="skip per-sweep E/jj traces (big runs)")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a full-state checkpoint here at the end")
+    p.add_argument("--resume", default=None,
+                   help="resume from a full-state checkpoint")
+    p.add_argument("--acf-mode", choices=("reference", "circular", "unbiased"),
+                   default="reference")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import io as smcio
+    from .config import RunParams, SMCConfig
+    from .driver import ObservableOptions, simulate
+    from .state import init_chain_state
+    from .system import build_walls, fcc_lattice
+
+    if args.bulk:
+        cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
+                             dtype=args.dtype, gamma=args.gamma)
+    else:
+        cfg = SMCConfig.for_n(args.n, temperature=args.temperature,
+                              dtype=args.dtype, m=args.m, gamma=args.gamma)
+    params = RunParams(args.eqsteps, args.maxsteps, args.numdata)
+
+    now = time.localtime()
+    print(f"\n\n----  Starting the simulation at local time "
+          f"{now.tm_hour:02d}:{now.tm_min:02d}  ----\n")
+
+    d = smcio.run_dir(cfg, args.data_dir)
+    w_np, x0, ym = build_walls(cfg)
+    smcio.write_wall_csv(d, cfg, x0, ym)
+
+    seed = args.seed if args.seed is not None else int(time.time())
+    key = jax.random.key(seed)
+
+    if args.resume:
+        state, cfg_ck = smcio.load_checkpoint(args.resume)
+        print(f"Resumed full chain state from {args.resume} "
+              f"({int(state.sweeps)} sweeps done)")
+        w = jax.numpy.asarray(w_np, cfg.jnp_dtype)
+    else:
+        r0 = smcio.load_last_state(d, cfg)
+        if r0 is not None:
+            print("\nUsing previously saved particle configuration...")
+        else:
+            print("\nInitializing system...")
+            r0 = fcc_lattice(cfg)
+        state, w = init_chain_state(cfg, key, r0=r0, w=w_np)
+
+    kinetic = 1.5 * cfg.n * cfg.temperature
+    print(f"\nSystem initialized, with energy E0 = "
+          f"{float(state.energy) + kinetic:f}.\n")
+    print(f"Starting new run with {cfg.n} particles in "
+          f"{cfg.box_l:0.1f}x{cfg.box_l:0.1f}x{cfg.box_lz:0.1f} box, "
+          f"T={cfg.temperature:0.2f}, rho={cfg.rho:0.4f}, "
+          f"A={cfg.proposal_a:0.3f}, for {params.maxsteps} steps...")
+
+    if args.chains > 1:
+        return _run_ensemble(args, cfg, params, d, state, w)
+
+    pos_writer = smcio.PositionsWriter(d, cfg)
+    pos_writer.append(np.asarray(state.r))
+    temp_writer = smcio.LocalWriter(d, cfg, "local_temp")
+    snap = {"d": np.zeros(cfg.n_voxels, np.uint64),
+            "mu": np.zeros(cfg.n_voxels, np.uint64)}
+
+    def on_window(widx, st, out):
+        pos_writer.append(np.asarray(st.r))
+        dnow = np.asarray(st.density, np.uint64)
+        munow = np.asarray(st.mobility, np.uint64)
+        temp_writer.append(dnow - snap["d"], munow - snap["mu"])
+        snap["d"], snap["mu"] = dnow, munow
+        done = (widx + 1) * min(cfg.storage_time, params.gather_steps)
+        print(f"\rStoring the latest density distribution at "
+              f"~{done * params.gather_lapse} steps... ", end="")
+
+    opts = ObservableOptions(
+        gr_bins=args.gr_bins, z_bins=args.z_bins,
+        collect_sweep_trace=not args.no_trace,
+    )
+    state, res = simulate(cfg, params, state, w, opts=opts,
+                          on_window=on_window, acf_mode=args.acf_mode)
+
+    print(f"\n\nTime-equivalent throughput: {res.sweeps_per_second:,.0f} sweeps/s "
+          f"({1e6 / max(res.sweeps_per_second, 1e-9):0.1f} s per million)")
+    print("\n###  Final results  ###")
+    print(f"Mean energy: {res.mean_energy:f} ± {res.std_energy:f}")
+    print(f"Mean pressure: {res.mean_pressure:f} ± {res.std_pressure:f}")
+    print(f"Approximate heat capacity: {res.cv:f}")
+    print(f"Average autocorrelation time: {res.tau:f}")
+    print(f"Average acceptance ratio: {res.acceptance_ratio:f}")
+
+    smcio.write_data_csv(d, cfg, res.energy_trace_full, res.pressure_trace,
+                         res.accept_trace, params.gather_lapse)
+    local_writer = smcio.LocalWriter(d, cfg, "local")
+    local_writer.append(res.density, res.mobility)
+    smcio.write_total_clusters_csv(d, cfg, res.l1, res.l2, res.l3)
+    smcio.write_autocorrelation_csv(d, cfg, res.acf)
+    smcio.write_info_csv(d, cfg, params, res)
+    smcio.write_last_state(d, cfg, res.r_final)
+
+    if args.checkpoint:
+        smcio.save_checkpoint(args.checkpoint, state, cfg)
+        print(f"Full chain state checkpointed to {args.checkpoint}")
+
+    return 0
+
+
+def _run_ensemble(args, cfg, params, d, seed_state, w) -> int:
+    """Multi-chain run: per-chain output files (rank = chain, mirroring the
+    reference's per-MPI-rank naming) + pooled ensemble summary."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import io as smcio
+    from .driver import ObservableOptions
+    from .driver_ensemble import simulate_ensemble
+    from .ensemble import fold_chain_keys
+    from .state import ChainState
+
+    c = args.chains
+
+    def rep(x):
+        return jnp.broadcast_to(x, (c,) + x.shape)
+
+    state = ChainState(
+        r=rep(seed_state.r),
+        energy=rep(seed_state.energy),
+        key=fold_chain_keys(seed_state.key, c),
+        sweeps=rep(seed_state.sweeps),
+        accepted=rep(seed_state.accepted),
+        rbin=rep(seed_state.rbin),
+        density=rep(seed_state.density),
+        mobility=rep(seed_state.mobility),
+    )
+
+    pos_writers = [smcio.PositionsWriter(d, cfg, rank=ci) for ci in range(c)]
+    for ci in range(c):
+        pos_writers[ci].append(np.asarray(state.r[ci]))
+
+    def on_window(widx, st, out):
+        r = np.asarray(st.r)
+        for ci in range(c):
+            pos_writers[ci].append(r[ci])
+        print(f"\rWindow {widx + 1} done...", end="")
+
+    opts = ObservableOptions(
+        gr_bins=args.gr_bins, z_bins=args.z_bins,
+        collect_sweep_trace=not args.no_trace,
+    )
+    state, agg = simulate_ensemble(
+        cfg, params, state, w, opts=opts, on_window=on_window,
+        acf_mode=args.acf_mode,
+    )
+
+    print(f"\n\nAggregate throughput: {agg.sweeps_per_second:,.0f} sweeps/s "
+          f"across {c} chains")
+    print("\n###  Final ensemble results  ###")
+    print(f"Mean energy: {agg.mean_energy:f} ± {agg.std_energy:f} (chain spread)")
+    print(f"Mean pressure: {agg.mean_pressure:f} ± {agg.std_pressure:f}")
+    print(f"Average acceptance ratio: {agg.acceptance_ratio:f}")
+
+    for ci, res in enumerate(agg.chains):
+        smcio.write_data_csv(d, cfg, res.energy_trace_full, res.pressure_trace,
+                             res.accept_trace, params.gather_lapse, rank=ci)
+        smcio.LocalWriter(d, cfg, "local", rank=ci).append(res.density, res.mobility)
+        smcio.write_total_clusters_csv(d, cfg, res.l1, res.l2, res.l3, rank=ci)
+        smcio.write_autocorrelation_csv(d, cfg, res.acf, rank=ci)
+    smcio.write_info_csv(d, cfg, params, agg.chains[0])
+    smcio.write_last_state(d, cfg, agg.chains[0].r_final)
+
+    if args.checkpoint:
+        smcio.save_checkpoint(args.checkpoint, state, cfg)
+        print(f"Full ensemble state checkpointed to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

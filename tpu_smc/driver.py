@@ -180,6 +180,7 @@ class SimResults(NamedTuple):
     l2: np.ndarray            # [7] normalized num2 histogram
     l3: np.ndarray            # [7] normalized num3 histogram
     energy_trace: np.ndarray  # per-sweep E (+3NT/2), empty if not collected
+    energy_trace_full: np.ndarray  # [maxsteps+1]: initial E prepended (SMC.c:47)
     accept_trace: np.ndarray
     pressure_trace: np.ndarray
     density: np.ndarray       # cumulative voxel density [ncx, ncx, ncz]
@@ -273,6 +274,7 @@ def simulate(
         tau = float(np.sum(acf))
         acceptance = float(np.mean(a_trace)) / cfg.n
     else:
+        e_full = np.zeros((0,))
         me = float(state.energy) + kinetic
         ve = float("nan")
         acf = np.zeros((0,))
@@ -302,6 +304,7 @@ def simulate(
         l2=l2,
         l3=l3,
         energy_trace=e_trace,
+        energy_trace_full=e_full,
         accept_trace=a_trace,
         pressure_trace=p_trace,
         density=np.asarray(state.density).reshape(cfg.ncx, cfg.ncx, cfg.ncz),

@@ -1,0 +1,302 @@
+"""Ensemble driver: many independent chains advanced together.
+
+This is the product replacement for the reference's MPI replica model
+(one chain per rank, per-rank output files, offline aggregation —
+SURVEY §5.8). All chains run in one jitted program with a leading [C]
+axis (shardable over a mesh); outputs keep the reference's per-rank file
+naming with rank = chain index, plus the cross-chain aggregation the
+reference left to offline scripts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunParams, SMCConfig
+from .driver import GatherOut, ObservableOptions, SimResults
+from .ensemble import ensemble_sweeps
+from .observables import (
+    autocorrelation,
+    cluster_analysis,
+    cluster_histograms,
+    density_mobility_update,
+    radial_distribution,
+    z_density_profile,
+)
+from .potentials import total_energy, total_pressure
+from .state import ChainState
+
+
+def _gather_step_batched(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    gather_lapse: int,
+    gather_index: jax.Array,
+    opts: ObservableOptions,
+) -> tuple[ChainState, GatherOut]:
+    """Batched version of driver._gather_step: every observable vmapped
+    over the chain axis. Trace shapes gain a trailing [C]."""
+    dtype = cfg.jnp_dtype
+    state, trace = ensemble_sweeps(
+        state, w, cfg, cfg.proposal_a, gather_lapse,
+        collect_trace=opts.collect_sweep_trace,
+    )
+
+    if cfg.recompute_every:
+        state = jax.lax.cond(
+            (gather_index + 1) % cfg.recompute_every == 0,
+            lambda s: s._replace(
+                energy=jax.vmap(lambda r: total_energy(r, w, cfg))(s.r)
+            ),
+            lambda s: s,
+            state,
+        )
+
+    p = (
+        jax.vmap(lambda r: total_pressure(r, w, cfg))(state.r)
+        if opts.pressure
+        else jnp.zeros((state.r.shape[0],), dtype)
+    )
+
+    rbin, density, mobility = jax.vmap(
+        lambda r, b, d, m: density_mobility_update(r, b, d, m, cfg)
+    )(state.r, state.rbin, state.density, state.mobility)
+    state = state._replace(rbin=rbin, density=density, mobility=mobility)
+
+    c = state.r.shape[0]
+    if opts.clusters:
+        def do_lca(r):
+            return jax.vmap(
+                lambda ri: cluster_histograms(cluster_analysis(ri, cfg))
+            )(r)
+
+        def skip_lca(r):
+            return (
+                jnp.zeros((c,), jnp.int32),
+                jnp.zeros((c, 7), jnp.int32),
+                jnp.zeros((c, 7), jnp.int32),
+            )
+
+        l1, l2, l3 = jax.lax.cond(
+            (gather_index + 1) % cfg.lca_time == 0, do_lca, skip_lca, state.r
+        )
+    else:
+        l1 = jnp.zeros((c,), jnp.int32)
+        l2 = jnp.zeros((c, 7), jnp.int32)
+        l3 = jnp.zeros((c, 7), jnp.int32)
+
+    gr = (
+        jax.vmap(lambda r: radial_distribution(r, cfg, nbins=opts.gr_bins)[1])(
+            state.r
+        )
+        if opts.gr_bins
+        else jnp.zeros((c, 0), jnp.float32)
+    )
+    zp = (
+        jax.vmap(lambda r: z_density_profile(r, cfg, nbins=opts.z_bins)[1])(
+            state.r
+        )
+        if opts.z_bins
+        else jnp.zeros((c, 0), jnp.float32)
+    )
+
+    if opts.collect_sweep_trace:
+        e_tr, a_tr = trace.energy, trace.accepted  # [lapse, C]
+    else:
+        e_tr = jnp.zeros((0, c), dtype)
+        a_tr = jnp.zeros((0, c), jnp.int32)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gather_lapse", "n_gathers", "opts"))
+def simulate_window_batched(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    gather_lapse: int,
+    n_gathers: int,
+    gather_offset: jax.Array,
+    opts: ObservableOptions,
+) -> tuple[ChainState, GatherOut]:
+    def body(carry, k):
+        return _gather_step_batched(
+            carry, w, cfg, gather_lapse, gather_offset + k, opts
+        )
+
+    return jax.lax.scan(body, state, jnp.arange(n_gathers))
+
+
+class EnsembleResults(NamedTuple):
+    chains: list                    # per-chain SimResults
+    mean_energy: float              # ensemble mean of chain means
+    std_energy: float               # std of chain means (replica error bar)
+    mean_pressure: float
+    std_pressure: float
+    acceptance_ratio: float
+    gr: np.ndarray | None           # ensemble-pooled g(r)
+    zprofile: np.ndarray | None
+    therm_acceptance: float
+    sweeps_per_second: float        # aggregate across chains
+
+
+def simulate_ensemble(
+    cfg: SMCConfig,
+    params: RunParams,
+    state: ChainState,
+    w: jax.Array,
+    opts: ObservableOptions = ObservableOptions(),
+    on_window=None,
+    acf_mode: str = "reference",
+) -> tuple[ChainState, EnsembleResults]:
+    """Ensemble run: thermalization + windowed main loop + per-chain and
+    pooled post-processing. `state` must carry a leading chain axis."""
+    import time as _time
+
+    lapse = params.gather_lapse
+    gather_steps = params.gather_steps
+    n_chains = state.r.shape[0]
+    kinetic = 1.5 * cfg.n * cfg.temperature
+
+    therm_acc = 0.0
+    if params.eqsteps:
+        state, _ = jax.jit(
+            lambda s: ensemble_sweeps(
+                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps, collect_trace=False
+            )
+        )(state)
+        state = jax.block_until_ready(state)
+        therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
+        state = state._replace(
+            energy=jax.vmap(lambda r: total_energy(r, w, cfg))(state.r)
+        )
+
+    e_begin = np.asarray(state.energy)  # [C]
+    accepted0 = np.asarray(state.accepted)
+
+    windows: list[GatherOut] = []
+    done = 0
+    widx = 0
+    t1 = _time.perf_counter()
+    while done < gather_steps:
+        g = min(cfg.storage_time, gather_steps - done)
+        state, out = simulate_window_batched(
+            state, w, cfg, lapse, g, jnp.int32(done), opts
+        )
+        state = jax.block_until_ready(state)
+        out = jax.tree.map(np.asarray, out)
+        if on_window is not None:
+            on_window(widx, state, out)
+        windows.append(out)
+        done += g
+        widx += 1
+    elapsed = _time.perf_counter() - t1
+    total_sweeps = gather_steps * lapse
+    sps = total_sweeps * n_chains / elapsed if elapsed > 0 else float("nan")
+
+    cat = lambda name, ax=0: np.concatenate(
+        [getattr(o, name) for o in windows], axis=ax
+    )
+    p_traces = cat("pressure") + cfg.rho * cfg.temperature      # [G, C]
+    l1s = cat("l1")                                             # [G, C]
+    l2s = cat("l2").reshape(-1, n_chains, 7)
+    l3s = cat("l3").reshape(-1, n_chains, 7)
+    lca_passes = max(1, int(np.sum(l1s[:, 0] >= 0) // max(1, cfg.lca_time)))
+
+    if opts.collect_sweep_trace:
+        e_traces = (
+            np.concatenate([o.energy_trace.reshape(-1, n_chains) for o in windows])
+            + kinetic
+        )                                                        # [S, C]
+        a_traces = np.concatenate(
+            [o.accept_trace.reshape(-1, n_chains) for o in windows]
+        )
+    else:
+        e_traces = np.zeros((0, n_chains))
+        a_traces = np.zeros((0, n_chains), np.int32)
+
+    density = np.asarray(state.density).reshape(n_chains, cfg.ncx, cfg.ncx, cfg.ncz)
+    mobility = np.asarray(state.mobility).reshape(
+        n_chains, cfg.ncx, cfg.ncx, cfg.ncz
+    )
+
+    per_chain: list[SimResults] = []
+    for ci in range(n_chains):
+        if opts.collect_sweep_trace and e_traces.size:
+            e_full = np.concatenate([[e_begin[ci] + kinetic], e_traces[:, ci]])
+            me, ve = float(np.mean(e_full)), float(np.var(e_full))
+            acf = np.asarray(
+                autocorrelation(jnp.asarray(e_full), cfg.kmax, mode=acf_mode)
+            )
+            tau = float(np.sum(acf))
+            acc = float(np.mean(a_traces[:, ci])) / cfg.n
+        else:
+            e_full = np.zeros((0,))
+            me = float(state.energy[ci]) + kinetic
+            ve = float("nan")
+            acf = np.zeros((0,))
+            tau = float("nan")
+            acc = float(
+                (np.asarray(state.accepted)[ci] - accepted0[ci])
+                / (total_sweeps * cfg.n)
+            )
+        n_lca = max(1, int(np.sum(l1s[:, ci] > 0)))
+        per_chain.append(
+            SimResults(
+                mean_energy=me,
+                std_energy=float(np.sqrt(ve)),
+                mean_pressure=float(np.mean(p_traces[:, ci])),
+                std_pressure=float(np.std(p_traces[:, ci])),
+                acceptance_ratio=acc,
+                cv=ve / cfg.temperature ** 2,
+                tau=tau,
+                acf=acf,
+                r_final=np.asarray(state.r[ci]),
+                l1=float(np.sum(l1s[:, ci])) / n_lca,
+                l2=l2s[:, ci].sum(axis=0) / n_lca,
+                l3=l3s[:, ci].sum(axis=0) / n_lca,
+                energy_trace=e_traces[:, ci] if e_traces.size else np.zeros((0,)),
+                energy_trace_full=e_full,
+                accept_trace=a_traces[:, ci] if a_traces.size else np.zeros((0,)),
+                pressure_trace=p_traces[:, ci],
+                density=density[ci],
+                mobility=mobility[ci],
+                gr=None,
+                zprofile=None,
+                therm_acceptance=therm_acc,
+                sweeps_per_second=sps / n_chains,
+            )
+        )
+
+    chain_means = np.asarray([c.mean_energy for c in per_chain])
+    chain_ps = np.asarray([c.mean_pressure for c in per_chain])
+    gr = (
+        cat("gr").reshape(-1, n_chains, opts.gr_bins).mean(axis=(0, 1))
+        if opts.gr_bins
+        else None
+    )
+    zp = (
+        cat("zprof").reshape(-1, n_chains, opts.z_bins).mean(axis=(0, 1))
+        if opts.z_bins
+        else None
+    )
+
+    agg = EnsembleResults(
+        chains=per_chain,
+        mean_energy=float(np.mean(chain_means)),
+        std_energy=float(np.std(chain_means)),
+        mean_pressure=float(np.mean(chain_ps)),
+        std_pressure=float(np.std(chain_ps)),
+        acceptance_ratio=float(np.mean([c.acceptance_ratio for c in per_chain])),
+        gr=gr,
+        zprofile=zp,
+        therm_acceptance=therm_acc,
+        sweeps_per_second=sps,
+    )
+    return state, agg
