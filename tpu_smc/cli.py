@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a full-state checkpoint")
     p.add_argument("--acf-mode", choices=("reference", "circular", "unbiased"),
                    default="reference")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX backend (e.g. cpu, tpu); default auto")
+    p.add_argument("--x64", action="store_true",
+                   help="enable float64 (CPU parity runs)")
     return p
 
 
@@ -56,6 +60,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64 or args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     from . import io as smcio
     from .config import RunParams, SMCConfig

@@ -156,10 +156,13 @@ class SMCConfig:
              **kw) -> "SMCConfig":
         """Bulk LJ fluid, the SMC_noMPI_noWall.c variant.
 
-        That program hardcodes N=32, rho=0.1, T=0.4, full 3-D periodicity and
-        a cutoff of L/2 (SMC_noMPI_noWall.c:77-82, 516-519).
+        That program hardcodes N=32, rho=0.1, T=0.4, full 3-D periodicity,
+        a cutoff of L/2 and — unlike the wall program's A = gamma*T — a
+        fixed tiny mobility A = 4e-8 (SMC_noMPI_noWall.c:77-82, 192,
+        516-519). gamma defaults so that A matches at the given T.
         """
         l = (n / rho) ** (1.0 / 3.0)
+        kw.setdefault("gamma", 4e-8 / temperature)
         return cls(
             n=n, box_l=l, box_lz=l, temperature=temperature,
             use_walls=False, pbc_z=True, lj_cutoff=l / 2.0, **kw,

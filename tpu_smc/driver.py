@@ -41,7 +41,7 @@ from .observables import (
     trace_mean_var,
     z_density_profile,
 )
-from .potentials import total_energy, total_pressure
+from .potentials import total_energy, total_energy_jit, total_pressure
 from .sampler import run_sweeps
 from .state import ChainState
 
@@ -224,7 +224,7 @@ def simulate(
         # restarts its production trace from the PRE-thermalization E[0]
         # (SMC.c:48,116,194), leaving a constant offset on the whole trace —
         # fixed here (docs/DEVIATIONS.md).
-        state = state._replace(energy=total_energy(state.r, w, cfg))
+        state = state._replace(energy=total_energy_jit(state.r, w, cfg))
 
     # E[0] of the production trace: energy at production start (SMC.c:48).
     e_begin = float(state.energy)

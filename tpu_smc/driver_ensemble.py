@@ -28,7 +28,7 @@ from .observables import (
     radial_distribution,
     z_density_profile,
 )
-from .potentials import total_energy, total_pressure
+from .potentials import total_energy, total_energy_jit, total_pressure
 from .state import ChainState
 
 
@@ -174,7 +174,7 @@ def simulate_ensemble(
         state = jax.block_until_ready(state)
         therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
         state = state._replace(
-            energy=jax.vmap(lambda r: total_energy(r, w, cfg))(state.r)
+            energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
         )
 
     e_begin = np.asarray(state.energy)  # [C]

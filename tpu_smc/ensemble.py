@@ -111,6 +111,59 @@ def ensemble_block(
     return state, mean_e, acc
 
 
+def ensemble_sweeps_pallas(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    seed: int | jax.Array,
+    c_tile: int | None = None,
+) -> Tuple[ChainState, SweepStats]:
+    """n_sweeps sweeps for every chain through the Pallas whole-sweep
+    kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
+    the entire block. ~4x the XLA path at N=108 (measured on v5e).
+
+    The kernel uses the on-core PRNG (seeded from `seed`, per chain tile)
+    instead of the chains' threefry keys; the chain keys are still split
+    once per block so interleaving XLA and Pallas blocks stays valid.
+    Traces come back exactly like run_sweeps: per-sweep E and accept
+    counts, shape [n_sweeps, C].
+    """
+    from .kernels import sweep_pallas as sp
+
+    c = state.r.shape[0]
+    if c_tile is None:
+        # keep the working set (≈12 [N_pad, c_tile] f32 buffers) in VMEM
+        n_pad = ((cfg.n + 7) // 8) * 8
+        c_tile = 256 if n_pad * 256 * 4 * 12 < 12 * 2 ** 20 else 128
+        c_tile = min(c_tile, c)
+
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, c).astype(jnp.float32)
+
+    okey = jax.random.fold_in(state.key[0], 0x0FF5E7)
+    offsets = jax.random.randint(okey, (n_sweeps,), 0, cfg.n, dtype=jnp.int32)
+
+    x, y, z, e, e_trace, a_trace = sp.pallas_sweep_block(
+        x, y, z, e, wa, wb, offsets, jnp.asarray(seed, jnp.int32),
+        cfg, n_sweeps, float(a), c_tile=c_tile,
+    )
+
+    new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
+    new_state = state._replace(
+        r=sp.from_planes(x, y, z, cfg, dtype=cfg.jnp_dtype),
+        energy=e.reshape(c).astype(cfg.jnp_dtype),
+        key=new_keys,
+        sweeps=state.sweeps + n_sweeps,
+        accepted=state.accepted + jnp.sum(a_trace, axis=0, dtype=jnp.int32),
+    )
+    return new_state, SweepStats(
+        energy=e_trace.astype(cfg.jnp_dtype), accepted=a_trace
+    )
+
+
 # ----------------------------------------------------------------------
 # Particle-axis sharding (the "tensor/sequence parallel" analog, §5.7/§2)
 # ----------------------------------------------------------------------

@@ -77,8 +77,13 @@ class PositionsWriter:
 
     def append(self, r: np.ndarray) -> None:
         flat = np.asarray(r).reshape(-1)
-        with open(self.path, "a") as f:
-            f.write("".join(f"{v:0.3f}," for v in flat) + "\n")
+        from . import native
+
+        row = native.format_positions_row(flat)
+        if row is None:
+            row = ("".join(f"{v:0.3f}," for v in flat) + "\n").encode()
+        with open(self.path, "ab") as f:
+            f.write(row)
 
 
 class LocalWriter:
@@ -92,15 +97,24 @@ class LocalWriter:
 
     def append(self, density: np.ndarray, mobility: np.ndarray) -> None:
         cfg = self.cfg
-        dv = np.asarray(density).reshape(cfg.ncx, cfg.ncx, cfg.ncz)
-        mv = np.asarray(mobility).reshape(cfg.ncx, cfg.ncx, cfg.ncz)
-        lines = []
-        for i in range(cfg.ncx):
-            for j in range(cfg.ncx):
-                for k in range(cfg.ncz):
-                    lines.append(f"{i}, {j}, {k}, {dv[i, j, k]}, {mv[i, j, k]}\n")
-        with open(self.path, "a") as f:
-            f.writelines(lines)
+        from . import native
+
+        blob = native.format_local_rows(
+            np.asarray(density), np.asarray(mobility), cfg.ncx, cfg.ncz
+        )
+        if blob is None:
+            dv = np.asarray(density).reshape(cfg.ncx, cfg.ncx, cfg.ncz)
+            mv = np.asarray(mobility).reshape(cfg.ncx, cfg.ncx, cfg.ncz)
+            lines = []
+            for i in range(cfg.ncx):
+                for j in range(cfg.ncx):
+                    for k in range(cfg.ncz):
+                        lines.append(
+                            f"{i}, {j}, {k}, {dv[i, j, k]}, {mv[i, j, k]}\n"
+                        )
+            blob = "".join(lines).encode()
+        with open(self.path, "ab") as f:
+            f.write(blob)
 
 
 def write_data_csv(

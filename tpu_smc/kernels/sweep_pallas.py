@@ -1,0 +1,335 @@
+"""Pallas TPU kernel: whole Smart-MC sweep blocks with VMEM-resident state.
+
+Why: the XLA path (sampler.sweep under vmap+scan) streams every [C, N]
+intermediate through HBM — measured ~65 us per single-particle move at
+C=4096, HBM-bandwidth-bound. This kernel keeps the full ensemble state in
+VMEM for an entire block of sweeps: positions are loaded once, S*N moves
+run entirely on the VPU, and only per-sweep statistics plus the final
+state touch HBM.
+
+Layout (TPU-first):
+  * positions live as three planes X, Y, Z of shape [N_pad, C_tile]:
+    particles on SUBLANES (so the per-move row access X[i, :] is a cheap
+    sublane slice), chains on LANES (128-wide vector parallelism);
+  * the grid partitions the chain axis; each program owns C_TILE chains
+    end-to-end for the whole block — chains never talk to each other
+    (SURVEY §5.8: replicas are embarrassingly parallel);
+  * the per-sweep cyclic offsets are scalar-prefetched so every tile
+    visits particles in the same order (statistically equivalent to the
+    reference's per-process rand() offset, SMC.c:290);
+  * 3 Gaussians + 1 acceptance uniform per move come from the on-core
+    PRNG (pltpu.prng_random_bits) through the same Box-Muller transform
+    the reference uses (matematicose.c:183-193).
+
+Physics is identical to sampler.sweep / potentials.py (cites therein):
+LJ pair with x/y min-image, structured + uniform wall, Smart-MC
+acceptance exp(-(dU + delta.(Fn+Fm)/2 + dW)/T) per SMC.c:326-329.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SMCConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+TWO_PI = 2.0 * math.pi
+U24 = float(2.0 ** -24)
+
+
+def _uniforms(shape):
+    """Uniforms in (0, 1): 24 high bits of the PRNG, offset by 2^-25.
+
+    prng_random_bits yields SIGNED int32 on hardware — bitcast to uint32
+    before shifting or half the draws go negative."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic lacks uint32->f32; after >>8 the value fits int32, so bitcast.
+    hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return hi24.astype(jnp.float32) * U24 + float(2.0 ** -25)
+
+
+def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
+                 a: float):
+    n = cfg.n
+    t = float(cfg.temperature)
+    a = float(a)
+    sqrt2a = math.sqrt(2.0 * a)
+    cut2 = float(cfg.cutoff2)
+    box_l = float(cfg.box_l)
+    box_lz = float(cfg.box_lz)
+    contact = float(cfg.contact_dz)
+    a0 = float(cfg.a0)
+    b0 = float(cfg.b0)
+    mm = cfg.m * cfg.m
+    dw = box_l / cfg.m
+    site_xy = [((m // cfg.m) * dw, (m % cfg.m) * dw) for m in range(mm)]
+    use_walls = cfg.use_walls
+    pbc_z = cfg.pbc_z
+
+    def pair_terms(xi, yi, zi, x, y, z, i):
+        """U and F on a particle at (xi, yi, zi) vs all others.
+        xi.. are [1, C]; x.. are [N_pad, C]. Returns (u, fx, fy, fz) [1, C]."""
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, c_tile), 0)
+        dx = xi - x
+        dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
+        dy = yi - y
+        dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
+        dz = zi - z
+        if pbc_z:
+            dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
+        dr2 = dx * dx + dy * dy + dz * dz
+        mask = (dr2 < cut2) & (row_ids != i) & (row_ids < n)
+        safe = jnp.where(mask, dr2, 1.0)
+        inv2 = 1.0 / safe
+        inv6 = inv2 * inv2 * inv2
+        inv12 = inv6 * inv6
+        u = 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0), axis=0,
+                          keepdims=True)
+        dv = jnp.where(mask, (48.0 * inv12 - 24.0 * inv6) * inv2, 0.0)
+        fx = jnp.sum(dv * dx, axis=0, keepdims=True)
+        fy = jnp.sum(dv * dy, axis=0, keepdims=True)
+        fz = jnp.sum(dv * dz, axis=0, keepdims=True)
+        return u, fx, fy, fz
+
+    def wall_terms(xi, yi, zi, wa_vals, wb_vals):
+        """Uniform + grid wall energy/force at [1, C] positions
+        (semantics of SMC.c:729-813; see potentials.wall_energy_force_single).
+        wa_vals/wb_vals are per-site scalars hoisted out of the move loop."""
+        dz = zi + box_lz / 2.0
+        dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
+        dz = jnp.where(zi <= -box_lz / 2.0, contact,
+                       jnp.where(zi >= box_lz / 2.0, -contact, dz))
+        dz2 = dz * dz
+        iz2 = 1.0 / dz2
+        iz6 = iz2 * iz2 * iz2
+        iz12 = iz6 * iz6
+        u = a0 * iz12 - b0 * iz6
+        fz = (48.0 * a0 * iz12 - 24.0 * b0 * iz6) * iz2 * dz
+        fx = jnp.zeros_like(fz)
+        fy = jnp.zeros_like(fz)
+        for m in range(mm):
+            sx, sy = site_xy[m]
+            dxm = xi - sx
+            dxm = dxm - box_l * jnp.round(dxm * (1.0 / box_l))
+            dym = yi - sy
+            dym = dym - box_l * jnp.round(dym * (1.0 / box_l))
+            dr2 = dxm * dxm + dym * dym + dz2
+            msk = dr2 < cut2
+            safe = jnp.where(msk, dr2, 1.0)
+            inv2 = 1.0 / safe
+            inv6 = inv2 * inv2 * inv2
+            inv12 = inv6 * inv6
+            wa = wa_vals[m]
+            wb = wb_vals[m]
+            u = u + jnp.where(msk, wa * inv12 - wb * inv6, 0.0)
+            dv = jnp.where(msk, (48.0 * wa * inv12 - 24.0 * wb * inv6) * inv2,
+                           0.0)
+            fx = fx + dv * dxm
+            fy = fy + dv * dym
+            fz = fz + dv * dz
+        return 4.0 * u, fx, fy, fz
+
+    def kernel(offsets_ref, seed_ref,      # scalar prefetch
+               x_ref, y_ref, z_ref, e_ref, wa_ref, wb_ref,   # inputs
+               xo_ref, yo_ref, zo_ref, eo_ref, et_ref, at_ref):  # outputs
+        # Per-tile, per-block PRNG stream.
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+        # Wall coefficients are loop-invariant: read the scalars once.
+        wa_vals = [wa_ref[0, m] for m in range(mm)]
+        wb_vals = [wb_ref[0, m] for m in range(mm)]
+
+        xo_ref[:] = x_ref[:]
+        yo_ref[:] = y_ref[:]
+        zo_ref[:] = z_ref[:]
+
+        def one_sweep(s, e):
+            offset = offsets_ref[s]
+            acc_count = jnp.zeros((1, c_tile), jnp.float32)
+
+            def move(nn, carry):
+                e, acc_count = carry
+                i = (nn + offset) % n
+                xi = xo_ref[pl.ds(i, 1), :]
+                yi = yo_ref[pl.ds(i, 1), :]
+                zi = zo_ref[pl.ds(i, 1), :]
+                x = xo_ref[:]
+                y = yo_ref[:]
+                z = zo_ref[:]
+
+                um, fmx, fmy, fmz = pair_terms(xi, yi, zi, x, y, z, i)
+                if use_walls:
+                    uw, wx, wy, wz = wall_terms(xi, yi, zi, wa_vals, wb_vals)
+                    um += uw
+                    fmx += wx
+                    fmy += wy
+                    fmz += wz
+
+                # 3 Gaussians (Box-Muller, sigma = sqrt(2A)) + 1 uniform
+                u = _uniforms((8, c_tile))
+                r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * sqrt2a
+                g1 = r1 * jnp.cos(TWO_PI * u[1:2])
+                g2 = r1 * jnp.sin(TWO_PI * u[1:2])
+                g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * sqrt2a * \
+                    jnp.cos(TWO_PI * u[3:4])
+                u_acc = u[4:5]
+
+                ddx = fmx * (a / t) + g1
+                ddy = fmy * (a / t) + g2
+                ddz = fmz * (a / t) + g3
+                px = xi + ddx
+                px = px - box_l * jnp.round(px * (1.0 / box_l))
+                py = yi + ddy
+                py = py - box_l * jnp.round(py * (1.0 / box_l))
+                pz = zi + ddz
+                if pbc_z:
+                    pz = pz - box_lz * jnp.round(pz * (1.0 / box_lz))
+
+                un, fnx, fny, fnz = pair_terms(px, py, pz, x, y, z, i)
+                if use_walls:
+                    uw, wx, wy, wz = wall_terms(px, py, pz, wa_vals, wb_vals)
+                    un += uw
+                    fnx += wx
+                    fny += wy
+                    fnz += wz
+
+                dfx = fnx - fmx
+                dfy = fny - fmy
+                dfz = fnz - fmz
+                dw_term = (dfx * dfx + dfy * dfy + dfz * dfz
+                           + 2.0 * (dfx * fmx + dfy * fmy + dfz * fmz)) \
+                    * (a / (4.0 * t))
+                log_ap = -(un - um
+                           + 0.5 * (ddx * (fnx + fmx) + ddy * (fny + fmy)
+                                    + ddz * (fnz + fmz))
+                           + dw_term) / t
+                accept = (u_acc < jnp.exp(jnp.minimum(log_ap, 0.0))) \
+                    | (log_ap >= 0.0)
+
+                xo_ref[pl.ds(i, 1), :] = jnp.where(accept, px, xi)
+                yo_ref[pl.ds(i, 1), :] = jnp.where(accept, py, yi)
+                zo_ref[pl.ds(i, 1), :] = jnp.where(accept, pz, zi)
+                e = e + jnp.where(accept, un - um, 0.0)
+                acc_count = acc_count + accept.astype(jnp.float32)
+                return e, acc_count
+
+            e, acc_count = jax.lax.fori_loop(
+                0, n, move, (e, acc_count))
+            et_ref[pl.ds(s, 1), :] = e
+            at_ref[pl.ds(s, 1), :] = acc_count.astype(jnp.int32)
+            return e
+
+        e = jax.lax.fori_loop(0, n_sweeps, one_sweep, e_ref[:])
+        eo_ref[:] = e
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_sweeps", "a", "c_tile"),
+)
+def pallas_sweep_block(
+    x: jax.Array,          # [N_pad, C] f32
+    y: jax.Array,
+    z: jax.Array,
+    e: jax.Array,          # [1, C] f32 running energy
+    wa: jax.Array,         # [1, MM_pad] f32 wall a-coefficients
+    wb: jax.Array,
+    offsets: jax.Array,    # [n_sweeps] int32 cyclic offsets
+    seed: jax.Array,       # [] int32 PRNG seed for this block
+    cfg: SMCConfig,
+    n_sweeps: int,
+    a: float,
+    c_tile: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run `n_sweeps` full SMC sweeps for every chain.
+
+    Returns (x, y, z, e, energy_trace [S, C], accept_trace [S, C])."""
+    n_pad, c = x.shape
+    assert c % c_tile == 0, (c, c_tile)
+    grid = (c // c_tile,)
+    kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a)
+
+    chain_block = pl.BlockSpec(
+        (n_pad, c_tile), lambda g, *_: (0, g), memory_space=pltpu.VMEM
+    )
+    row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
+                             memory_space=pltpu.VMEM)
+    wall_block = pl.BlockSpec((1, wa.shape[1]), lambda g, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    trace_block = pl.BlockSpec((n_sweeps, c_tile), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[chain_block, chain_block, chain_block, row_block,
+                  wall_block, wall_block],
+        out_specs=[chain_block, chain_block, chain_block, row_block,
+                   trace_block, trace_block],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, c), jnp.int32),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(offsets.astype(jnp.int32), jnp.atleast_1d(seed).astype(jnp.int32),
+      x, y, z, e, wa, wb)
+
+
+# ----------------------------------------------------------------------
+# Layout adapters: ChainState [C, N, 3]  <->  planes [N_pad, C]
+# ----------------------------------------------------------------------
+
+def to_planes(r: jax.Array, cfg: SMCConfig) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """[C, N, 3] -> three [N_pad, C] float32 planes (pad rows park far
+    outside every cutoff so they never interact)."""
+    c, n, _ = r.shape
+    n_pad = _round_up(n, 8)
+    planes = jnp.transpose(r, (2, 1, 0)).astype(jnp.float32)  # [3, N, C]
+    pad = jnp.full((3, n_pad - n, c), 1e15, jnp.float32)
+    planes = jnp.concatenate([planes, pad], axis=1)
+    return planes[0], planes[1], planes[2]
+
+
+def from_planes(
+    x: jax.Array, y: jax.Array, z: jax.Array, cfg: SMCConfig, dtype=None
+) -> jax.Array:
+    """Three [N_pad, C] planes -> [C, N, 3]."""
+    n = cfg.n
+    stacked = jnp.stack([x[:n], y[:n], z[:n]], axis=0)  # [3, N, C]
+    out = jnp.transpose(stacked, (2, 1, 0))
+    return out.astype(dtype) if dtype is not None else out
+
+
+def wall_coeff_rows(w: jax.Array, cfg: SMCConfig) -> Tuple[jax.Array, jax.Array]:
+    """W [MM, 2] -> padded [1, MM_pad] rows (lane-aligned)."""
+    mm = cfg.m * cfg.m
+    mm_pad = _round_up(mm, 128)
+    wa = jnp.zeros((1, mm_pad), jnp.float32).at[0, :mm].set(
+        w[:, 0].astype(jnp.float32))
+    wb = jnp.zeros((1, mm_pad), jnp.float32).at[0, :mm].set(
+        w[:, 1].astype(jnp.float32))
+    return wa, wb

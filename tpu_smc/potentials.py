@@ -293,6 +293,12 @@ def total_energy(R: jnp.ndarray, W: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     return u
 
 
+# Jitted alias for EAGER call sites (state init, post-therm resync): the
+# unjitted version dispatches hundreds of tiny ops — 139 s at N=1024 over
+# the axon tunnel versus ~2 s compiled.
+total_energy_jit = jax.jit(total_energy, static_argnames="cfg")
+
+
 def total_pressure(
     R: jnp.ndarray, W: jnp.ndarray, cfg: SMCConfig
 ) -> jnp.ndarray:

@@ -45,7 +45,7 @@ def init_chain_state(
     bit-exact wall table. The initial energy is computed from scratch
     (E[0] = energy + wallsEnergy, SMC.c:48).
     """
-    from .potentials import total_energy
+    from .potentials import total_energy_jit
 
     dtype = cfg.jnp_dtype
     if r0 is None:
@@ -54,7 +54,7 @@ def init_chain_state(
         w, _, _ = build_walls(cfg)
     r = jnp.asarray(r0, dtype=dtype)
     w = jnp.asarray(w, dtype=dtype)
-    e0 = total_energy(r, w, cfg)
+    e0 = total_energy_jit(r, w, cfg)
     nvox = cfg.n_voxels
     state = ChainState(
         r=r,
