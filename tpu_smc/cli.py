@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a full-state checkpoint")
     p.add_argument("--acf-mode", choices=("reference", "circular", "unbiased"),
                    default="reference")
+    p.add_argument("--sampler", choices=("xla", "pallas", "auto"),
+                   default="auto",
+                   help="ensemble sweep engine (pallas needs TPU + float32 "
+                        "+ chains %% 128 == 0); single-chain runs use xla")
     p.add_argument("--platform", default=None,
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
@@ -202,9 +206,19 @@ def _run_ensemble(args, cfg, params, d, seed_state, w) -> int:
             pos_writers[ci].append(r[ci])
         print(f"\rWindow {widx + 1} done...", end="")
 
+    sampler = args.sampler
+    if sampler == "auto":
+        sampler = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and cfg.dtype == "float32"
+                and c % 128 == 0)
+            else "xla"
+        )
+    print(f"Ensemble sweep engine: {sampler}")
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,
+        sampler=sampler,
     )
     state, agg = simulate_ensemble(
         cfg, params, state, w, opts=opts, on_window=on_window,

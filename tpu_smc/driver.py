@@ -66,6 +66,10 @@ class ObservableOptions:
     gr_bins: int = 0          # 0 disables g(r)
     z_bins: int = 0           # 0 disables the z profile
     collect_sweep_trace: bool = True  # full-resolution E/jj traces
+    # Ensemble sweep engine: "xla" (sampler.sweep under vmap) or "pallas"
+    # (kernels/sweep_pallas whole-sweep kernel; TPU float32, chain count
+    # tiling by 128). Single-chain simulate() always uses "xla".
+    sampler: str = "xla"
 
 
 def _gather_step(

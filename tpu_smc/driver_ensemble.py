@@ -19,7 +19,7 @@ import numpy as np
 
 from .config import RunParams, SMCConfig
 from .driver import GatherOut, ObservableOptions, SimResults
-from .ensemble import ensemble_sweeps
+from .ensemble import ensemble_sweeps, ensemble_sweeps_pallas
 from .observables import (
     autocorrelation,
     cluster_analysis,
@@ -43,10 +43,16 @@ def _gather_step_batched(
     """Batched version of driver._gather_step: every observable vmapped
     over the chain axis. Trace shapes gain a trailing [C]."""
     dtype = cfg.jnp_dtype
-    state, trace = ensemble_sweeps(
-        state, w, cfg, cfg.proposal_a, gather_lapse,
-        collect_trace=opts.collect_sweep_trace,
-    )
+    if opts.sampler == "pallas":
+        state, trace = ensemble_sweeps_pallas(
+            state, w, cfg, cfg.proposal_a, gather_lapse,
+            seed=gather_index * jnp.int32(7919) + jnp.int32(13),
+        )
+    else:
+        state, trace = ensemble_sweeps(
+            state, w, cfg, cfg.proposal_a, gather_lapse,
+            collect_trace=opts.collect_sweep_trace,
+        )
 
     if cfg.recompute_every:
         state = jax.lax.cond(
@@ -166,11 +172,17 @@ def simulate_ensemble(
 
     therm_acc = 0.0
     if params.eqsteps:
-        state, _ = jax.jit(
-            lambda s: ensemble_sweeps(
-                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps, collect_trace=False
-            )
-        )(state)
+        if opts.sampler == "pallas":
+            therm = jax.jit(lambda s: ensemble_sweeps_pallas(
+                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps,
+                seed=jnp.int32(0x7E12),
+            )[0])
+        else:
+            therm = jax.jit(lambda s: ensemble_sweeps(
+                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps,
+                collect_trace=False,
+            )[0])
+        state = therm(state)
         state = jax.block_until_ready(state)
         therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
         state = state._replace(

@@ -3,17 +3,21 @@
 Why: the XLA path (sampler.sweep under vmap+scan) streams every [C, N]
 intermediate through HBM — measured ~65 us per single-particle move at
 C=4096, HBM-bandwidth-bound. This kernel keeps the full ensemble state in
-VMEM for an entire block of sweeps: positions are loaded once, S*N moves
-run entirely on the VPU, and only per-sweep statistics plus the final
-state touch HBM.
+VMEM for an entire block of sweeps: positions are DMA'd from HBM into
+VMEM scratch once per chain tile, S*N moves run entirely on the VPU, and
+only per-sweep statistics plus the final state touch HBM again.
 
 Layout (TPU-first):
-  * positions live as three planes X, Y, Z of shape [N_pad, C_tile]:
+  * positions live as three planes X, Y, Z of shape [N_pad, C]:
     particles on SUBLANES (so the per-move row access X[i, :] is a cheap
     sublane slice), chains on LANES (128-wide vector parallelism);
-  * the grid partitions the chain axis; each program owns C_TILE chains
-    end-to-end for the whole block — chains never talk to each other
-    (SURVEY §5.8: replicas are embarrassingly parallel);
+  * the planes stay in HBM (`ANY` memory space); each grid program DMAs
+    its [N_pad, C_TILE] column block into VMEM scratch, runs the whole
+    sweep block there, and DMAs the final state back — VMEM holds ONE
+    copy of the state (not pipelined in+out blocks), which is what lets
+    N=4096 fit (3 x 2 MB planes + j-blocked temporaries);
+  * the O(N) pair pass of each move is j-blocked over row blocks of
+    <=512 sublanes so temporaries stay ~1 MB regardless of N;
   * the per-sweep cyclic offsets are scalar-prefetched so every tile
     visits particles in the same order (statistically equivalent to the
     reference's per-process rand() offset, SMC.c:290);
@@ -47,15 +51,17 @@ def _round_up(x: int, m: int) -> int:
 
 TWO_PI = 2.0 * math.pi
 U24 = float(2.0 ** -24)
+ROW_BLOCK = 512  # j-block size for the pair pass (bounds VMEM temps)
 
 
 def _uniforms(shape):
     """Uniforms in (0, 1): 24 high bits of the PRNG, offset by 2^-25.
 
     prng_random_bits yields SIGNED int32 on hardware — bitcast to uint32
-    before shifting or half the draws go negative."""
+    before shifting or half the draws go negative; Mosaic lacks a
+    uint32->f32 cast, so bitcast back after the shift (value < 2^24).
+    """
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # Mosaic lacks uint32->f32; after >>8 the value fits int32, so bitcast.
     hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
     return hi24.astype(jnp.float32) * U24 + float(2.0 ** -25)
 
@@ -77,30 +83,44 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     site_xy = [((m // cfg.m) * dw, (m % cfg.m) * dw) for m in range(mm)]
     use_walls = cfg.use_walls
     pbc_z = cfg.pbc_z
+    row_block = min(n_pad, ROW_BLOCK)
+    n_blocks = n_pad // row_block if n_pad % row_block == 0 else \
+        n_pad // row_block + 1
 
-    def pair_terms(xi, yi, zi, x, y, z, i):
-        """U and F on a particle at (xi, yi, zi) vs all others.
-        xi.. are [1, C]; x.. are [N_pad, C]. Returns (u, fx, fy, fz) [1, C]."""
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, c_tile), 0)
-        dx = xi - x
-        dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
-        dy = yi - y
-        dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
-        dz = zi - z
-        if pbc_z:
-            dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
-        dr2 = dx * dx + dy * dy + dz * dz
-        mask = (dr2 < cut2) & (row_ids != i) & (row_ids < n)
-        safe = jnp.where(mask, dr2, 1.0)
-        inv2 = 1.0 / safe
-        inv6 = inv2 * inv2 * inv2
-        inv12 = inv6 * inv6
-        u = 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0), axis=0,
-                          keepdims=True)
-        dv = jnp.where(mask, (48.0 * inv12 - 24.0 * inv6) * inv2, 0.0)
-        fx = jnp.sum(dv * dx, axis=0, keepdims=True)
-        fy = jnp.sum(dv * dy, axis=0, keepdims=True)
-        fz = jnp.sum(dv * dz, axis=0, keepdims=True)
+    def pair_terms(xi, yi, zi, xs, ys, zs, i):
+        """U and F on a particle at (xi, yi, zi) [1, C] vs all rows of the
+        VMEM planes, j-blocked. Returns (u, fx, fy, fz) [1, C]."""
+        u = jnp.zeros((1, c_tile), jnp.float32)
+        fx = jnp.zeros((1, c_tile), jnp.float32)
+        fy = jnp.zeros((1, c_tile), jnp.float32)
+        fz = jnp.zeros((1, c_tile), jnp.float32)
+        for b in range(n_blocks):
+            j0 = b * row_block
+            rb = min(row_block, n_pad - j0)
+            x = xs[j0:j0 + rb, :]
+            y = ys[j0:j0 + rb, :]
+            z = zs[j0:j0 + rb, :]
+            row_ids = j0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rb, c_tile), 0)
+            dx = xi - x
+            dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
+            dy = yi - y
+            dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
+            dz = zi - z
+            if pbc_z:
+                dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
+            dr2 = dx * dx + dy * dy + dz * dz
+            mask = (dr2 < cut2) & (row_ids != i) & (row_ids < n)
+            safe = jnp.where(mask, dr2, 1.0)
+            inv2 = 1.0 / safe
+            inv6 = inv2 * inv2 * inv2
+            inv12 = inv6 * inv6
+            u = u + 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0),
+                                  axis=0, keepdims=True)
+            dv = jnp.where(mask, (48.0 * inv12 - 24.0 * inv6) * inv2, 0.0)
+            fx = fx + jnp.sum(dv * dx, axis=0, keepdims=True)
+            fy = fy + jnp.sum(dv * dy, axis=0, keepdims=True)
+            fz = fz + jnp.sum(dv * dz, axis=0, keepdims=True)
         return u, fx, fy, fz
 
     def wall_terms(xi, yi, zi, wa_vals, wb_vals):
@@ -141,19 +161,30 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             fz = fz + dv * dz
         return 4.0 * u, fx, fy, fz
 
-    def kernel(offsets_ref, seed_ref,      # scalar prefetch
-               x_ref, y_ref, z_ref, e_ref, wa_ref, wb_ref,   # inputs
-               xo_ref, yo_ref, zo_ref, eo_ref, et_ref, at_ref):  # outputs
+    def kernel(offsets_ref, seed_ref,                       # scalar prefetch
+               x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref,  # inputs
+               xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref,  # outputs
+               xs, ys, zs, sems):                           # scratch
+        g = pl.program_id(0)
+        col = pl.ds(g * c_tile, c_tile)
+
+        # Stream this tile's chain columns HBM -> VMEM once.
+        cps = [
+            pltpu.make_async_copy(x_hbm.at[:, col], xs, sems.at[0]),
+            pltpu.make_async_copy(y_hbm.at[:, col], ys, sems.at[1]),
+            pltpu.make_async_copy(z_hbm.at[:, col], zs, sems.at[2]),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
         # Per-tile, per-block PRNG stream.
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], g)
 
         # Wall coefficients are loop-invariant: read the scalars once.
         wa_vals = [wa_ref[0, m] for m in range(mm)]
         wb_vals = [wb_ref[0, m] for m in range(mm)]
-
-        xo_ref[:] = x_ref[:]
-        yo_ref[:] = y_ref[:]
-        zo_ref[:] = z_ref[:]
 
         def one_sweep(s, e):
             offset = offsets_ref[s]
@@ -162,14 +193,11 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             def move(nn, carry):
                 e, acc_count = carry
                 i = (nn + offset) % n
-                xi = xo_ref[pl.ds(i, 1), :]
-                yi = yo_ref[pl.ds(i, 1), :]
-                zi = zo_ref[pl.ds(i, 1), :]
-                x = xo_ref[:]
-                y = yo_ref[:]
-                z = zo_ref[:]
+                xi = xs[pl.ds(i, 1), :]
+                yi = ys[pl.ds(i, 1), :]
+                zi = zs[pl.ds(i, 1), :]
 
-                um, fmx, fmy, fmz = pair_terms(xi, yi, zi, x, y, z, i)
+                um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs, i)
                 if use_walls:
                     uw, wx, wy, wz = wall_terms(xi, yi, zi, wa_vals, wb_vals)
                     um += uw
@@ -197,7 +225,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 if pbc_z:
                     pz = pz - box_lz * jnp.round(pz * (1.0 / box_lz))
 
-                un, fnx, fny, fnz = pair_terms(px, py, pz, x, y, z, i)
+                un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs, i)
                 if use_walls:
                     uw, wx, wy, wz = wall_terms(px, py, pz, wa_vals, wb_vals)
                     un += uw
@@ -218,9 +246,9 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 accept = (u_acc < jnp.exp(jnp.minimum(log_ap, 0.0))) \
                     | (log_ap >= 0.0)
 
-                xo_ref[pl.ds(i, 1), :] = jnp.where(accept, px, xi)
-                yo_ref[pl.ds(i, 1), :] = jnp.where(accept, py, yi)
-                zo_ref[pl.ds(i, 1), :] = jnp.where(accept, pz, zi)
+                xs[pl.ds(i, 1), :] = jnp.where(accept, px, xi)
+                ys[pl.ds(i, 1), :] = jnp.where(accept, py, yi)
+                zs[pl.ds(i, 1), :] = jnp.where(accept, pz, zi)
                 e = e + jnp.where(accept, un - um, 0.0)
                 acc_count = acc_count + accept.astype(jnp.float32)
                 return e, acc_count
@@ -233,6 +261,17 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
 
         e = jax.lax.fori_loop(0, n_sweeps, one_sweep, e_ref[:])
         eo_ref[:] = e
+
+        # Final state VMEM -> HBM.
+        cps = [
+            pltpu.make_async_copy(xs, xo_hbm.at[:, col], sems.at[0]),
+            pltpu.make_async_copy(ys, yo_hbm.at[:, col], sems.at[1]),
+            pltpu.make_async_copy(zs, zo_hbm.at[:, col], sems.at[2]),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
     return kernel
 
@@ -263,9 +302,7 @@ def pallas_sweep_block(
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a)
 
-    chain_block = pl.BlockSpec(
-        (n_pad, c_tile), lambda g, *_: (0, g), memory_space=pltpu.VMEM
-    )
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
                              memory_space=pltpu.VMEM)
     wall_block = pl.BlockSpec((1, wa.shape[1]), lambda g, *_: (0, 0),
@@ -276,10 +313,14 @@ def pallas_sweep_block(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[chain_block, chain_block, chain_block, row_block,
-                  wall_block, wall_block],
-        out_specs=[chain_block, chain_block, chain_block, row_block,
-                   trace_block, trace_block],
+        in_specs=[hbm, hbm, hbm, row_block, wall_block, wall_block],
+        out_specs=[hbm, hbm, hbm, row_block, trace_block, trace_block],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, c_tile), jnp.float32),
+            pltpu.VMEM((n_pad, c_tile), jnp.float32),
+            pltpu.VMEM((n_pad, c_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
     )
 
     out_shape = [
