@@ -1,0 +1,82 @@
+"""Auxiliary runtime subsystems: profiling, guards, graceful stop."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_smc.config import RunParams, SMCConfig
+from tpu_smc.driver import ObservableOptions, simulate
+from tpu_smc.guards import HealthError, check_state, state_health_jit
+from tpu_smc.profiling import PhaseTimer, ThroughputMeter, estimate_completion
+from tpu_smc.state import init_chain_state
+
+CFG = SMCConfig(dtype="float64", storage_time=2)
+
+
+def test_phase_timer_report():
+    t = PhaseTimer()
+    with t.phase("thermalization"):
+        time.sleep(0.01)
+    with t.phase("production"):
+        time.sleep(0.01)
+    rep = t.report(sweeps={"production": 1000})
+    assert "thermalization" in rep and "per million" in rep
+    assert t.seconds("production") > 0
+
+
+def test_throughput_meter():
+    m = ThroughputMeter()
+    m.add(100, chains=8)
+    assert m.chain_sweeps == 800
+    assert m.sweeps_per_second > 0
+
+
+def test_estimate_completion_matches_reference_formula():
+    # SMC.c:131: 1.03 * sim_time * maxsteps / eqsteps / 60
+    assert estimate_completion(60.0, 1000, 10000) == pytest.approx(
+        1.03 * 60.0 * 10 / 60
+    )
+
+
+def test_health_clean_state():
+    state, w = init_chain_state(CFG, jax.random.key(0))
+    h = check_state(state, w, CFG)
+    assert bool(np.asarray(h.finite))
+    assert int(np.asarray(h.escaped_xy)) == 0
+    assert float(np.asarray(h.energy_drift)) < 1e-9
+
+
+def test_health_detects_nan_and_escape():
+    state, w = init_chain_state(CFG, jax.random.key(1))
+    bad = state._replace(r=state.r.at[0, 0].set(jnp.nan))
+    with pytest.raises(HealthError):
+        check_state(bad, w, CFG)
+    esc = state._replace(r=state.r.at[1, 0].set(CFG.box_l))
+    with pytest.raises(HealthError, match="Valhalla"):
+        check_state(esc, w, CFG)
+
+
+def test_health_detects_energy_drift():
+    state, w = init_chain_state(CFG, jax.random.key(2))
+    drifted = state._replace(energy=state.energy + 5.0)
+    with pytest.raises(HealthError, match="drift"):
+        check_state(drifted, w, CFG)
+
+
+def test_on_window_stop_truncates_run():
+    params = RunParams(eqsteps=5, maxsteps=40, numdata=8)  # 4 windows of 2
+    state, w = init_chain_state(CFG, jax.random.key(3))
+    calls = []
+
+    def on_window(widx, st, out):
+        calls.append(widx)
+        return "stop" if widx == 1 else None
+
+    state, res = simulate(CFG, params, state, w, on_window=on_window,
+                          opts=ObservableOptions(clusters=False))
+    assert calls == [0, 1]
+    # traces cover only the completed windows (2 windows x 2 gathers x 5 sweeps)
+    assert res.energy_trace.shape[0] == 2 * 2 * params.gather_lapse

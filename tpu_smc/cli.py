@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a full-state checkpoint")
     p.add_argument("--acf-mode", choices=("reference", "circular", "unbiased"),
                    default="reference")
+    p.add_argument("--auto-checkpoint", type=int, default=0, metavar="W",
+                   help="write the full-state checkpoint every W storage "
+                        "windows (failure recovery); also written on "
+                        "SIGINT/SIGTERM before a clean stop")
+    p.add_argument("--health-checks", action="store_true",
+                   help="per-window device health pass (finite positions, "
+                        "bounds, energy drift); warns like boundsCheck")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace here")
     p.add_argument("--sampler", choices=("xla", "pallas", "auto"),
                    default="auto",
                    help="ensemble sweep engine (pallas needs TPU + float32 "
@@ -125,6 +134,7 @@ def main(argv=None) -> int:
     temp_writer = smcio.LocalWriter(d, cfg, "local_temp")
     snap = {"d": np.zeros(cfg.n_voxels, np.uint64),
             "mu": np.zeros(cfg.n_voxels, np.uint64)}
+    stopper = _install_signal_stop()
 
     def on_window(widx, st, out):
         pos_writer.append(np.asarray(st.r))
@@ -135,6 +145,7 @@ def main(argv=None) -> int:
         done = (widx + 1) * min(cfg.storage_time, params.gather_steps)
         print(f"\rStoring the latest density distribution at "
               f"~{done * params.gather_lapse} steps... ", end="")
+        return _window_maintenance(args, cfg, widx, st, stopper, w)
 
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
@@ -166,6 +177,46 @@ def main(argv=None) -> int:
         print(f"Full chain state checkpointed to {args.checkpoint}")
 
     return 0
+
+
+def _install_signal_stop():
+    """SIGINT/SIGTERM set a flag; the driver stops cleanly at the next
+    window boundary with a final checkpoint (elastic-recovery story —
+    the reference has none, SURVEY §5.3)."""
+    import signal
+
+    flag = {"stop": False}
+
+    def handler(signum, frame):
+        print(f"\n[signal {signum}] finishing current window, "
+              "checkpointing, and stopping...", flush=True)
+        flag["stop"] = True
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):
+            pass  # non-main thread / restricted env
+    return flag
+
+
+def _window_maintenance(args, cfg, widx, st, stopper, w=None):
+    """Auto-checkpoint, health checks, graceful stop. Returns "stop" to
+    end the run at this window boundary."""
+    from . import io as smcio
+
+    ck = getattr(args, "checkpoint", None) or "autosave.npz"
+    if args.auto_checkpoint and (widx + 1) % args.auto_checkpoint == 0:
+        smcio.save_checkpoint(ck, st, cfg)
+    if getattr(args, "health_checks", False) and w is not None:
+        from .guards import check_state
+
+        check_state(st, w, cfg, strict=False)
+    if stopper["stop"]:
+        smcio.save_checkpoint(ck, st, cfg)
+        print(f"Checkpoint written to {ck}")
+        return "stop"
+    return None
 
 
 def _run_ensemble(args, cfg, params, d, seed_state, w) -> int:
@@ -200,11 +251,14 @@ def _run_ensemble(args, cfg, params, d, seed_state, w) -> int:
     for ci in range(c):
         pos_writers[ci].append(np.asarray(state.r[ci]))
 
+    stopper = _install_signal_stop()
+
     def on_window(widx, st, out):
         r = np.asarray(st.r)
         for ci in range(c):
             pos_writers[ci].append(r[ci])
         print(f"\rWindow {widx + 1} done...", end="")
+        return _window_maintenance(args, cfg, widx, st, stopper, w)
 
     sampler = args.sampler
     if sampler == "auto":

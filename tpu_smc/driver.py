@@ -246,10 +246,15 @@ def simulate(
         )
         state = jax.block_until_ready(state)
         if on_window is not None:
-            on_window(widx, state, jax.tree.map(np.asarray, out))
+            verdict = on_window(widx, state, jax.tree.map(np.asarray, out))
+        else:
+            verdict = None
         windows.append(jax.tree.map(np.asarray, out))
         done += g
         widx += 1
+        if verdict == "stop":  # graceful early stop (signal/failure hook)
+            gather_steps = done
+            break
     elapsed = time.perf_counter() - t1
     total_sweeps = gather_steps * lapse
     sps = total_sweeps / elapsed if elapsed > 0 else float("nan")
@@ -273,7 +278,7 @@ def simulate(
         e_full = np.concatenate([[e_begin + kinetic], e_trace])
         me, ve = float(np.mean(e_full)), float(np.var(e_full))
         acf = np.asarray(
-            autocorrelation(jnp.asarray(e_full), cfg.kmax, mode=acf_mode)
+            autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
         )
         tau = float(np.sum(acf))
         acceptance = float(np.mean(a_trace)) / cfg.n

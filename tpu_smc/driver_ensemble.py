@@ -203,11 +203,13 @@ def simulate_ensemble(
         )
         state = jax.block_until_ready(state)
         out = jax.tree.map(np.asarray, out)
-        if on_window is not None:
-            on_window(widx, state, out)
+        verdict = on_window(widx, state, out) if on_window is not None else None
         windows.append(out)
         done += g
         widx += 1
+        if verdict == "stop":  # graceful early stop (signal/failure hook)
+            gather_steps = done
+            break
     elapsed = _time.perf_counter() - t1
     total_sweeps = gather_steps * lapse
     sps = total_sweeps * n_chains / elapsed if elapsed > 0 else float("nan")
@@ -244,7 +246,7 @@ def simulate_ensemble(
             e_full = np.concatenate([[e_begin[ci] + kinetic], e_traces[:, ci]])
             me, ve = float(np.mean(e_full)), float(np.var(e_full))
             acf = np.asarray(
-                autocorrelation(jnp.asarray(e_full), cfg.kmax, mode=acf_mode)
+                autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
             )
             tau = float(np.sum(acf))
             acc = float(np.mean(a_traces[:, ci])) / cfg.n

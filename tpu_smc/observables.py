@@ -207,26 +207,31 @@ def autocorrelation(
     mode="circular" is the standard Wiener-Khinchin circular ACF;
     mode="unbiased" zero-pads to kill wrap-around and divides by (n-k).
     """
+    # Array-module polymorphic: numpy input -> host FFT. On TPU, XLA
+    # lowers awkward-length FFTs (e.g. the maxsteps+1 = 1e5+1 energy
+    # trace) to a dense DFT matmul — 40 GB at 1e5 points — so the
+    # drivers' post-processing always passes numpy.
+    xp = jnp if isinstance(trace, jax.Array) else np
     n = trace.shape[0]
     if n < 2 * k_max + 1:
         # fft_acf clamps k_max to len/2 - 2 (SMC.c:1058-1061)
         k_max = int(np.rint(n / 2)) - 2
-    z = trace - jnp.mean(trace)
+    z = trace - xp.mean(trace)
     if mode == "reference":
         lfft = n // 2 + n % 2
-        f = jnp.fft.rfft(z)
-        psd = (f * jnp.conj(f))[:lfft]
-        ch = jnp.fft.ifft(psd)
-        return jnp.real(ch[:k_max]) / jnp.real(ch[0])
+        f = xp.fft.rfft(z)
+        psd = (f * xp.conj(f))[:lfft]
+        ch = xp.fft.ifft(psd)
+        return xp.real(ch[:k_max]) / xp.real(ch[0])
     if mode == "circular":
-        f = jnp.fft.rfft(z)
-        ch = jnp.fft.irfft(f * jnp.conj(f), n=n)
+        f = xp.fft.rfft(z)
+        ch = xp.fft.irfft(f * xp.conj(f), n=n)
         return ch[:k_max] / ch[0]
     if mode == "unbiased":
-        m = 2 * n  # next pow2 not required; XLA's FFT handles any length
-        f = jnp.fft.rfft(z, n=m)
-        ch = jnp.fft.irfft(f * jnp.conj(f), n=m)[:k_max]
-        counts = n - jnp.arange(k_max)
+        m = 2 * n
+        f = xp.fft.rfft(z, n=m)
+        ch = xp.fft.irfft(f * xp.conj(f), n=m)[:k_max]
+        counts = n - xp.arange(k_max)
         ch = ch / counts
         return ch / ch[0]
     raise ValueError(f"unknown acf mode {mode}")
