@@ -103,3 +103,20 @@ def test_kernel_deterministic_given_seed():
                                      c_tile=128)
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_pallas_sweep_on_virtual_mesh():
+    """Whole-sweep kernel under shard_map across the 8 virtual devices
+    (interpret mode on CPU)."""
+    from tpu_smc import ensemble as ens
+
+    mesh = ens.make_mesh(8, axis_names=("chains",))
+    state, w = init_ensemble_state(CFG, jax.random.key(2), 8 * 128)
+    state = ens.shard_ensemble(state, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        st2, tr = ens.ensemble_sweeps_pallas_sharded(
+            state, w, CFG, CFG.proposal_a, 1, seed=3, mesh=mesh, c_tile=128
+        )
+    assert bool(np.all(np.isfinite(np.asarray(st2.energy))))
+    assert np.asarray(tr.accepted).shape == (1, 1024)
+    assert int(np.asarray(st2.sweeps)[0]) == 1

@@ -224,6 +224,23 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # temporal overlay: x-y positions across snapshots, early->late
+    # colour ramp (plotting.jl:39-56)
+    if run.positions.shape[0] > 1:
+        fig, ax = plt.subplots(figsize=(5, 5))
+        snaps = run.positions
+        for si in range(snaps.shape[0]):
+            cval = si / max(1, snaps.shape[0] - 1)
+            ax.scatter(snaps[si, :, 0], snaps[si, :, 1], s=4,
+                       color=plt.cm.viridis(cval), alpha=0.5)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_title(f"temporal overlay {run.key}")
+        p = out / f"overlay_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     # 3-D scatter of the last configuration with wall planes
     # (plotting.jl:17-37)
     if run.positions.size:
@@ -245,6 +262,39 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     return written
 
 
+def render_animation(run: RunData, out_dir: str | Path,
+                     fps: int = 6) -> Optional[Path]:
+    """Animate the stored position snapshots (x-z plane, the wall-normal
+    view) — the capability analog of plotting.jl's Makie volume animation
+    (:273-331). Saves a GIF; returns None without matplotlib or with < 2
+    snapshots."""
+    if not HAVE_MPL or run.positions.shape[0] < 2:
+        return None
+    from matplotlib import animation
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    snaps = run.positions
+    fig, ax = plt.subplots(figsize=(5, 6))
+    scat = ax.scatter(snaps[0, :, 0], snaps[0, :, 2], s=8)
+    ax.set_xlim(snaps[..., 0].min() - 1, snaps[..., 0].max() + 1)
+    ax.set_ylim(snaps[..., 2].min() - 1, snaps[..., 2].max() + 1)
+    ax.set_xlabel("x")
+    ax.set_ylabel("z (wall-normal)")
+    title = ax.set_title("")
+
+    def update(fi):
+        scat.set_offsets(np.stack([snaps[fi, :, 0], snaps[fi, :, 2]], -1))
+        title.set_text(f"snapshot {fi + 1}/{snaps.shape[0]} {run.key}")
+        return scat, title
+
+    anim = animation.FuncAnimation(fig, update, frames=snaps.shape[0])
+    p = out / f"trajectory_{run.key}.gif"
+    anim.save(p, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return p
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_smc.analysis")
     ap.add_argument("run_dir")
@@ -252,10 +302,16 @@ def main(argv=None) -> int:
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--box", type=float, nargs=2, default=None,
                     metavar=("L", "LZ"))
+    ap.add_argument("--animate", action="store_true",
+                    help="also render a trajectory GIF")
     args = ap.parse_args(argv)
     run = load_run(args.run_dir, rank=args.rank)
     out = args.out or (Path(args.run_dir) / "plots")
     written = render_all(run, out, box=args.box)
+    if args.animate:
+        gif = render_animation(run, out)
+        if gif is not None:
+            written.append(gif)
     for p in written:
         print(p)
     return 0

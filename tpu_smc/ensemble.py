@@ -164,6 +164,48 @@ def ensemble_sweeps_pallas(
     )
 
 
+def ensemble_sweeps_pallas_sharded(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    seed: int,
+    mesh: Mesh,
+    axis: str = "chains",
+    c_tile: int | None = None,
+) -> Tuple[ChainState, SweepStats]:
+    """Multi-chip Pallas path: the whole-sweep kernel under shard_map.
+
+    Each device runs the kernel on its local chain shard (zero cross-chip
+    traffic, faithful to the replica model); per-device PRNG streams are
+    decorrelated by folding the device index into the seed."""
+    nd = mesh.shape[axis]
+    c = state.r.shape[0]
+    assert c % nd == 0, f"chains {c} must divide over {nd} devices"
+
+    def local(st):
+        st = jax.tree.map(lambda x: x, st)
+        dev = jax.lax.axis_index(axis)
+        local_seed = jnp.int32(seed) + dev * jnp.int32(0x9E3779)
+        return ensemble_sweeps_pallas(
+            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile
+        )
+
+    specs = ChainState(
+        r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
+        accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
+    )
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, SweepStats(energy=P(None, axis),
+                                     accepted=P(None, axis))),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    return fn(state)
+
+
 # ----------------------------------------------------------------------
 # Particle-axis sharding (the "tensor/sequence parallel" analog, §5.7/§2)
 # ----------------------------------------------------------------------
@@ -211,6 +253,33 @@ def particle_sharded_energy(
         out_specs=P(),
     )
     return fn(r)
+
+
+# ----------------------------------------------------------------------
+# Multi-host initialization (pod-scale runs)
+# ----------------------------------------------------------------------
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize jax.distributed for multi-host pods and return the local
+    process index. On single-host (or already-initialized) setups this is
+    a no-op returning 0.
+
+    Usage mirrors the reference's mpirun model — one process per host,
+    zero inter-chain traffic — except the mesh then spans all hosts and
+    observable reductions ride ICI/DCN collectives instead of the
+    filesystem (SURVEY §5.8).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # single host or already initialized
+    return jax.process_index()
 
 
 # ----------------------------------------------------------------------
