@@ -57,6 +57,7 @@ def main() -> int:
     ap.add_argument("--temperature", type=float, default=1.1)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--sampler", choices=("xla", "pallas"), default="xla")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +91,7 @@ def main() -> int:
     c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
 
     print(f"[jax] running {args.chains} chains of {args.sweeps} sweeps "
-          f"({args.dtype}) ...", flush=True)
+          f"({args.dtype}, {args.sampler} sampler) ...", flush=True)
     cfg = SMCConfig(dtype=args.dtype, temperature=t)
     params = RunParams(args.eqsteps, args.sweeps, args.numdata)
     state, w = init_ensemble_state(cfg, jax.random.key(int(time.time())),
@@ -98,7 +99,8 @@ def main() -> int:
     state, agg = simulate_ensemble(
         cfg, params, state, w,
         opts=ObservableOptions(pressure=False, clusters=False,
-                               collect_sweep_trace=True),
+                               collect_sweep_trace=True,
+                               sampler=args.sampler),
     )
     j_e = agg.mean_energy
     j_e_err = agg.std_energy / max(1, args.chains - 1) ** 0.5

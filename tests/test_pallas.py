@@ -120,3 +120,24 @@ def test_sharded_pallas_sweep_on_virtual_mesh():
     assert bool(np.all(np.isfinite(np.asarray(st2.energy))))
     assert np.asarray(tr.accepted).shape == (1, 1024)
     assert int(np.asarray(st2.sweeps)[0]) == 1
+
+
+def test_ensemble_driver_with_pallas_sampler():
+    """simulate_ensemble end-to-end with the pallas engine (interpret)."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32",
+                    storage_time=2)
+    state, w = _dense_state(128)
+    params = RunParams(eqsteps=1, maxsteps=4, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        state, agg = simulate_ensemble(
+            cfg, params, state, w,
+            opts=ObservableOptions(pressure=False, clusters=False,
+                                   sampler="pallas"),
+        )
+    assert np.isfinite(agg.mean_energy)
+    assert 0.0 <= agg.acceptance_ratio <= 1.0
+    assert agg.chains[0].energy_trace.shape[0] == 4
