@@ -36,12 +36,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_c(exe, eqsteps, maxsteps, numdata, t):
-    with tempfile.TemporaryDirectory() as td:
-        out = subprocess.run(
-            [str(exe), str(eqsteps), str(maxsteps), str(numdata), f"{t:.2f}"],
-            cwd=td, check=True, capture_output=True, text=True,
-        ).stdout
+def run_c(exe, eqsteps, maxsteps, numdata, t, cwd):
+    out = subprocess.run(
+        [str(exe), str(eqsteps), str(maxsteps), str(numdata), f"{t:.2f}"],
+        cwd=cwd, check=True, capture_output=True, text=True,
+    ).stdout
     e = float(re.search(r"Mean energy: ([-\d.]+)", out).group(1))
     acc = float(re.search(r"Average acceptance ratio: ([\d.]+)", out).group(1))
     return e, acc
@@ -76,16 +75,25 @@ def main() -> int:
 
     t = args.temperature
 
-    print(f"[C] building reference, running {args.c_reps} chains of "
-          f"{args.sweeps} sweeps ...", flush=True)
+    # C protocol: the reference's production energy trace restarts from
+    # the PRE-thermalization E[0] (SMC.c:48,116,194 — deviation F1 in
+    # docs/DEVIATIONS.md), biasing its reported mean by
+    # (E_lattice - E_postTherm) ~ +4 on this system. To measure the C
+    # code's true equilibrium we (1) run once to equilibrate and write
+    # last_state, then (2) take measurement runs warm-started from it with
+    # eqsteps=0 — the offset is then exactly zero.
+    print(f"[C] building reference; equilibration run + {args.c_reps} "
+          f"warm measurement runs of {args.sweeps} sweeps ...", flush=True)
     exe = build_reference_main(108)
     c_es, c_accs = [], []
-    for rep in range(args.c_reps):
-        e, acc = run_c(exe, args.eqsteps, args.sweeps, args.numdata, t)
-        print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
-        c_es.append(e)
-        c_accs.append(acc)
-        time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
+    with tempfile.TemporaryDirectory() as td:
+        run_c(exe, args.eqsteps, max(20000, args.eqsteps), 100, t, td)
+        for rep in range(args.c_reps):
+            e, acc = run_c(exe, 0, args.sweeps, args.numdata, t, td)
+            print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
+            c_es.append(e)
+            c_accs.append(acc)
+            time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
     c_e = float(np.mean(c_es))
     c_acc = float(np.mean(c_accs))
     c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)

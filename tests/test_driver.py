@@ -1,0 +1,61 @@
+"""Driver-level invariants."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_smc.config import RunParams, SMCConfig
+from tpu_smc.driver import ObservableOptions, simulate
+from tpu_smc.driver_ensemble import simulate_ensemble
+from tpu_smc.state import init_chain_state, init_ensemble_state
+
+
+def test_window_split_invariance():
+    """The storage-window partitioning is an I/O cadence, not part of the
+    chain: different storage_time values must give IDENTICAL trajectories
+    and traces for the same seed."""
+    params = RunParams(eqsteps=10, maxsteps=60, numdata=12)
+    results = []
+    for st in (3, 12):
+        cfg = SMCConfig(dtype="float64", storage_time=st)
+        state, w = init_chain_state(cfg, jax.random.key(7))
+        state, res = simulate(cfg, params, state, w,
+                              opts=ObservableOptions(clusters=False))
+        results.append((np.asarray(state.r), res))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(
+        results[0][1].energy_trace, results[1][1].energy_trace
+    )
+    np.testing.assert_array_equal(
+        results[0][1].accept_trace, results[1][1].accept_trace
+    )
+
+
+def test_single_chain_matches_ensemble_of_one_statistics():
+    """A 1-chain ensemble and the single-chain driver sample the same
+    distribution (different RNG plumbing, so statistical agreement)."""
+    params = RunParams(eqsteps=300, maxsteps=900, numdata=90)
+    cfg = SMCConfig(dtype="float64")
+    s1, w = init_chain_state(cfg, jax.random.key(1))
+    _, r1 = simulate(cfg, params, s1, w,
+                     opts=ObservableOptions(clusters=False, pressure=False))
+    se, w2 = init_ensemble_state(cfg, jax.random.key(2), 4)
+    _, r2 = simulate_ensemble(cfg, params, se, w2,
+                              opts=ObservableOptions(clusters=False,
+                                                     pressure=False))
+    assert abs(r1.mean_energy - r2.mean_energy) < 4.0
+    assert abs(r1.acceptance_ratio - r2.acceptance_ratio) < 0.02
+
+
+def test_gather_cadence_counts():
+    """gather_steps rows of observables; maxsteps sweeps of traces."""
+    cfg = SMCConfig(dtype="float64", storage_time=4)
+    params = RunParams(eqsteps=5, maxsteps=91, numdata=13)  # lapse=7, 13 gathers
+    state, w = init_chain_state(cfg, jax.random.key(3))
+    state, res = simulate(cfg, params, state, w,
+                          opts=ObservableOptions(clusters=False))
+    assert res.pressure_trace.shape[0] == params.gather_steps
+    assert res.energy_trace.shape[0] == params.gather_steps * params.gather_lapse
+    assert res.energy_trace_full.shape[0] == res.energy_trace.shape[0] + 1
+    assert int(np.asarray(state.sweeps)) == params.eqsteps + \
+        params.gather_steps * params.gather_lapse

@@ -176,7 +176,10 @@ class SimResults(NamedTuple):
     mean_pressure: float      # incl. ideal rho*T (SMC.c:207-208)
     std_pressure: float
     acceptance_ratio: float   # SMC.c:248
-    cv: float                 # var(E)/T^2 (SMC.c:250)
+    cv: float                 # var(E)/T^2, naive correlated trace (SMC.c:250)
+    cv_strided: float         # var over tau-strided samples / T^2 — the bulk
+                              # variant's estimator (variance2/variance_corr,
+                              # SMC_noMPI_noWall.c:244, SMC.c:1128-1142)
     tau: float                # sum of ACF (SMC.c:235)
     acf: np.ndarray
     r_final: np.ndarray
@@ -281,6 +284,12 @@ def simulate(
             autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
         )
         tau = float(np.sum(acf))
+        tauint = max(1, int(np.floor(abs(tau))))
+        sub = e_full[::tauint]
+        cv_strided = (
+            float(np.sum((sub - me) ** 2) / max(1, len(sub) - 1))
+            / cfg.temperature ** 2
+        )
         acceptance = float(np.mean(a_trace)) / cfg.n
     else:
         e_full = np.zeros((0,))
@@ -288,6 +297,7 @@ def simulate(
         ve = float("nan")
         acf = np.zeros((0,))
         tau = float("nan")
+        cv_strided = float("nan")
         prod_moves = (int(state.accepted) - accepted_at_prod_start)
         acceptance = prod_moves / (total_sweeps * cfg.n)
 
@@ -306,6 +316,7 @@ def simulate(
         std_pressure=float(np.std(p_trace)),
         acceptance_ratio=acceptance,
         cv=ve / (cfg.temperature ** 2),
+        cv_strided=cv_strided,
         tau=tau,
         acf=acf,
         r_final=np.asarray(state.r),

@@ -249,6 +249,12 @@ def simulate_ensemble(
                 autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
             )
             tau = float(np.sum(acf))
+            tauint = max(1, int(np.floor(abs(tau))))
+            sub = e_full[::tauint]
+            cv_strided = (
+                float(np.sum((sub - me) ** 2) / max(1, len(sub) - 1))
+                / cfg.temperature ** 2
+            )
             acc = float(np.mean(a_traces[:, ci])) / cfg.n
         else:
             e_full = np.zeros((0,))
@@ -256,6 +262,7 @@ def simulate_ensemble(
             ve = float("nan")
             acf = np.zeros((0,))
             tau = float("nan")
+            cv_strided = float("nan")
             acc = float(
                 (np.asarray(state.accepted)[ci] - accepted0[ci])
                 / (total_sweeps * cfg.n)
@@ -269,6 +276,7 @@ def simulate_ensemble(
                 std_pressure=float(np.std(p_traces[:, ci])),
                 acceptance_ratio=acc,
                 cv=ve / cfg.temperature ** 2,
+                cv_strided=cv_strided,
                 tau=tau,
                 acf=acf,
                 r_final=np.asarray(state.r[ci]),
