@@ -86,24 +86,39 @@ def main() -> int:
           f"warm measurement runs of {args.sweeps} sweeps ...", flush=True)
     exe = build_reference_main(108)
     c_es, c_accs = [], []
-    with tempfile.TemporaryDirectory() as td:
-        run_c(exe, args.eqsteps, max(20000, args.eqsteps), 100, t, td)
-        for rep in range(args.c_reps):
-            e, acc = run_c(exe, 0, args.sweeps, args.numdata, t, td)
-            print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
-            c_es.append(e)
-            c_accs.append(acc)
-            time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
+    td_obj = tempfile.TemporaryDirectory()
+    td = td_obj.name
+    # Long equilibration chain; every later run warm-starts from its
+    # last_state (and extends it — C overwrites last_state at exit).
+    run_c(exe, args.eqsteps, max(20000, args.eqsteps), 100, t, td)
+    warm0 = None  # configuration snapshot both samplers start from
+    for rep in range(args.c_reps):
+        if warm0 is None:
+            from tpu_smc import io as smcio
+            from tpu_smc.config import SMCConfig as _Cfg
+
+            run_dirs = list((Path(td) / "Data").iterdir())
+            warm0 = smcio.load_last_state(run_dirs[0], _Cfg(temperature=t))
+        e, acc = run_c(exe, 0, args.sweeps, args.numdata, t, td)
+        print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
+        c_es.append(e)
+        c_accs.append(acc)
+        time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
     c_e = float(np.mean(c_es))
     c_acc = float(np.mean(c_accs))
     c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
 
     print(f"[jax] running {args.chains} chains of {args.sweeps} sweeps "
           f"({args.dtype}, {args.sampler} sampler) ...", flush=True)
+    # Our chains start from the SAME equilibrated configuration the C
+    # measurement runs started from (the C equilibration chain's
+    # last_state), with a short re-thermalization to decorrelate chains.
+    # This removes slow-mode (wall adsorption) metastability from the
+    # comparison: both samplers measure the same basin.
     cfg = SMCConfig(dtype=args.dtype, temperature=t)
-    params = RunParams(args.eqsteps, args.sweeps, args.numdata)
+    params = RunParams(min(args.eqsteps, 2000), args.sweeps, args.numdata)
     state, w = init_ensemble_state(cfg, jax.random.key(int(time.time())),
-                                   args.chains)
+                                   args.chains, r0=warm0)
     state, agg = simulate_ensemble(
         cfg, params, state, w,
         opts=ObservableOptions(pressure=False, clusters=False,
