@@ -103,25 +103,40 @@ def cluster_analysis(r: jnp.ndarray, cfg: SMCConfig) -> ClusterCounts:
     adj = (dr2 < cfg.lca_cutoff * cfg.lca_cutoff) & ~jnp.eye(n, dtype=bool)
     adj_f = adj.astype(jnp.float32)
 
-    # common[l, i] = #j: adj[l,j] & adj[i,j] — one MXU matmul.
-    common = jnp.dot(adj_f, adj_f.T, preferred_element_type=jnp.float32)
-
-    # bonds among common neighbours of (l, i):
-    # num3[l,i] = 1/2 sum_{j,k} adj[l,j] adj[i,j] adj[j,k] adj[l,k] adj[i,k]
-    # = 1/2 sum_{j,k} m[l,i,j] A[j,k] m[l,i,k] with m = outer AND.
-    # Computed as batched quadratic forms: for each l, M_l = diag-free
-    # (A_l ⊙ rows) — implement as einsum over the [N,N,N] mask (N<=2k ok).
-    m = adj_f[:, None, :] * adj_f[None, :, :]          # [l, i, j]
-    t = jnp.einsum("lij,jk->lik", m, adj_f)            # bonded-partner counts
-    num3_mat = 0.5 * jnp.einsum("lik,lik->li", t, m)
-
     lrow, icol = pair_indices(n)
     lrow = jnp.asarray(lrow)
     icol = jnp.asarray(icol)
+    p = lrow.shape[0]
+
+    # Per-pair common-neighbour mask cn[p, j] = adj[l,j] & adj[i,j];
+    # num2 = row sum, num3 = 1/2 cn A cn^T (bonds among common
+    # neighbours), evaluated as [B, N] x [N, N] MXU matmuls over pair
+    # blocks — never materializing an [N, N, N] tensor (4 GB at N=1024).
+    block = 8192
+    p_pad = ((p + block - 1) // block) * block
+    lpad = jnp.concatenate([lrow, jnp.zeros(p_pad - p, jnp.int32)])
+    ipad = jnp.concatenate([icol, jnp.zeros(p_pad - p, jnp.int32)])
+
+    def one_block(idx):
+        lb = jax.lax.dynamic_slice(lpad, (idx * block,), (block,))
+        ib = jax.lax.dynamic_slice(ipad, (idx * block,), (block,))
+        cn = adj_f[lb] * adj_f[ib]                       # [B, N]
+        num2 = jnp.sum(cn, axis=-1)
+        t = jnp.dot(cn, adj_f, preferred_element_type=jnp.float32)
+        num3 = 0.5 * jnp.sum(t * cn, axis=-1)
+        return num2, num3
+
+    if p_pad == block:
+        num2, num3 = one_block(jnp.int32(0))
+    else:
+        num2, num3 = jax.lax.map(one_block, jnp.arange(p_pad // block))
+        num2 = num2.reshape(-1)
+        num3 = num3.reshape(-1)
+
     return ClusterCounts(
         num1=adj[lrow, icol],
-        num2=common[lrow, icol].astype(jnp.int32),
-        num3=num3_mat[lrow, icol].astype(jnp.int32),
+        num2=num2[:p].astype(jnp.int32),
+        num3=num3[:p].astype(jnp.int32),
     )
 
 
