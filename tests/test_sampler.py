@@ -94,3 +94,53 @@ def test_smart_mc_samples_boltzmann_harmonic_analog():
         lambda s: run_sweeps(s, w, cfg, cfg.proposal_a, 200)
     )(state)
     assert int(np.sum(np.asarray(stats.accepted))) == 200 * 2
+
+
+def test_reference_noise_mode_reproduces_c_moments():
+    """SMCConfig(reference_noise=True) must generate noise with the C
+    vecBoxMuller's dependence structure: marginally normal, but
+    E[n1 * n2^2] ~ 0.275 * sigma^3 within pairs (matematicose.c:190-191;
+    docs/DEVIATIONS.md F0)."""
+    import jax
+
+    from tpu_smc.rng import GlibcRandom
+
+    cfg = SMCConfig(dtype="float64", reference_noise=True, n=108)
+    # extract the noise exactly as sweep builds it
+    a = cfg.proposal_a
+    npairs = (3 * cfg.n + 1) // 2
+    ks = jax.random.split(jax.random.key(0), 3000)
+    sig = np.sqrt(2.0 * a)
+
+    def gen(k):
+        u = jax.random.uniform(k, (2, npairs), jnp.float64)
+        d0 = sig * jnp.sqrt(-2.0 * jnp.log1p(-u[0])) * jnp.cos(
+            2.0 * jnp.pi * u[1])
+        d1 = sig * jnp.sqrt(-2.0 * jnp.log1p(-u[1])) * jnp.sin(
+            2.0 * jnp.pi * u[0])
+        return d0, d1
+
+    d0, d1 = jax.vmap(gen)(ks)
+    d0 = np.asarray(d0).ravel()
+    d1 = np.asarray(d1).ravel()
+
+    # the same statistic from the actual glibc-rand Box-Muller
+    g = GlibcRandom(777)
+    ref = g.box_muller(sig, 400_000).reshape(-1, 2)
+
+    ours = np.mean(d0 * d1 ** 2) / sig ** 3
+    theirs = np.mean(ref[:, 0] * ref[:, 1] ** 2) / sig ** 3
+    assert ours == pytest.approx(theirs, abs=0.01)
+    assert abs(ours - 0.275) < 0.02
+    # marginals stay standard normal
+    assert np.std(d0) == pytest.approx(sig, rel=0.01)
+    assert np.std(d1) == pytest.approx(sig, rel=0.01)
+
+
+def test_iid_noise_has_no_pair_coupling():
+    """Default mode: E[n1 * n2^2] = 0 (the correct sampler)."""
+    import jax
+
+    k = jax.random.key(1)
+    z = np.asarray(jax.random.normal(k, (2, 500_000), jnp.float64))
+    assert abs(np.mean(z[0] * z[1] ** 2)) < 0.01

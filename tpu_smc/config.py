@@ -93,6 +93,14 @@ class SMCConfig:
     # (~1e24) still force the same accept/reject decisions while staying
     # finite. Documented deviation, see docs/DEVIATIONS.md.
     wall_contact_dz: float = 1e-4
+    # Reproduce the reference's EXACT proposal-noise distribution instead
+    # of i.i.d. Gaussians. The reference's vecBoxMuller builds pairs as
+    # (R(x1) cos 2pi x2, R(x2) sin 2pi x1) (matematicose.c:190-191):
+    # marginally normal but strongly DEPENDENT (E[n1 n2^2] = 0.27), so the
+    # C chain's stationary distribution is slightly biased (~0.6% in mean
+    # energy, measured). Off by default — i.i.d. noise is the correct
+    # Smart-MC; on for bug-compatible validation runs. docs/DEVIATIONS.md.
+    reference_noise: bool = False
     # Recompute the total energy exactly every `recompute_every` gathers to
     # bound incremental-energy drift (the reference never recomputes,
     # SMC.c:194,341 — it tolerates double-precision drift; we do not tolerate

@@ -88,7 +88,20 @@ def sweep(
 
     key, k_noise, k_unif, k_off = jax.random.split(key, 4)
     # 3N Gaussians with sigma = sqrt(2A) (SMC.c:284)
-    noise = jnp.sqrt(2.0 * a) * jax.random.normal(k_noise, (cfg.n, 3), dtype)
+    if cfg.reference_noise:
+        # Bug-compatible mode: the reference's vecBoxMuller pair recipe
+        # (matematicose.c:187-192) — marginally normal, pairwise DEPENDENT.
+        npairs = (3 * cfg.n + 1) // 2
+        u = jax.random.uniform(k_noise, (2, npairs), dtype)
+        sig = jnp.sqrt(2.0 * a)
+        d0 = sig * jnp.sqrt(-2.0 * jnp.log1p(-u[0])) * jnp.cos(
+            2.0 * jnp.pi * u[1])
+        d1 = sig * jnp.sqrt(-2.0 * jnp.log1p(-u[1])) * jnp.sin(
+            2.0 * jnp.pi * u[0])
+        noise = jnp.stack([d0, d1], axis=-1).reshape(-1)[: 3 * cfg.n]
+        noise = noise.reshape(cfg.n, 3)
+    else:
+        noise = jnp.sqrt(2.0 * a) * jax.random.normal(k_noise, (cfg.n, 3), dtype)
     # N uniforms for the Metropolis tests (SMC.c:335)
     unif = jax.random.uniform(k_unif, (cfg.n,), dtype)
     # random cyclic offset (SMC.c:290)
@@ -106,8 +119,10 @@ def sweep(
         # Force-biased proposal (SMC.c:307-313). The acceptance uses the
         # UNWRAPPED displacement while the energy/force use the wrapped
         # position, exactly like the reference (delta computed at
-        # SMC.c:307-309, wrap applied after at SMC.c:315-316).
-        delta = fm * (a / t) + noise[nn]
+        # SMC.c:307-309, wrap applied after at SMC.c:315-316). The noise
+        # row is indexed by PARTICLE id like the reference's displ[3n]
+        # (matters in reference_noise mode, where rows are correlated).
+        delta = fm * (a / t) + noise[i]
         rp = _wrap_proposal(ri + delta, cfg)
 
         # Proposal-state energy and force (SMC.c:319-321)
