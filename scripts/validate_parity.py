@@ -57,6 +57,14 @@ def main() -> int:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--sampler", choices=("xla", "pallas"), default="xla")
+    ap.add_argument("--correct-noise", action="store_true",
+                    help="use true i.i.d. Gaussian proposals instead of the "
+                         "bug-compatible reference_noise mode. The C "
+                         "reference's vecBoxMuller produces DEPENDENT pairs "
+                         "(DEVIATIONS.md F0), so the apples-to-apples parity "
+                         "contract runs with reference_noise=True; this flag "
+                         "compares the CORRECTED sampler instead (expect "
+                         "~+0.5 mean energy, +0.002 acceptance vs C).")
     args = ap.parse_args()
 
     import jax
@@ -115,7 +123,12 @@ def main() -> int:
     # last_state), with a short re-thermalization to decorrelate chains.
     # This removes slow-mode (wall adsorption) metastability from the
     # comparison: both samplers measure the same basin.
-    cfg = SMCConfig(dtype=args.dtype, temperature=t)
+    ref_noise = not args.correct_noise and args.sampler == "xla"
+    if args.sampler == "pallas" and not args.correct_noise:
+        print("[note] pallas kernel generates correct i.i.d. noise; "
+              "running correct-noise comparison")
+    cfg = SMCConfig(dtype=args.dtype, temperature=t,
+                    reference_noise=ref_noise)
     params = RunParams(min(args.eqsteps, 2000), args.sweeps, args.numdata)
     state, w = init_ensemble_state(cfg, jax.random.key(int(time.time())),
                                    args.chains, r0=warm0)
@@ -136,7 +149,8 @@ def main() -> int:
     report = {
         "c": {"mean_energy": c_e, "err": c_e_err, "acceptance": c_acc},
         "jax": {"mean_energy": j_e, "err": j_e_err, "acceptance": j_acc,
-                "sweeps_per_s": agg.sweeps_per_second},
+                "sweeps_per_s": agg.sweeps_per_second,
+                "reference_noise": ref_noise},
         "delta_energy": de,
         "delta_energy_rel": rel,
         "delta_energy_sigmas": de / combined if combined else float("nan"),

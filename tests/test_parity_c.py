@@ -28,7 +28,8 @@ def run_c_reference(exe, tmp_path, eqsteps, maxsteps, numdata, t):
     m = re.search(r"Average acceptance ratio: ([\d.]+)", out)
     res["acceptance"] = float(m.group(1))
     m = re.search(r"acceptance ratio ([\d.]+), mean energy ([-\d.]+)", out)
-    res["therm_acceptance"] = float(m.group(1))
+    if m:
+        res["therm_acceptance"] = float(m.group(1))
     return res
 
 
@@ -41,9 +42,18 @@ def test_statistical_parity_n108(tmp_path):
     exe = build_reference_main(108)
     cdir = tmp_path / "c"
     cdir.mkdir()
-    c = run_c_reference(exe, cdir, eqsteps, maxsteps, numdata, t)
+    # Cold run equilibrates and leaves last_state; the warm eqsteps=0 run
+    # is free of the F1 trace-offset bug (docs/DEVIATIONS.md) and is the
+    # C reference's unbiased estimate.
+    c_cold = run_c_reference(exe, cdir, eqsteps, maxsteps, numdata, t)
+    c = run_c_reference(exe, cdir, 0, maxsteps, numdata, t)
+    c["therm_acceptance"] = c_cold["therm_acceptance"]
 
-    cfg = SMCConfig(dtype="float64")
+    # Bug-compatible comparison (docs/DEVIATIONS.md F0/F1): the C
+    # reference proposes with DEPENDENT Box-Muller noise and reports an
+    # energy trace offset by (E_lattice - E_postTherm) because its
+    # production trace restarts from the pre-thermalization E[0].
+    cfg = SMCConfig(dtype="float64", reference_noise=True)
     params = RunParams(eqsteps, maxsteps, numdata)
     state, w = init_chain_state(cfg, jax.random.key(123))
     _, res = simulate(cfg, params, state, w,
@@ -55,7 +65,6 @@ def test_statistical_parity_n108(tmp_path):
         res.acceptance_ratio, c["acceptance"])
     assert abs(res.therm_acceptance - c["therm_acceptance"]) < 0.015
 
-    # mean energy: correlated-sample s.e. ~ 0.3 at this length; allow 3 sigma
-    # on the combined estimate
-    assert abs(res.mean_energy - c["mean_energy"]) < 3.0, (  # ~4 sigma of the combined correlated-sample error
+    # unbiased mean energies on both sides; tau-correlated s.e. ~ 0.5 each
+    assert abs(res.mean_energy - c["mean_energy"]) < 2.5, (
         res.mean_energy, c["mean_energy"])

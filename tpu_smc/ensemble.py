@@ -132,6 +132,11 @@ def ensemble_sweeps_pallas(
     """
     from .kernels import sweep_pallas as sp
 
+    if cfg.reference_noise:
+        raise NotImplementedError(
+            "the pallas kernel generates correct i.i.d. noise; "
+            "reference_noise (bug-compatible mode) needs the XLA sampler"
+        )
     c = state.r.shape[0]
     if c_tile is None:
         # keep the working set (≈12 [N_pad, c_tile] f32 buffers) in VMEM
