@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("temperature", type=float, help="temperature (ref: 1.1)")
     p.add_argument("--n", type=int, default=108, help="particles (SMC.h:29)")
     p.add_argument("--m", type=int, default=3, help="wall grid per dim (SMC.h:26)")
-    p.add_argument("--gamma", type=float, default=1.0, help="A = gamma*T (main.c:51)")
+    p.add_argument("--gamma", type=float, default=None,
+                   help="A = gamma*T (main.c:51; default 1.0, or the bulk "
+                        "variant's A=4e-8 equivalent under --bulk)")
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
     p.add_argument("--bulk", action="store_true",
                    help="bulk LJ fluid (SMC_noMPI_noWall.c variant)")
@@ -85,12 +87,13 @@ def main(argv=None) -> int:
     from .state import init_chain_state
     from .system import build_walls, fcc_lattice
 
+    gkw = {} if args.gamma is None else {"gamma": args.gamma}
     if args.bulk:
         cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
-                             dtype=args.dtype, gamma=args.gamma)
+                             dtype=args.dtype, **gkw)
     else:
         cfg = SMCConfig.for_n(args.n, temperature=args.temperature,
-                              dtype=args.dtype, m=args.m, gamma=args.gamma)
+                              dtype=args.dtype, m=args.m, **gkw)
     params = RunParams(args.eqsteps, args.maxsteps, args.numdata)
 
     now = time.localtime()
