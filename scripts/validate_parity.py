@@ -90,32 +90,23 @@ def main() -> int:
     # code's true equilibrium we (1) run once to equilibrate and write
     # last_state, then (2) take measurement runs warm-started from it with
     # eqsteps=0 — the offset is then exactly zero.
-    print(f"[C] building reference; equilibration run + {args.c_reps} "
-          f"warm measurement runs of {args.sweeps} sweeps ...", flush=True)
+    print(f"[C] building reference; equilibration chain ...", flush=True)
     exe = build_reference_main(108)
-    c_es, c_accs = [], []
     td_obj = tempfile.TemporaryDirectory()
     td = td_obj.name
     # Long equilibration chain; every later run warm-starts from its
     # last_state (and extends it — C overwrites last_state at exit).
     run_c(exe, args.eqsteps, max(20000, args.eqsteps), 100, t, td)
-    warm0 = None  # configuration snapshot both samplers start from
-    for rep in range(args.c_reps):
-        if warm0 is None:
-            from tpu_smc import io as smcio
-            from tpu_smc.config import SMCConfig as _Cfg
+    from tpu_smc import io as smcio
+    from tpu_smc.config import SMCConfig as _Cfg
 
-            run_dirs = list((Path(td) / "Data").iterdir())
-            warm0 = smcio.load_last_state(run_dirs[0], _Cfg(temperature=t))
-        e, acc = run_c(exe, 0, args.sweeps, args.numdata, t, td)
-        print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
-        c_es.append(e)
-        c_accs.append(acc)
-        time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
-    c_e = float(np.mean(c_es))
-    c_acc = float(np.mean(c_accs))
-    c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
+    run_dirs = list((Path(td) / "Data").iterdir())
+    warm0 = smcio.load_last_state(run_dirs[0], _Cfg(temperature=t))
+    assert warm0 is not None, "C equilibration produced no last_state"
 
+    # JAX phase FIRST (before the long C measurement subprocesses — the
+    # TPU tunnel goes stale if the device sits idle behind minutes of
+    # host-side subprocess work and then faults with UNAVAILABLE).
     print(f"[jax] running {args.chains} chains of {args.sweeps} sweeps "
           f"({args.dtype}, {args.sampler} sampler) ...", flush=True)
     # Our chains start from the SAME equilibrated configuration the C
@@ -141,6 +132,19 @@ def main() -> int:
     j_e = agg.mean_energy
     j_e_err = agg.std_energy / max(1, args.chains - 1) ** 0.5
     j_acc = agg.acceptance_ratio
+
+    print(f"[jax] E={j_e:.4f} acc={j_acc:.5f}; now {args.c_reps} C warm "
+          "measurement runs ...", flush=True)
+    c_es, c_accs = [], []
+    for rep in range(args.c_reps):
+        e, acc = run_c(exe, 0, args.sweeps, args.numdata, t, td)
+        print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f}", flush=True)
+        c_es.append(e)
+        c_accs.append(acc)
+        time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
+    c_e = float(np.mean(c_es))
+    c_acc = float(np.mean(c_accs))
+    c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
 
     de = abs(j_e - c_e)
     dacc = abs(j_acc - c_acc)
