@@ -101,6 +101,12 @@ class SMCConfig:
     # energy, measured). Off by default — i.i.d. noise is the correct
     # Smart-MC; on for bug-compatible validation runs. docs/DEVIATIONS.md.
     reference_noise: bool = False
+    # Upper bound on gathers executed in ONE device program. Long single
+    # programs (~100+ s of device time) trip the TPU runtime watchdog on
+    # tunneled deployments ("UNAVAILABLE: kernel fault"); the drivers split
+    # storage windows into chunks of at most this many gathers — the chain
+    # trajectory is unchanged (window-split invariance is tested).
+    max_gathers_per_call: int = 200
     # Recompute the total energy exactly every `recompute_every` gathers to
     # bound incremental-energy drift (the reference never recomputes,
     # SMC.c:194,341 — it tolerates double-precision drift; we do not tolerate

@@ -46,6 +46,16 @@ from .sampler import run_sweeps
 from .state import ChainState
 
 
+def _sync(state: ChainState) -> ChainState:
+    """Synchronize on the device computation WITHOUT touching the PRNG-key
+    leaf: jax.block_until_ready on key arrays triggers device faults over
+    the axon TPU tunnel (UNAVAILABLE "kernel fault"); blocking any data
+    leaf of the same program is an equivalent barrier."""
+    state.energy.block_until_ready()
+    state.r.block_until_ready()
+    return state
+
+
 class GatherOut(NamedTuple):
     """Per-gather scan outputs (one gather = gather_lapse sweeps)."""
 
@@ -225,7 +235,7 @@ def simulate(
                 s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps, collect_trace=False
             )[0]
         )(state)
-        state = jax.block_until_ready(state)
+        state = _sync(state)
         therm_acc = float(state.accepted) / (params.eqsteps * cfg.n)
         # Re-sync the energy after thermalization. The reference instead
         # restarts its production trace from the PRE-thermalization E[0]
@@ -244,10 +254,20 @@ def simulate(
     widx = 0
     while done < gather_steps:
         g = min(cfg.storage_time, gather_steps - done)
-        state, out = simulate_window(
-            state, w, cfg, lapse, g, jnp.int32(done), opts
-        )
-        state = jax.block_until_ready(state)
+        # Split the window into device calls bounded by the runtime
+        # watchdog (config.max_gathers_per_call); I/O cadence unchanged.
+        chunks = []
+        sub_done = 0
+        while sub_done < g:
+            sub = min(cfg.max_gathers_per_call, g - sub_done)
+            state, part = simulate_window(
+                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
+            )
+            state = _sync(state)
+            chunks.append(part)
+            sub_done += sub
+        out = (chunks[0] if len(chunks) == 1
+               else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
         if on_window is not None:
             verdict = on_window(widx, state, jax.tree.map(np.asarray, out))
         else:

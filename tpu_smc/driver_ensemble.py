@@ -32,6 +32,16 @@ from .potentials import total_energy, total_energy_jit, total_pressure
 from .state import ChainState
 
 
+def _sync(state: ChainState) -> ChainState:
+    """Synchronize on the device computation WITHOUT touching the PRNG-key
+    leaf: jax.block_until_ready on key arrays triggers device faults over
+    the axon TPU tunnel (UNAVAILABLE "kernel fault"); blocking any data
+    leaf of the same program is an equivalent barrier."""
+    state.energy.block_until_ready()
+    state.r.block_until_ready()
+    return state
+
+
 def _gather_step_batched(
     state: ChainState,
     w: jax.Array,
@@ -183,7 +193,7 @@ def simulate_ensemble(
                 collect_trace=False,
             )[0])
         state = therm(state)
-        state = jax.block_until_ready(state)
+        state = _sync(state)
         therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
         state = state._replace(
             energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
@@ -198,10 +208,20 @@ def simulate_ensemble(
     t1 = _time.perf_counter()
     while done < gather_steps:
         g = min(cfg.storage_time, gather_steps - done)
-        state, out = simulate_window_batched(
-            state, w, cfg, lapse, g, jnp.int32(done), opts
-        )
-        state = jax.block_until_ready(state)
+        # Split the window into device calls bounded by the runtime
+        # watchdog (config.max_gathers_per_call); I/O cadence unchanged.
+        chunks = []
+        sub_done = 0
+        while sub_done < g:
+            sub = min(cfg.max_gathers_per_call, g - sub_done)
+            state, part = simulate_window_batched(
+                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
+            )
+            state = _sync(state)
+            chunks.append(part)
+            sub_done += sub
+        out = (chunks[0] if len(chunks) == 1
+               else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
         out = jax.tree.map(np.asarray, out)
         verdict = on_window(widx, state, out) if on_window is not None else None
         windows.append(out)
