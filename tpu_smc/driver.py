@@ -228,14 +228,26 @@ def simulate(
     dtype = cfg.jnp_dtype
 
     # --- thermalization with doubled A (SMC.c:110-125) ---
+    # Chunked adaptively so no single device program outruns the TPU
+    # watchdog (~100 s): a timed probe chunk sizes the rest to ~30 s.
     therm_acc = 0.0
     if params.eqsteps:
-        state = jax.jit(
-            lambda s: run_sweeps(
-                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps, collect_trace=False
-            )[0]
-        )(state)
-        state = _sync(state)
+        therm_step = jax.jit(
+            lambda s, k: run_sweeps(
+                s, w, cfg, 2.0 * cfg.proposal_a, k, collect_trace=False
+            )[0],
+            static_argnums=1,
+        )
+        probe = min(params.eqsteps, 200)
+        t0 = time.perf_counter()
+        state = _sync(therm_step(state, probe))
+        dt = max(time.perf_counter() - t0, 1e-3)
+        chunk = max(probe, int(probe * 30.0 / dt))
+        done_eq = probe
+        while done_eq < params.eqsteps:
+            k = min(chunk, params.eqsteps - done_eq)
+            state = _sync(therm_step(state, k))
+            done_eq += k
         therm_acc = float(state.accepted) / (params.eqsteps * cfg.n)
         # Re-sync the energy after thermalization. The reference instead
         # restarts its production trace from the PRE-thermalization E[0]

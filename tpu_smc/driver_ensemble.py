@@ -182,18 +182,34 @@ def simulate_ensemble(
 
     therm_acc = 0.0
     if params.eqsteps:
+        # Adaptive chunks: keep each device program well under the TPU
+        # runtime watchdog (probe 200 sweeps, then size for ~30 s).
         if opts.sampler == "pallas":
-            therm = jax.jit(lambda s: ensemble_sweeps_pallas(
-                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps,
-                seed=jnp.int32(0x7E12),
-            )[0])
+            def therm_step(s, k, i):
+                return ensemble_sweeps_pallas(
+                    s, w, cfg, 2.0 * cfg.proposal_a, k,
+                    seed=jnp.int32(0x7E12) + i,
+                )[0]
         else:
-            therm = jax.jit(lambda s: ensemble_sweeps(
-                s, w, cfg, 2.0 * cfg.proposal_a, params.eqsteps,
-                collect_trace=False,
-            )[0])
-        state = therm(state)
-        state = _sync(state)
+            def therm_step(s, k, i):
+                return ensemble_sweeps(
+                    s, w, cfg, 2.0 * cfg.proposal_a, k, collect_trace=False,
+                )[0]
+        therm_step = jax.jit(therm_step, static_argnums=1)
+        import time as _t
+
+        probe = min(params.eqsteps, 200)
+        t0 = _t.perf_counter()
+        state = _sync(therm_step(state, probe, jnp.int32(0)))
+        dt = max(_t.perf_counter() - t0, 1e-3)
+        chunk = max(probe, int(probe * 30.0 / dt))
+        done_eq = probe
+        ci = 1
+        while done_eq < params.eqsteps:
+            k = min(chunk, params.eqsteps - done_eq)
+            state = _sync(therm_step(state, k, jnp.int32(ci)))
+            done_eq += k
+            ci += 1
         therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
         state = state._replace(
             energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
