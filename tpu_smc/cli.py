@@ -87,13 +87,24 @@ def main(argv=None) -> int:
     from .state import init_chain_state
     from .system import build_walls, fcc_lattice
 
-    gkw = {} if args.gamma is None else {"gamma": args.gamma}
-    if args.bulk:
-        cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
-                             dtype=args.dtype, **gkw)
+    resume_state = None
+    if args.resume:
+        # The checkpoint's config is authoritative for a resumed chain —
+        # simulating a [N_ck] state under CLI-sized physics would be wrong.
+        resume_state, cfg = smcio.load_checkpoint(args.resume)
+        if cfg.n != args.n or cfg.temperature != args.temperature:
+            print(f"Note: resuming with the checkpoint's config "
+                  f"(N={cfg.n}, T={cfg.temperature}); CLI values ignored.")
     else:
-        cfg = SMCConfig.for_n(args.n, temperature=args.temperature,
-                              dtype=args.dtype, m=args.m, **gkw)
+        gkw = {} if args.gamma is None else {"gamma": args.gamma}
+        if args.bulk:
+            cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
+                                 dtype=args.dtype, **gkw)
+        else:
+            cfg = SMCConfig.for_n(args.n, temperature=args.temperature,
+                                  dtype=args.dtype, m=args.m, **gkw)
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     params = RunParams(args.eqsteps, args.maxsteps, args.numdata)
 
     now = time.localtime()
@@ -107,11 +118,19 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time())
     key = jax.random.key(seed)
 
-    if args.resume:
-        state, cfg_ck = smcio.load_checkpoint(args.resume)
-        print(f"Resumed full chain state from {args.resume} "
-              f"({int(state.sweeps)} sweeps done)")
+    if resume_state is not None:
+        state = resume_state
+        batched = state.r.ndim == 3
+        sweeps_done = int(np.asarray(state.sweeps).reshape(-1)[0])
+        print(f"Resumed full {'ensemble' if batched else 'chain'} state "
+              f"from {args.resume} ({sweeps_done} sweeps done)")
         w = jax.numpy.asarray(w_np, cfg.jnp_dtype)
+        if batched:
+            if args.chains > 1 and args.chains != state.r.shape[0]:
+                print(f"Note: checkpoint holds {state.r.shape[0]} chains; "
+                      "--chains ignored.")
+            return _run_ensemble(args, cfg, params, d, state, w,
+                                 prebatched=True)
     else:
         r0 = smcio.load_last_state(d, cfg)
         if r0 is not None:
@@ -122,8 +141,8 @@ def main(argv=None) -> int:
         state, w = init_chain_state(cfg, key, r0=r0, w=w_np)
 
     kinetic = 1.5 * cfg.n * cfg.temperature
-    print(f"\nSystem initialized, with energy E0 = "
-          f"{float(state.energy) + kinetic:f}.\n")
+    e0 = float(np.asarray(state.energy).reshape(-1)[0])
+    print(f"\nSystem initialized, with energy E0 = {e0 + kinetic:f}.\n")
     print(f"Starting new run with {cfg.n} particles in "
           f"{cfg.box_l:0.1f}x{cfg.box_l:0.1f}x{cfg.box_lz:0.1f} box, "
           f"T={cfg.temperature:0.2f}, rho={cfg.rho:0.4f}, "
@@ -222,33 +241,22 @@ def _window_maintenance(args, cfg, widx, st, stopper, w=None):
     return None
 
 
-def _run_ensemble(args, cfg, params, d, seed_state, w) -> int:
+def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     """Multi-chain run: per-chain output files (rank = chain, mirroring the
     reference's per-MPI-rank naming) + pooled ensemble summary."""
     import jax
-    import jax.numpy as jnp
 
     from . import io as smcio
     from .driver import ObservableOptions
     from .driver_ensemble import simulate_ensemble
-    from .ensemble import fold_chain_keys
-    from .state import ChainState
+    from .state import batch_chain_state
 
-    c = args.chains
-
-    def rep(x):
-        return jnp.broadcast_to(x, (c,) + x.shape)
-
-    state = ChainState(
-        r=rep(seed_state.r),
-        energy=rep(seed_state.energy),
-        key=fold_chain_keys(seed_state.key, c),
-        sweeps=rep(seed_state.sweeps),
-        accepted=rep(seed_state.accepted),
-        rbin=rep(seed_state.rbin),
-        density=rep(seed_state.density),
-        mobility=rep(seed_state.mobility),
-    )
+    if prebatched:
+        state = seed_state
+        c = state.r.shape[0]
+    else:
+        c = args.chains
+        state = batch_chain_state(seed_state, c)
 
     pos_writers = [smcio.PositionsWriter(d, cfg, rank=ci) for ci in range(c)]
     for ci in range(c):

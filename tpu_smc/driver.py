@@ -244,11 +244,15 @@ def simulate(
         dt = max(time.perf_counter() - t0, 1e-3)
         chunk = max(probe, int(probe * 30.0 / dt))
         done_eq = probe
+        therm_moves = int(state.accepted)
+        state = state._replace(accepted=jnp.zeros_like(state.accepted))
         while done_eq < params.eqsteps:
             k = min(chunk, params.eqsteps - done_eq)
             state = _sync(therm_step(state, k))
+            therm_moves += int(state.accepted)
+            state = state._replace(accepted=jnp.zeros_like(state.accepted))
             done_eq += k
-        therm_acc = float(state.accepted) / (params.eqsteps * cfg.n)
+        therm_acc = therm_moves / (params.eqsteps * cfg.n)
         # Re-sync the energy after thermalization. The reference instead
         # restarts its production trace from the PRE-thermalization E[0]
         # (SMC.c:48,116,194), leaving a constant offset on the whole trace —
@@ -259,7 +263,10 @@ def simulate(
     e_begin = float(state.energy)
 
     # --- main loop, windowed at the storage cadence (SMC.c:134-196) ---
-    accepted_at_prod_start = int(state.accepted)
+    # The device-side accepted counter is int32; harvest + reset it every
+    # chunk so reference-scale runs (1.6e10 moves) can't overflow it.
+    prod_moves = 0
+    state = state._replace(accepted=jnp.zeros_like(state.accepted))
     windows: list[GatherOut] = []
     done = 0
     t1 = time.perf_counter()
@@ -276,15 +283,15 @@ def simulate(
                 state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
             )
             state = _sync(state)
+            prod_moves += int(state.accepted)
+            state = state._replace(accepted=jnp.zeros_like(state.accepted))
             chunks.append(part)
             sub_done += sub
         out = (chunks[0] if len(chunks) == 1
                else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
-        if on_window is not None:
-            verdict = on_window(widx, state, jax.tree.map(np.asarray, out))
-        else:
-            verdict = None
-        windows.append(jax.tree.map(np.asarray, out))
+        out = jax.tree.map(np.asarray, out)
+        verdict = on_window(widx, state, out) if on_window is not None else None
+        windows.append(out)
         done += g
         widx += 1
         if verdict == "stop":  # graceful early stop (signal/failure hook)
@@ -330,11 +337,13 @@ def simulate(
         acf = np.zeros((0,))
         tau = float("nan")
         cv_strided = float("nan")
-        prod_moves = (int(state.accepted) - accepted_at_prod_start)
         acceptance = prod_moves / (total_sweeps * cfg.n)
 
     l1s = cat("l1")
-    lca_passes = max(1, int(np.sum(l1s > 0)))
+    # number of LCA-cadence passes actually executed (SMC.c:143 cadence),
+    # NOT the number that found bonded pairs — dilute systems mostly find
+    # none and the mean must reflect that.
+    lca_passes = max(1, gather_steps // cfg.lca_time)
     l2 = cat("l2").reshape(-1, 7).sum(axis=0) / lca_passes
     l3 = cat("l3").reshape(-1, 7).sum(axis=0) / lca_passes
 

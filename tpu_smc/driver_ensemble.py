@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import RunParams, SMCConfig
-from .driver import GatherOut, ObservableOptions, SimResults
+from .driver import GatherOut, ObservableOptions, SimResults, _sync
 from .ensemble import ensemble_sweeps, ensemble_sweeps_pallas
 from .observables import (
     autocorrelation,
@@ -31,15 +31,6 @@ from .observables import (
 from .potentials import total_energy, total_energy_jit, total_pressure
 from .state import ChainState
 
-
-def _sync(state: ChainState) -> ChainState:
-    """Synchronize on the device computation WITHOUT touching the PRNG-key
-    leaf: jax.block_until_ready on key arrays triggers device faults over
-    the axon TPU tunnel (UNAVAILABLE "kernel fault"); blocking any data
-    leaf of the same program is an equivalent barrier."""
-    state.energy.block_until_ready()
-    state.r.block_until_ready()
-    return state
 
 
 def _gather_step_batched(
@@ -56,7 +47,6 @@ def _gather_step_batched(
     if opts.sampler == "pallas":
         state, trace = ensemble_sweeps_pallas(
             state, w, cfg, cfg.proposal_a, gather_lapse,
-            seed=gather_index * jnp.int32(7919) + jnp.int32(13),
         )
     else:
         state, trace = ensemble_sweeps(
@@ -186,9 +176,9 @@ def simulate_ensemble(
         # runtime watchdog (probe 200 sweeps, then size for ~30 s).
         if opts.sampler == "pallas":
             def therm_step(s, k, i):
+                del i  # seed derives from the per-block chain key
                 return ensemble_sweeps_pallas(
                     s, w, cfg, 2.0 * cfg.proposal_a, k,
-                    seed=jnp.int32(0x7E12) + i,
                 )[0]
         else:
             def therm_step(s, k, i):
@@ -205,18 +195,25 @@ def simulate_ensemble(
         chunk = max(probe, int(probe * 30.0 / dt))
         done_eq = probe
         ci = 1
+        therm_moves = float(np.asarray(state.accepted, np.int64).mean())
+        state = state._replace(accepted=jnp.zeros_like(state.accepted))
         while done_eq < params.eqsteps:
             k = min(chunk, params.eqsteps - done_eq)
             state = _sync(therm_step(state, k, jnp.int32(ci)))
+            therm_moves += float(np.asarray(state.accepted, np.int64).mean())
+            state = state._replace(accepted=jnp.zeros_like(state.accepted))
             done_eq += k
             ci += 1
-        therm_acc = float(jnp.mean(state.accepted)) / (params.eqsteps * cfg.n)
+        therm_acc = therm_moves / (params.eqsteps * cfg.n)
         state = state._replace(
             energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
         )
 
     e_begin = np.asarray(state.energy)  # [C]
-    accepted0 = np.asarray(state.accepted)
+    # Harvest + reset the int32 accepted counters per chunk (overflow-safe
+    # for reference-scale runs).
+    prod_moves = np.zeros((n_chains,), np.int64)
+    state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     windows: list[GatherOut] = []
     done = 0
@@ -234,6 +231,8 @@ def simulate_ensemble(
                 state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
             )
             state = _sync(state)
+            prod_moves += np.asarray(state.accepted, np.int64)
+            state = state._replace(accepted=jnp.zeros_like(state.accepted))
             chunks.append(part)
             sub_done += sub
         out = (chunks[0] if len(chunks) == 1
@@ -257,7 +256,8 @@ def simulate_ensemble(
     l1s = cat("l1")                                             # [G, C]
     l2s = cat("l2").reshape(-1, n_chains, 7)
     l3s = cat("l3").reshape(-1, n_chains, 7)
-    lca_passes = max(1, int(np.sum(l1s[:, 0] >= 0) // max(1, cfg.lca_time)))
+    # LCA-cadence passes actually executed (not just those finding pairs).
+    n_lca = max(1, gather_steps // cfg.lca_time)
 
     if opts.collect_sweep_trace:
         e_traces = (
@@ -299,11 +299,7 @@ def simulate_ensemble(
             acf = np.zeros((0,))
             tau = float("nan")
             cv_strided = float("nan")
-            acc = float(
-                (np.asarray(state.accepted)[ci] - accepted0[ci])
-                / (total_sweeps * cfg.n)
-            )
-        n_lca = max(1, int(np.sum(l1s[:, ci] > 0)))
+            acc = float(prod_moves[ci] / (total_sweeps * cfg.n))
         per_chain.append(
             SimResults(
                 mean_energy=me,

@@ -117,7 +117,7 @@ def ensemble_sweeps_pallas(
     cfg: SMCConfig,
     a: float,
     n_sweeps: int,
-    seed: int | jax.Array,
+    seed: int | jax.Array | None = None,
     c_tile: int | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """n_sweeps sweeps for every chain through the Pallas whole-sweep
@@ -139,10 +139,29 @@ def ensemble_sweeps_pallas(
         )
     c = state.r.shape[0]
     if c_tile is None:
-        # keep the working set (≈12 [N_pad, c_tile] f32 buffers) in VMEM
+        # VMEM budget: 3 scratch planes [n_pad, c_tile] + ~10 j-blocked
+        # temporaries [ROW_BLOCK, c_tile] (see kernels/sweep_pallas.py).
         n_pad = ((cfg.n + 7) // 8) * 8
-        c_tile = 256 if n_pad * 256 * 4 * 12 < 12 * 2 ** 20 else 128
+        row_blk = min(n_pad, 512)
+        c_tile = 256
+        while c_tile > 128 and (
+            (3 * n_pad + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
+        ):
+            c_tile //= 2
         c_tile = min(c_tile, c)
+    while c % c_tile != 0 and c_tile > 128:
+        c_tile //= 2
+    if c % c_tile != 0:
+        raise ValueError(
+            f"pallas sampler needs the chain count ({c}) to be a multiple "
+            f"of 128 (lane width); use the xla sampler otherwise"
+        )
+    if seed is None:
+        # Derive the kernel PRNG seed from the run's chain key so --seed
+        # actually seeds the proposal noise and each block (the key splits
+        # per block) gets a fresh stream.
+        kd = jax.random.key_data(state.key[0]).reshape(-1)
+        seed = (kd[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)

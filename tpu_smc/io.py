@@ -137,7 +137,8 @@ def write_data_csv(
     with open(p, "w") as f:
         f.write("E, P, jj\n")
         for k in range(gather_steps):
-            e = energy_trace[k * gather_lapse]
+            idx = k * gather_lapse
+            e = float(energy_trace[idx]) if idx < len(energy_trace) else 0.0
             jj = int(accept_trace[k]) if k < len(accept_trace) else 0
             f.write(f"{e:0.9f}, {pressure_trace[k]:0.9f}, {jj}\n")
     return p
@@ -263,6 +264,10 @@ def load_checkpoint(path: str | Path) -> tuple[ChainState, SMCConfig]:
     data = np.load(path)
     cfg_json = bytes(data["__config__"]).decode()
     cfg = SMCConfig(**json.loads(cfg_json))
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # Must happen BEFORE constructing the state arrays or jnp silently
+        # downcasts them to float32 and the restored chain is corrupted.
+        jax.config.update("jax_enable_x64", True)
     dtype = cfg.jnp_dtype
     state = ChainState(
         r=jnp.asarray(data["r"], dtype),

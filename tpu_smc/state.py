@@ -71,6 +71,29 @@ def init_chain_state(
     return state, w
 
 
+def batch_chain_state(state: ChainState, n_chains: int) -> ChainState:
+    """Broadcast a single-chain state to [C, ...] with per-chain keys
+    folded from the seed chain's key (replaces the per-process seeding of
+    SMC.c:40)."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
+        jnp.arange(n_chains)
+    )
+
+    def rep(x):
+        return jnp.broadcast_to(x, (n_chains,) + x.shape)
+
+    return ChainState(
+        r=rep(state.r),
+        energy=rep(state.energy),
+        key=keys,
+        sweeps=rep(state.sweeps),
+        accepted=rep(state.accepted),
+        rbin=rep(state.rbin),
+        density=rep(state.density),
+        mobility=rep(state.mobility),
+    )
+
+
 def init_ensemble_state(
     cfg: SMCConfig,
     key: jax.Array,
@@ -85,19 +108,4 @@ def init_ensemble_state(
     keys, so the chains decorrelate after thermalization.
     """
     state, w_arr = init_chain_state(cfg, key, r0=r0, w=w)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
-
-    def rep(x):
-        return jnp.broadcast_to(x, (n_chains,) + x.shape)
-
-    batched = ChainState(
-        r=rep(state.r),
-        energy=rep(state.energy),
-        key=keys,
-        sweeps=rep(state.sweeps),
-        accepted=rep(state.accepted),
-        rbin=rep(state.rbin),
-        density=rep(state.density),
-        mobility=rep(state.mobility),
-    )
-    return batched, w_arr
+    return batch_chain_state(state, n_chains), w_arr

@@ -34,12 +34,12 @@ def fcc_lattice(cfg: SMCConfig) -> np.ndarray:
             na = c - 1
             break
     nz = int(np.rint((n // 4) / (na * na)))  # SMC.c:426 (integer n/4)
-    if (n // 4) != nz * na * na:
+    if 4 * na * na * nz < n:
         # The reference only warns here (perror, SMC.c:427-428) and then
         # leaves the surplus particles overlapping at the origin — which
         # diverges. We instead extend the lattice by enough z-layers to
         # give every particle a distinct site (documented deviation).
-        nz = math.ceil((n / 4) / (na * na))
+        nz = math.ceil(n / (4 * na * na))
     a = l / na
 
     x = np.zeros((n, 3), dtype=np.float64)
