@@ -141,3 +141,26 @@ def test_ensemble_driver_with_pallas_sampler():
     assert np.isfinite(agg.mean_energy)
     assert 0.0 <= agg.acceptance_ratio <= 1.0
     assert agg.chains[0].energy_trace.shape[0] == 4
+
+
+def test_banded_kernel_exact_bookkeeping():
+    """Experimental z-banded random-scan kernel: energy bookkeeping must be
+    exact whether moves take the window path or the full-pass fallback."""
+    from tpu_smc import ensemble as ens
+
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(1)
+    # spread along z so the window path is exercised (big margins)...
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        np.linspace(-25, 25, 24) + rng.uniform(-0.3, 0.3, 24),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(0), 128, r0=r0)
+    with pltpu.force_tpu_interpret_mode():
+        st2, tr, fb = ens.ensemble_sweeps_banded(
+            state, w, cfg, cfg.proposal_a, 2, window=8, c_tile=128)
+    exact = jax.vmap(lambda r: total_energy(r, w, cfg))(st2.r)
+    assert float(jnp.max(jnp.abs(exact - st2.energy))) < 1e-2
+    acc = np.asarray(tr.accepted)
+    assert np.all(acc >= 0) and np.all(acc <= cfg.n)
+    assert 0.0 <= float(fb) <= 1.0

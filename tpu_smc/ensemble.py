@@ -188,6 +188,61 @@ def ensemble_sweeps_pallas(
     )
 
 
+def ensemble_sweeps_banded(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    window: int = 128,
+    d_z: float = 12.0,
+    c_tile: int = 128,
+) -> Tuple[ChainState, SweepStats, jax.Array]:
+    """EXPERIMENTAL z-banded random-scan sampler (kernels/sweep_banded.py).
+
+    Exact-by-construction variant for large confined systems: per-chain
+    z-sort between sweeps + windowed pair pass with provable-sufficiency
+    fallback + symmetric |delta_z| <= d_z rejection. NOTE: particle labels
+    are permuted by the per-sweep sort (physically meaningless, but the
+    Rbin mobility bookkeeping loses identity — density/g(r)/pressure/E are
+    unaffected). Returns (state, SweepStats, fallback_fraction)."""
+    from .kernels import sweep_banded as sb
+    from .kernels import sweep_pallas as sp
+
+    c = state.r.shape[0]
+    assert c % c_tile == 0, (c, c_tile)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+
+    def body(carry, _):
+        r, e, key = carry
+        key, k_rows, k_seed = jax.random.split(key, 3)
+        x, y, z, margin = sb.sort_and_margin(r, cfg, window)
+        rows = jax.random.randint(k_rows, (cfg.n,), 0, cfg.n, dtype=jnp.int32)
+        seed = jax.random.randint(k_seed, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+        x, y, z, e, acc, fb = sb.banded_sweep_block(
+            x, y, z, e, wa, wb, margin, rows, seed, cfg, cfg.n, float(a),
+            c_tile=c_tile, window=window, d_z=d_z,
+        )
+        r_new = sp.from_planes(x, y, z, cfg, dtype=cfg.jnp_dtype)
+        return (r_new, e, key), (e[0], acc[0], fb[0])
+
+    e0 = state.energy.reshape(1, c).astype(jnp.float32)
+    (r, e, key), (e_tr, a_tr, fb_tr) = jax.lax.scan(
+        body, (state.r, e0, state.key[0]), None, length=n_sweeps)
+
+    new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
+    new_state = state._replace(
+        r=r,
+        energy=e.reshape(c).astype(cfg.jnp_dtype),
+        key=new_keys,
+        sweeps=state.sweeps + n_sweeps,
+        accepted=state.accepted + jnp.sum(a_tr, axis=0, dtype=jnp.int32),
+    )
+    fb_frac = jnp.mean(fb_tr) / cfg.n
+    return new_state, SweepStats(energy=e_tr.astype(cfg.jnp_dtype),
+                                 accepted=a_tr), fb_frac
+
+
 def ensemble_sweeps_pallas_sharded(
     state: ChainState,
     w: jax.Array,
