@@ -1,0 +1,64 @@
+"""End-to-end CLI + analysis coverage inside the test suite."""
+
+import numpy as np
+import pytest
+
+from tpu_smc.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    td = tmp_path_factory.mktemp("cli")
+    rc = cli_main([
+        "30", "120", "12", "1.1", "--dtype", "float64", "--seed", "7",
+        "--gr-bins", "16", "--z-bins", "16",
+        "--data-dir", str(td / "Data"),
+        "--checkpoint", str(td / "ck.npz"),
+    ])
+    assert rc == 0
+    runs = list((td / "Data").iterdir())
+    assert len(runs) == 1
+    return runs[0]
+
+
+def test_cli_produces_all_artifacts(run_dir):
+    names = {p.name.split("_N")[0] for p in run_dir.iterdir()}
+    assert names == {"wall", "positions", "data", "local", "local_temp",
+                     "total_clusters", "autocorrelation", "info",
+                     "last_state"}
+
+
+def test_analysis_loads_and_computes(run_dir):
+    from tpu_smc.analysis import acf_check, load_run, spectrum, z_band_maps
+
+    run = load_run(run_dir)
+    assert run.n == 108
+    assert run.energy.shape[0] == 12          # numdata gathers
+    assert run.positions.shape[1:] == (108, 3)
+    bands = z_band_maps(run)
+    assert bands["density"].shape == (7, 33, 33)
+    # total voxel counts = gathers * N
+    assert bands["density"].sum() == 12 * 108
+    freqs, spec = spectrum(run)
+    assert np.all(np.isfinite(spec))
+    acf = acf_check(run, k_max=5)
+    assert acf[0] == pytest.approx(1.0)
+
+
+def test_analysis_renders(run_dir, tmp_path):
+    from tpu_smc.analysis import load_run, render_all
+
+    run = load_run(run_dir)
+    written = render_all(run, tmp_path, box=(33.0, 200.0))
+    assert len(written) >= 5
+    for p in written:
+        assert p.exists() and p.stat().st_size > 0
+
+
+def test_cli_resume_roundtrip(run_dir, tmp_path):
+    ck = run_dir.parent.parent / "ck.npz"
+    rc = cli_main([
+        "0", "60", "6", "1.1", "--resume", str(ck),
+        "--data-dir", str(tmp_path / "Data"),
+    ])
+    assert rc == 0
