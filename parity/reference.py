@@ -87,6 +87,37 @@ def _build(src: Path, exe_name: str, n: int, m: int = 3) -> Path:
     return exe
 
 
+def build_bulk_main(maxsteps: int = 20000, eqsteps: int = 2000) -> Path:
+    """Compile the self-contained bulk variant (SMC_noMPI_noWall.c) as its
+    own binary. Its run length is hardcoded (1e6 sweeps,
+    SMC_noMPI_noWall.c:77-79); for test-sized runs we patch the two
+    constants at staging time (build-time-only, documented)."""
+    BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    exe = BUILD_DIR / f"smc_bulk_{maxsteps}_{eqsteps}"
+    stamp = BUILD_DIR / f"smc_bulk_{maxsteps}_{eqsteps}.stamp"
+    if exe.exists() and stamp.exists() and float(stamp.read_text()) >= _mtimes():
+        return exe
+    src_text = (REFERENCE_DIR / "SMC_noMPI_noWall.c").read_text()
+    # kmax=42000 requires gather_steps >= 84000 (the bulk fft_acf has no
+    # clamp and segfaults below that, SMC_noMPI_noWall.c:154,727) — size it
+    # to the patched run length.
+    kmax = max(10, min(42000, maxsteps // 10 // 2 - 2))
+    src_text = src_text.replace(
+        "int maxsteps = 1000000;", f"int maxsteps = {maxsteps};"
+    ).replace(
+        "int eqsteps = 10000;", f"int eqsteps = {eqsteps};"
+    ).replace(
+        "int kmax = 42000;", f"int kmax = {kmax};"
+    )
+    staged = BUILD_DIR / f"bulk_{maxsteps}_{eqsteps}.c"
+    staged.write_text(src_text)
+    cmd = ["gcc", "-O2", "-w", f"-I{STUBS_DIR}", str(staged), "-lm",
+           "-o", str(exe)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    stamp.write_text(str(_mtimes()))
+    return exe
+
+
 def build_probe(n: int = 108, m: int = 3) -> Path:
     """Compile parity/probe.c against the staged reference."""
     return _build(PARITY_DIR / "probe.c", "probe", n, m)
