@@ -146,6 +146,31 @@ def main() -> int:
     c_acc = float(np.mean(c_accs))
     c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
 
+    # Distribution-level comparison (informational): two-sample KS on the
+    # per-gather energy samples, tau-subsampled to decorrelate. Reported
+    # alongside the mean-based contract, not a pass/fail gate (KS is
+    # oversensitive to residual autocorrelation).
+    ks_d = float("nan")
+    try:
+        c_samples = []
+        for dcsv in (Path(td) / "Data").glob("*/data_*_rank0.csv"):
+            rows = dcsv.read_text().strip().splitlines()[1:]
+            c_samples.extend(float(rr.split(",")[0]) for rr in rows)
+        c_samples = np.asarray(c_samples)
+        ours_g = np.concatenate(
+            [ch.energy_trace[:: max(1, params.gather_lapse)]
+             for ch in agg.chains[:8]]
+        )
+        stride = max(1, int(abs(agg.chains[0].tau) // params.gather_lapse) + 1)
+        a_s = np.sort(c_samples[::stride])
+        b_s = np.sort(ours_g[::stride])
+        grid = np.concatenate([a_s, b_s])
+        cdf_a = np.searchsorted(a_s, grid, side="right") / len(a_s)
+        cdf_b = np.searchsorted(b_s, grid, side="right") / len(b_s)
+        ks_d = float(np.max(np.abs(cdf_a - cdf_b)))
+    except Exception:
+        pass
+
     de = abs(j_e - c_e)
     dacc = abs(j_acc - c_acc)
     rel = de / abs(c_e)
@@ -159,6 +184,7 @@ def main() -> int:
         "delta_energy_rel": rel,
         "delta_energy_sigmas": de / combined if combined else float("nan"),
         "delta_acceptance": dacc,
+        "ks_statistic_energy": ks_d,
         "pass_energy_1e-3_rel": bool(rel < 1e-3 or de < 3 * combined),
         "pass_acceptance_1e-3": bool(dacc < 1e-3 or dacc < 0.005),
     }
