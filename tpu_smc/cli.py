@@ -193,6 +193,18 @@ def main(argv=None) -> int:
     smcio.write_autocorrelation_csv(d, cfg, res.acf)
     smcio.write_info_csv(d, cfg, params, res)
     smcio.write_last_state(d, cfg, res.r_final)
+    if res.gr is not None:
+        from .observables import radial_distribution
+
+        centers = np.asarray(radial_distribution(
+            jax.numpy.asarray(res.r_final, cfg.jnp_dtype), cfg,
+            nbins=args.gr_bins)[0])
+        smcio.write_profile_csv(d, cfg, "gr", centers, res.gr, "r, g")
+    if res.zprofile is not None:
+        dz = cfg.box_lz / args.z_bins
+        centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+        smcio.write_profile_csv(d, cfg, "zprofile", centers, res.zprofile,
+                                "z, density")
 
     if args.checkpoint:
         smcio.save_checkpoint(args.checkpoint, state, cfg)
@@ -297,6 +309,18 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     print(f"Mean pressure: {agg.mean_pressure:f} ± {agg.std_pressure:f}")
     print(f"Average acceptance ratio: {agg.acceptance_ratio:f}")
 
+    if agg.gr is not None:
+        from .observables import radial_distribution
+
+        centers = np.asarray(radial_distribution(
+            jax.numpy.asarray(agg.chains[0].r_final, cfg.jnp_dtype), cfg,
+            nbins=args.gr_bins)[0])
+        smcio.write_profile_csv(d, cfg, "gr", centers, agg.gr, "r, g")
+    if agg.zprofile is not None:
+        dz = cfg.box_lz / args.z_bins
+        centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+        smcio.write_profile_csv(d, cfg, "zprofile", centers, agg.zprofile,
+                                "z, density")
     for ci, res in enumerate(agg.chains):
         smcio.write_data_csv(d, cfg, res.energy_trace_full, res.pressure_trace,
                              res.accept_trace, params.gather_lapse, rank=ci)

@@ -168,6 +168,19 @@ def write_autocorrelation_csv(
     return p
 
 
+def write_profile_csv(
+    d: Path, cfg: SMCConfig, stem: str, centers: np.ndarray,
+    values: np.ndarray, header: str, rank: int = 0,
+) -> Path:
+    """g(r) / z-profile CSVs (new observables; no reference counterpart)."""
+    p = _fname(d, stem, cfg, rank)
+    with open(p, "w") as f:
+        f.write(header + "\n")
+        for c, v in zip(np.asarray(centers), np.asarray(values)):
+            f.write(f"{c:0.6f}, {v:0.9f}\n")
+    return p
+
+
 def write_info_csv(
     d: Path, cfg: SMCConfig, params: RunParams, results, gamma: float | None = None
 ) -> Path:
