@@ -25,7 +25,7 @@ def test_cli_produces_all_artifacts(run_dir):
     names = {p.name.split("_N")[0] for p in run_dir.iterdir()}
     assert names == {"wall", "positions", "data", "local", "local_temp",
                      "total_clusters", "autocorrelation", "info",
-                     "last_state"}
+                     "last_state", "gr", "zprofile"}
 
 
 def test_analysis_loads_and_computes(run_dir):
