@@ -80,3 +80,31 @@ def test_on_window_stop_truncates_run():
     assert calls == [0, 1]
     # traces cover only the completed windows (2 windows x 2 gathers x 5 sweeps)
     assert res.energy_trace.shape[0] == 2 * 2 * params.gather_lapse
+
+
+def test_health_batched_ensemble():
+    from tpu_smc.state import init_ensemble_state
+
+    state, w = init_ensemble_state(CFG, jax.random.key(9), 4)
+    h = check_state(state, w, CFG)
+    assert bool(np.asarray(h.finite))
+    bad = state._replace(r=state.r.at[2, 0, 2].set(CFG.box_lz))
+    with pytest.raises(HealthError, match="wall"):
+        check_state(bad, w, CFG)
+
+
+def test_config_is_hashable_jit_key():
+    cfgs = {SMCConfig(), SMCConfig(dtype="float64"), SMCConfig(n=32)}
+    assert len(cfgs) == 3
+    assert SMCConfig() == SMCConfig()
+
+
+def test_ensemble_checkpoint_roundtrip(tmp_path):
+    from tpu_smc import io as smcio
+    from tpu_smc.state import init_ensemble_state
+
+    state, w = init_ensemble_state(CFG, jax.random.key(10), 3)
+    p = smcio.save_checkpoint(tmp_path / "e.npz", state, CFG)
+    st2, cfg2 = smcio.load_checkpoint(p)
+    assert st2.r.shape == (3, CFG.n, 3)
+    np.testing.assert_array_equal(np.asarray(st2.r), np.asarray(state.r))
