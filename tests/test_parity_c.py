@@ -36,18 +36,43 @@ def run_c_reference(exe, tmp_path, eqsteps, maxsteps, numdata, t):
 @pytest.mark.c_reference
 @pytest.mark.slow
 def test_statistical_parity_n108(tmp_path):
+    """Pooled-replica statistical parity (de-flaked per VERDICT r1 #2).
+
+    A single C rep's mean energy wobbles across cold starts (the binary
+    reseeds from time(NULL) per run, SMC.c:40; the cross-cold-start
+    spread is far larger than the warm-rep spread), so a fixed absolute
+    tolerance on one rep is a coin flip. Instead: K fully independent
+    cold-start C reps, each in its own cwd (no shared last_state), each
+    followed by a warm eqsteps=0 run (free of the F1 trace-offset bug,
+    docs/DEVIATIONS.md) — and the tolerance derives from the measured
+    rep spread: 5*s*sqrt(1/K + 1) covers the pooled-C error plus our own
+    single-run error (same dynamics, same length), with a floor for
+    small-K spread underestimates.
+    """
     from parity.reference import build_reference_main
 
     eqsteps, maxsteps, numdata, t = 2000, 8000, 400, 1.1
     exe = build_reference_main(108)
-    cdir = tmp_path / "c"
-    cdir.mkdir()
-    # Cold run equilibrates and leaves last_state; the warm eqsteps=0 run
-    # is free of the F1 trace-offset bug (docs/DEVIATIONS.md) and is the
-    # C reference's unbiased estimate.
-    c_cold = run_c_reference(exe, cdir, eqsteps, maxsteps, numdata, t)
-    c = run_c_reference(exe, cdir, 0, maxsteps, numdata, t)
-    c["therm_acceptance"] = c_cold["therm_acceptance"]
+
+    K = 5
+    c_means, c_accs, c_therm_accs = [], [], []
+    for i in range(K):
+        cdir = tmp_path / f"c{i}"
+        cdir.mkdir()
+        # Cold run equilibrates and leaves last_state (mean discarded:
+        # its trace carries the F1 offset); warm run is the estimate.
+        c_cold = run_c_reference(exe, cdir, eqsteps, maxsteps, numdata, t)
+        c = run_c_reference(exe, cdir, 0, maxsteps, numdata, t)
+        c_means.append(c["mean_energy"])
+        c_accs.append(c["acceptance"])
+        c_therm_accs.append(c_cold["therm_acceptance"])
+    c = {
+        "mean_energy": float(np.mean(c_means)),
+        "acceptance": float(np.mean(c_accs)),
+        "therm_acceptance": float(np.mean(c_therm_accs)),
+    }
+    c_spread = float(np.std(c_means, ddof=1))
+    tol_e = max(2.5, 5.0 * c_spread * float(np.sqrt(1.0 / K + 1.0)))
 
     # Bug-compatible comparison (docs/DEVIATIONS.md F0/F1): the C
     # reference proposes with DEPENDENT Box-Muller noise and reports an
@@ -59,12 +84,13 @@ def test_statistical_parity_n108(tmp_path):
     _, res = simulate(cfg, params, state, w,
                       opts=ObservableOptions(clusters=False))
 
-    # acceptance: per-move s.e. ~ 1e-3 at this length; allow 5x for
-    # stream-level correlation
+    # acceptance: per-move s.e. ~ 1e-3 at this length, pooled over K
+    # reps; allow 5x for stream-level correlation
     assert abs(res.acceptance_ratio - c["acceptance"]) < 0.01, (
-        res.acceptance_ratio, c["acceptance"])
+        res.acceptance_ratio, c_accs)
     assert abs(res.therm_acceptance - c["therm_acceptance"]) < 0.015
 
-    # unbiased mean energies on both sides; tau-correlated s.e. ~ 0.5 each
-    assert abs(res.mean_energy - c["mean_energy"]) < 2.5, (
-        res.mean_energy, c["mean_energy"])
+    # unbiased mean energies: ours vs the pooled C estimate, tolerance
+    # from the measured cross-rep spread
+    assert abs(res.mean_energy - c["mean_energy"]) < tol_e, (
+        res.mean_energy, c["mean_energy"], c_spread, tol_e, c_means)
