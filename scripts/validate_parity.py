@@ -114,10 +114,7 @@ def main() -> int:
     # last_state), with a short re-thermalization to decorrelate chains.
     # This removes slow-mode (wall adsorption) metastability from the
     # comparison: both samplers measure the same basin.
-    ref_noise = not args.correct_noise and args.sampler == "xla"
-    if args.sampler == "pallas" and not args.correct_noise:
-        print("[note] pallas kernel generates correct i.i.d. noise; "
-              "running correct-noise comparison")
+    ref_noise = not args.correct_noise
     cfg = SMCConfig(dtype=args.dtype, temperature=t,
                     reference_noise=ref_noise)
     params = RunParams(min(args.eqsteps, 2000), args.sweeps, args.numdata)
@@ -175,23 +172,47 @@ def main() -> int:
     dacc = abs(j_acc - c_acc)
     rel = de / abs(c_e)
     combined = (c_e_err ** 2 + j_e_err ** 2) ** 0.5
+    c_acc_err = float(np.std(c_accs) / max(1, len(c_accs) - 1) ** 0.5)
+
+    # Honest gating (ADVICE r1): the strict 1e-3 criteria are reported as
+    # themselves; statistical consistency within the run's error bars is a
+    # SEPARATE verdict, and "the run was too short to resolve 1e-3" is
+    # called out instead of being folded into a PASS.
+    strict_e = bool(rel < 1e-3)
+    strict_acc = bool(dacc < 1e-3)
+    consistent_e = bool(de < 3 * combined)
+    consistent_acc = bool(dacc < 3 * max(c_acc_err, 1e-4))
+    resolved_e = bool(combined < abs(c_e) * 1e-3 / 3)
+    resolved_acc = bool(max(c_acc_err, 1e-4) < 1e-3 / 3)
     report = {
-        "c": {"mean_energy": c_e, "err": c_e_err, "acceptance": c_acc},
+        "c": {"mean_energy": c_e, "err": c_e_err, "acceptance": c_acc,
+              "acceptance_err": c_acc_err},
         "jax": {"mean_energy": j_e, "err": j_e_err, "acceptance": j_acc,
                 "sweeps_per_s": agg.sweeps_per_second,
-                "reference_noise": ref_noise},
+                "reference_noise": ref_noise, "sampler": args.sampler},
         "delta_energy": de,
         "delta_energy_rel": rel,
         "delta_energy_sigmas": de / combined if combined else float("nan"),
         "delta_acceptance": dacc,
         "ks_statistic_energy": ks_d,
-        "pass_energy_1e-3_rel": bool(rel < 1e-3 or de < 3 * combined),
-        "pass_acceptance_1e-3": bool(dacc < 1e-3 or dacc < 0.005),
+        "strict_energy_1e-3_rel": strict_e,
+        "strict_acceptance_1e-3_abs": strict_acc,
+        "consistent_energy_3sigma": consistent_e,
+        "consistent_acceptance_3sigma": consistent_acc,
+        "resolved_at_1e-3": {"energy": resolved_e, "acceptance": resolved_acc},
     }
     print(json.dumps(report, indent=2))
-    ok = report["pass_energy_1e-3_rel"] and report["pass_acceptance_1e-3"]
-    print("PARITY:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    if strict_e and strict_acc:
+        print("PARITY: PASS (strict 1e-3)")
+        return 0
+    if consistent_e and consistent_acc:
+        sig = de / combined if combined else float("nan")
+        print(f"PARITY: CONSISTENT (within {sig:.2f} sigma; run too short "
+              f"to resolve the strict 1e-3 criterion"
+              f"{'' if resolved_e else ' for energy'})")
+        return 0
+    print("PARITY: FAIL")
+    return 1
 
 
 if __name__ == "__main__":

@@ -19,8 +19,12 @@ import jax  # noqa: E402
 
 # NOTE: the JAX_PLATFORMS env var is unreliable under the axon TPU plugin —
 # the config update is what actually forces the CPU backend.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# TPU_SMC_TEST_TPU=1 keeps the real backend so the hardware-only tests
+# (PRNG statistics, kernel drift) actually run:
+#   TPU_SMC_TEST_TPU=1 python -m pytest tests/test_pallas.py -q
+if os.environ.get("TPU_SMC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Make the repo root importable (tpu_smc, parity) without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -76,12 +76,11 @@ def test_kernel_moves_are_stochastic_across_lanes():
     x, y, z = sp.to_planes(state.r, CFG)
     wa, wb = sp.wall_coeff_rows(w, CFG)
     e = state.energy.reshape(1, -1).astype(jnp.float32)
-    offsets = jnp.asarray([0], jnp.int32)
-    with pltpu.force_tpu_interpret_mode():
-        x2, _, _, _, _, at = sp.pallas_sweep_block(
-            x, y, z, e, wa, wb, offsets, jnp.int32(7), CFG, 1,
-            CFG.proposal_a, c_tile=128,
-        )
+    offsets = jnp.asarray([0, 5, 11, 2], jnp.int32)
+    x2, _, _, _, _, at = sp.pallas_sweep_block(
+        x, y, z, e, wa, wb, offsets, jnp.int32(7), CFG, 4,
+        CFG.proposal_a, c_tile=128,
+    )
     # different chains (lanes) must take different moves
     moved = np.asarray(x2[:CFG.n]) - np.asarray(x[:CFG.n])
     lane_sig = moved.sum(axis=0)
@@ -164,3 +163,51 @@ def test_banded_kernel_exact_bookkeeping():
     acc = np.asarray(tr.accepted)
     assert np.all(acc >= 0) and np.all(acc <= cfg.n)
     assert 0.0 <= float(fb) <= 1.0
+
+
+def test_kernel_reference_noise_bookkeeping():
+    """reference_noise mode (bug-compatible dependent Box-Muller pairs):
+    carried E must still equal a from-scratch recompute."""
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32",
+                    reference_noise=True)
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([3, 7], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        x2, y2, z2, e2, et, at = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, jnp.int32(5), cfg, 2,
+            cfg.proposal_a, c_tile=128,
+        )
+    r2 = sp.from_planes(x2, y2, z2, cfg)
+    exact = jax.vmap(lambda r: total_energy(r, w, cfg))(r2)
+    np.testing.assert_allclose(
+        np.asarray(e2[0]), np.asarray(exact), rtol=1e-4, atol=1e-3
+    )
+    acc = np.asarray(at)
+    assert np.all(acc >= 0) and np.all(acc <= cfg.n)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="interpret-mode PRNG is lane-replicated; "
+                           "noise statistics need the hardware PRNG")
+def test_kernel_reference_noise_structure_tpu():
+    """The on-core noise plane must reproduce the reference recipe's
+    DEPENDENT pair structure (matematicose.c:187-192): the joint moments
+    E[d0^2 d1] ~ -0.498 s^3 and E[d0 d1^2] ~ +0.274 s^3 are ~0 for i.i.d.
+    Gaussians and strongly nonzero for the reference's vecBoxMuller."""
+    import math
+
+    a = 0.05
+    s = math.sqrt(2 * a)
+    ds = [np.asarray(sp.debug_reference_noise(512, 256, s, 99 + i))
+          for i in range(8)]
+    d = np.concatenate(ds, axis=1)
+    d0 = d[0::2, :].reshape(-1)
+    d1 = d[1::2, :].reshape(-1)
+    m21 = float(np.mean(d0 * d0 * d1) / s ** 3)
+    m12 = float(np.mean(d0 * d1 * d1) / s ** 3)
+    assert abs(m21 - (-0.498)) < 0.02, m21
+    assert abs(m12 - 0.274) < 0.02, m12
+    assert abs(float(d.std()) / s - 1.0) < 0.01

@@ -132,20 +132,17 @@ def ensemble_sweeps_pallas(
     """
     from .kernels import sweep_pallas as sp
 
-    if cfg.reference_noise:
-        raise NotImplementedError(
-            "the pallas kernel generates correct i.i.d. noise; "
-            "reference_noise (bug-compatible mode) needs the XLA sampler"
-        )
     c = state.r.shape[0]
     if c_tile is None:
-        # VMEM budget: 3 scratch planes [n_pad, c_tile] + ~10 j-blocked
-        # temporaries [ROW_BLOCK, c_tile] (see kernels/sweep_pallas.py).
+        # VMEM budget: 3 scratch planes [n_pad, c_tile] (+ a [3N, c_tile]
+        # noise plane in reference_noise mode) + ~10 j-blocked temporaries
+        # [ROW_BLOCK, c_tile] (see kernels/sweep_pallas.py).
         n_pad = ((cfg.n + 7) // 8) * 8
         row_blk = min(n_pad, 512)
+        plane_rows = 3 * n_pad + (3 * n_pad if cfg.reference_noise else 0)
         c_tile = 256
         while c_tile > 128 and (
-            (3 * n_pad + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
+            (plane_rows + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
         ):
             c_tile //= 2
         c_tile = min(c_tile, c)
@@ -159,9 +156,11 @@ def ensemble_sweeps_pallas(
     if seed is None:
         # Derive the kernel PRNG seed from the run's chain key so --seed
         # actually seeds the proposal noise and each block (the key splits
-        # per block) gets a fresh stream.
+        # per block) gets a fresh stream. Two 31-bit words (the kernel
+        # seeds with both + the tile id) keep block streams collision-free
+        # over reference-scale runs (ADVICE r1).
         kd = jax.random.key_data(state.key[0]).reshape(-1)
-        seed = (kd[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        seed = (kd[-2:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)
@@ -266,7 +265,9 @@ def ensemble_sweeps_pallas_sharded(
     def local(st):
         st = jax.tree.map(lambda x: x, st)
         dev = jax.lax.axis_index(axis)
-        local_seed = jnp.int32(seed) + dev * jnp.int32(0x9E3779)
+        local_seed = jnp.stack(
+            [jnp.int32(seed) + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
+             dev.astype(jnp.int32)])
         return ensemble_sweeps_pallas(
             st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile
         )

@@ -54,6 +54,46 @@ U24 = float(2.0 ** -24)
 ROW_BLOCK = 512  # j-block size for the pair pass (bounds VMEM temps)
 
 
+def _reference_noise(flat_pad: int, c_tile: int, sqrt2a: float):
+    """Bug-compatible proposal noise plane (matematicose.c:187-192).
+
+    The reference fills the flat displ[3N] vector in PAIRS
+        d[2k]   = sig*sqrt(-2 ln(1-u1)) cos(2 pi u2)
+        d[2k+1] = sig*sqrt(-2 ln(1-u2)) sin(2 pi u1)
+    so consecutive components share uniforms (marginally normal, pairwise
+    DEPENDENT — docs/DEVIATIONS.md F0). Returns a [flat_pad, c_tile] f32
+    noise plane in flat particle order (read per-move by particle id like
+    displ[3n], SMC.c:309). Must run inside a pallas kernel after
+    pltpu.prng_seed.
+    """
+    v1 = _uniforms((flat_pad, c_tile))
+    v2 = _uniforms((flat_pad, c_tile))
+    # Row 2k+1 must reuse row 2k's uniforms: pull the previous row into
+    # odd rows via a circular shift down the sublanes.
+    jodd = jax.lax.broadcasted_iota(jnp.int32, (flat_pad, c_tile), 0) % 2
+    u1 = jnp.where(jodd == 0, v1, pltpu.roll(v1, 1, 0))
+    u2 = jnp.where(jodd == 0, v2, pltpu.roll(v2, 1, 0))
+    r_bm = jnp.sqrt(-2.0 * jnp.log1p(-jnp.where(jodd == 0, u1, u2))) * sqrt2a
+    return r_bm * jnp.where(jodd == 0, jnp.cos(TWO_PI * u2),
+                            jnp.sin(TWO_PI * u1))
+
+
+def debug_reference_noise(flat_pad: int, c_tile: int, sqrt2a: float,
+                          seed: int) -> jax.Array:
+    """Test-only: dump one reference-noise plane from the on-core PRNG so
+    its statistics can be validated on hardware (tests/test_pallas.py)."""
+
+    def kernel(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0])
+        o_ref[:] = _reference_noise(flat_pad, c_tile, sqrt2a)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=jax.ShapeDtypeStruct((flat_pad, c_tile), jnp.float32),
+    )(jnp.asarray([seed], jnp.int32))
+
+
 def _uniforms(shape):
     """Uniforms in (0, 1): 24 high bits of the PRNG, offset by 2^-25.
 
@@ -69,6 +109,8 @@ def _uniforms(shape):
 def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                  a: float):
     n = cfg.n
+    reference_noise = cfg.reference_noise
+    flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
     t = float(cfg.temperature)
     a = float(a)
     sqrt2a = math.sqrt(2.0 * a)
@@ -164,7 +206,11 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     def kernel(offsets_ref, seed_ref,                       # scalar prefetch
                x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref,  # inputs
                xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref,  # outputs
-               xs, ys, zs, sems):                           # scratch
+               xs, ys, zs, *rest):                          # scratch
+        if reference_noise:
+            ns, sems = rest
+        else:
+            (sems,) = rest
         g = pl.program_id(0)
         col = pl.ds(g * c_tile, c_tile)
 
@@ -179,8 +225,13 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         for cp in cps:
             cp.wait()
 
-        # Per-tile, per-block PRNG stream.
-        pltpu.prng_seed(seed_ref[0], g)
+        # Per-tile, per-block PRNG stream: two 31-bit key words with the
+        # tile id mixed into the second (62 bits of block entropy — a
+        # single masked word collides by the birthday bound past ~46k
+        # blocks on reference-scale runs; Mosaic caps prng_seed at 2
+        # words, so g folds in multiplicatively).
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (g * jnp.int32(0x27D4EB2F)))
 
         # Wall coefficients are loop-invariant: read the scalars once.
         wa_vals = [wa_ref[0, m] for m in range(mm)]
@@ -189,6 +240,10 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         def one_sweep(s, e):
             offset = offsets_ref[s]
             acc_count = jnp.zeros((1, c_tile), jnp.float32)
+
+            if reference_noise:
+                # Once per sweep, read back per-move by particle id.
+                ns[:] = _reference_noise(flat_pad, c_tile, sqrt2a)
 
             def move(nn, carry):
                 e, acc_count = carry
@@ -205,14 +260,21 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                     fmy += wy
                     fmz += wz
 
-                # 3 Gaussians (Box-Muller, sigma = sqrt(2A)) + 1 uniform
-                u = _uniforms((8, c_tile))
-                r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * sqrt2a
-                g1 = r1 * jnp.cos(TWO_PI * u[1:2])
-                g2 = r1 * jnp.sin(TWO_PI * u[1:2])
-                g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * sqrt2a * \
-                    jnp.cos(TWO_PI * u[3:4])
-                u_acc = u[4:5]
+                if reference_noise:
+                    # displ[3n..3n+2] by particle id (SMC.c:309)
+                    g1 = ns[pl.ds(3 * i, 1), :]
+                    g2 = ns[pl.ds(3 * i + 1, 1), :]
+                    g3 = ns[pl.ds(3 * i + 2, 1), :]
+                    u_acc = _uniforms((8, c_tile))[0:1]
+                else:
+                    # 3 Gaussians (Box-Muller, sigma = sqrt(2A)) + 1 uniform
+                    u = _uniforms((8, c_tile))
+                    r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * sqrt2a
+                    g1 = r1 * jnp.cos(TWO_PI * u[1:2])
+                    g2 = r1 * jnp.sin(TWO_PI * u[1:2])
+                    g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * sqrt2a * \
+                        jnp.cos(TWO_PI * u[3:4])
+                    u_acc = u[4:5]
 
                 ddx = fmx * (a / t) + g1
                 ddy = fmy * (a / t) + g2
@@ -288,7 +350,7 @@ def pallas_sweep_block(
     wa: jax.Array,         # [1, MM_pad] f32 wall a-coefficients
     wb: jax.Array,
     offsets: jax.Array,    # [n_sweeps] int32 cyclic offsets
-    seed: jax.Array,       # [] int32 PRNG seed for this block
+    seed: jax.Array,       # [<=2] int32 PRNG seed words for this block
     cfg: SMCConfig,
     n_sweeps: int,
     a: float,
@@ -302,7 +364,7 @@ def pallas_sweep_block(
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
                              memory_space=pltpu.VMEM)
     wall_block = pl.BlockSpec((1, wa.shape[1]), lambda g, *_: (0, 0),
@@ -310,17 +372,22 @@ def pallas_sweep_block(
     trace_block = pl.BlockSpec((n_sweeps, c_tile), lambda g, *_: (0, g),
                                memory_space=pltpu.VMEM)
 
+    scratch = [
+        pltpu.VMEM((n_pad, c_tile), jnp.float32),
+        pltpu.VMEM((n_pad, c_tile), jnp.float32),
+        pltpu.VMEM((n_pad, c_tile), jnp.float32),
+    ]
+    if cfg.reference_noise:
+        scratch.append(pltpu.VMEM((_round_up(3 * cfg.n, 8), c_tile),
+                                  jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[hbm, hbm, hbm, row_block, wall_block, wall_block],
         out_specs=[hbm, hbm, hbm, row_block, trace_block, trace_block],
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, c_tile), jnp.float32),
-            pltpu.VMEM((n_pad, c_tile), jnp.float32),
-            pltpu.VMEM((n_pad, c_tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
     )
 
     out_shape = [
@@ -332,12 +399,15 @@ def pallas_sweep_block(
         jax.ShapeDtypeStruct((n_sweeps, c), jnp.int32),
     ]
 
+    seed_words = jnp.atleast_1d(seed).astype(jnp.int32)
+    if seed_words.shape[0] < 2:
+        seed_words = jnp.concatenate(
+            [seed_words, jnp.zeros((2 - seed_words.shape[0],), jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(offsets.astype(jnp.int32), jnp.atleast_1d(seed).astype(jnp.int32),
-      x, y, z, e, wa, wb)
+    )(offsets.astype(jnp.int32), seed_words, x, y, z, e, wa, wb)
 
 
 # ----------------------------------------------------------------------
