@@ -86,3 +86,47 @@ def test_two_axis_mesh_chains_and_particles():
     e_sharded = ens.particle_sharded_energy(r, w, cfg, mesh, axis="particles")
     e_dense = total_energy(r, w, cfg)
     np.testing.assert_allclose(float(e_sharded), float(e_dense), rtol=1e-12)
+
+
+def test_ensemble_chunk_invariance_xla():
+    """Seeded ensemble trajectories must be bitwise independent of how
+    sweeps are split into device calls (ADVICE r1: the offset schedule
+    derives from the per-sweep key chain, not from call boundaries)."""
+    from tpu_smc.ensemble import ensemble_sweeps
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0, dtype="float64")
+    state, w = init_ensemble_state(cfg, jax.random.key(3), 4)
+
+    s_one, _ = ensemble_sweeps(state, w, cfg, cfg.proposal_a, 6)
+    s_split = state
+    for k in (1, 3, 2):
+        s_split, _ = ensemble_sweeps(s_split, w, cfg, cfg.proposal_a, k)
+    np.testing.assert_array_equal(np.asarray(s_one.r), np.asarray(s_split.r))
+    np.testing.assert_array_equal(
+        np.asarray(s_one.energy), np.asarray(s_split.energy))
+    np.testing.assert_array_equal(
+        np.asarray(s_one.accepted), np.asarray(s_split.accepted))
+
+
+def test_ensemble_chunk_invariance_pallas():
+    """Same chunk-invariance contract for the Pallas path: per-sweep PRNG
+    seeds fold the ABSOLUTE sweep counter, so 6 sweeps == 1+3+2 sweeps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_smc.ensemble import ensemble_sweeps_pallas
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0, dtype="float32")
+    state, w = init_ensemble_state(cfg, jax.random.key(4), 128)
+
+    with pltpu.force_tpu_interpret_mode():
+        s_one, _ = ensemble_sweeps_pallas(
+            state, w, cfg, cfg.proposal_a, 6, c_tile=128)
+        s_split = state
+        for k in (1, 3, 2):
+            s_split, _ = ensemble_sweeps_pallas(
+                s_split, w, cfg, cfg.proposal_a, k, c_tile=128)
+    np.testing.assert_array_equal(np.asarray(s_one.r), np.asarray(s_split.r))
+    np.testing.assert_array_equal(
+        np.asarray(s_one.energy), np.asarray(s_split.energy))
+    np.testing.assert_array_equal(
+        np.asarray(s_one.accepted), np.asarray(s_split.accepted))

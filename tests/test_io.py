@@ -156,3 +156,44 @@ def test_checkpoint_resume_continues_identically(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(full.accepted), np.asarray(resumed.accepted)
     )
+
+
+def test_checkpoint_path_suffix_normalized(tmp_path):
+    """np.savez silently appends .npz; save_checkpoint must return the
+    path actually written so --resume with the printed path works."""
+    import jax
+
+    from tpu_smc.config import SMCConfig
+    from tpu_smc.state import init_chain_state
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0)
+    state, _ = init_chain_state(cfg, jax.random.key(0))
+    p = smcio.save_checkpoint(tmp_path / "ck", state, cfg)
+    assert p.suffix == ".npz" and p.exists()
+    st2, cfg2 = smcio.load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(st2.r), np.asarray(state.r))
+    assert cfg2 == cfg
+
+
+def test_broadcast_resumed_chain_keeps_counters_once(tmp_path):
+    """Resume-to-ensemble broadcast keeps cumulative voxel history in
+    chain 0 only (pooled CSVs would otherwise count it C times)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_smc.config import SMCConfig
+    from tpu_smc.state import broadcast_resumed_chain, init_chain_state
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0)
+    state, _ = init_chain_state(cfg, jax.random.key(0))
+    state = state._replace(
+        density=state.density + jnp.uint32(7),
+        mobility=state.mobility + jnp.uint32(3),
+    )
+    b = broadcast_resumed_chain(state, 4)
+    assert int(b.density[0].sum()) == 7 * cfg.n_voxels
+    assert int(b.density[1:].sum()) == 0
+    assert int(b.mobility[0].sum()) == 3 * cfg.n_voxels
+    assert int(b.mobility[1:].sum()) == 0
+    # everything else replicates
+    np.testing.assert_array_equal(np.asarray(b.r[2]), np.asarray(state.r))

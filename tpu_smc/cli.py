@@ -131,6 +131,18 @@ def main(argv=None) -> int:
                       "--chains ignored.")
             return _run_ensemble(args, cfg, params, d, state, w,
                                  prebatched=True)
+        if args.chains > 1:
+            # Broadcasting a resumed chain to an ensemble must not
+            # replicate its cumulative voxel counters into every chain
+            # (the pre-resume history would pool C times, ADVICE r1).
+            from .state import broadcast_resumed_chain
+
+            state = broadcast_resumed_chain(state, args.chains)
+            print(f"Note: resumed single chain broadcast to {args.chains} "
+                  "chains; cumulative density/mobility history kept in "
+                  "chain 0 only.")
+            return _run_ensemble(args, cfg, params, d, state, w,
+                                 prebatched=True)
     else:
         r0 = smcio.load_last_state(d, cfg)
         if r0 is not None:
@@ -207,8 +219,8 @@ def main(argv=None) -> int:
                                 "z, density")
 
     if args.checkpoint:
-        smcio.save_checkpoint(args.checkpoint, state, cfg)
-        print(f"Full chain state checkpointed to {args.checkpoint}")
+        ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
+        print(f"Full chain state checkpointed to {ck_path}")
 
     return 0
 
@@ -247,8 +259,8 @@ def _window_maintenance(args, cfg, widx, st, stopper, w=None):
 
         check_state(st, w, cfg, strict=False)
     if stopper["stop"]:
-        smcio.save_checkpoint(ck, st, cfg)
-        print(f"Checkpoint written to {ck}")
+        ck_path = smcio.save_checkpoint(ck, st, cfg)
+        print(f"Checkpoint written to {ck_path}")
         return "stop"
     return None
 
@@ -331,8 +343,8 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     smcio.write_last_state(d, cfg, agg.chains[0].r_final)
 
     if args.checkpoint:
-        smcio.save_checkpoint(args.checkpoint, state, cfg)
-        print(f"Full ensemble state checkpointed to {args.checkpoint}")
+        ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
+        print(f"Full ensemble state checkpointed to {ck_path}")
     return 0
 
 

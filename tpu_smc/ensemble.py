@@ -75,18 +75,20 @@ def ensemble_sweeps(
 
     # One offset stream shared by all chains (see sampler.sweep: turns the
     # per-move row access into a dynamic slice instead of a batched gather).
-    okey = jax.random.fold_in(state.key[0], 0x5EED)
+    # The offset is derived from chain 0's CURRENT key each sweep — the
+    # key chain evolves once per sweep regardless of how a run is split
+    # into device calls, so seeded trajectories are bitwise independent of
+    # chunk boundaries (ADVICE r1: reproducibility).
 
-    def body(carry, _):
-        st, okey = carry
-        okey, k = jax.random.split(okey)
-        offset = jax.random.randint(k, (), 0, cfg.n)
+    def body(st, _):
+        okey = jax.random.fold_in(st.key[0], 0x5EED)
+        offset = jax.random.randint(okey, (), 0, cfg.n)
         st, stats = jax.vmap(
             lambda s: sweep_state(s, w, cfg, a, offset=offset)
         )(st)
-        return (st, okey), stats if collect_trace else None
+        return st, stats if collect_trace else None
 
-    (state, _), trace = jax.lax.scan(body, (state, okey), None, length=n_sweeps)
+    state, trace = jax.lax.scan(body, state, None, length=n_sweeps)
     return state, trace
 
 
@@ -124,11 +126,13 @@ def ensemble_sweeps_pallas(
     kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
     the entire block. ~4x the XLA path at N=108 (measured on v5e).
 
-    The kernel uses the on-core PRNG (seeded from `seed`, per chain tile)
-    instead of the chains' threefry keys; the chain keys are still split
-    once per block so interleaving XLA and Pallas blocks stays valid.
-    Traces come back exactly like run_sweeps: per-sweep E and accept
-    counts, shape [n_sweeps, C].
+    The kernel uses the on-core PRNG instead of the chains' threefry
+    keys. Each sweep's stream is seeded from the chain key folded with
+    the ABSOLUTE sweep counter (state.sweeps), so seeded trajectories are
+    bitwise independent of how the run is chunked into device calls
+    (ADVICE r1) — the chain keys themselves stay untouched. Traces come
+    back exactly like run_sweeps: per-sweep E and accept counts, shape
+    [n_sweeps, C].
     """
     from .kernels import sweep_pallas as sp
 
@@ -153,32 +157,41 @@ def ensemble_sweeps_pallas(
             f"pallas sampler needs the chain count ({c}) to be a multiple "
             f"of 128 (lane width); use the xla sampler otherwise"
         )
+    # Per-sweep randomness derives from a base key folded with the
+    # ABSOLUTE sweep index — never from the block structure — so the same
+    # --seed gives the same trajectories no matter how thermalization or
+    # the gather windows are chunked into device calls (ADVICE r1).
+    s0 = state.sweeps.reshape(-1)[0].astype(jnp.int32)
     if seed is None:
-        # Derive the kernel PRNG seed from the run's chain key so --seed
-        # actually seeds the proposal noise and each block (the key splits
-        # per block) gets a fresh stream. Two 31-bit words (the kernel
-        # seeds with both + the tile id) keep block streams collision-free
-        # over reference-scale runs (ADVICE r1).
-        kd = jax.random.key_data(state.key[0]).reshape(-1)
-        seed = (kd[-2:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        base = jax.random.fold_in(state.key[0], 0x5EEDB1)
+    else:
+        seed_vec = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        base = jax.random.key(seed_vec[0].astype(jnp.uint32))
+        if seed_vec.shape[0] > 1:
+            base = jax.random.fold_in(base, seed_vec[1].astype(jnp.uint32))
+    sweep_ids = s0 + jnp.arange(n_sweeps, dtype=jnp.int32)
+    per_sweep = jax.vmap(
+        lambda i: jax.random.key_data(jax.random.fold_in(base, i)).reshape(-1)
+    )(sweep_ids)
+    sw_seeds = (per_sweep[:, -2:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    okey_base = jax.random.fold_in(base, 0x0FF5E7)
+    offsets = jax.vmap(
+        lambda i: jax.random.randint(
+            jax.random.fold_in(okey_base, i), (), 0, cfg.n, dtype=jnp.int32)
+    )(sweep_ids)
 
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)
     e = state.energy.reshape(1, c).astype(jnp.float32)
 
-    okey = jax.random.fold_in(state.key[0], 0x0FF5E7)
-    offsets = jax.random.randint(okey, (n_sweeps,), 0, cfg.n, dtype=jnp.int32)
-
     x, y, z, e, e_trace, a_trace = sp.pallas_sweep_block(
-        x, y, z, e, wa, wb, offsets, jnp.asarray(seed, jnp.int32),
+        x, y, z, e, wa, wb, offsets, sw_seeds,
         cfg, n_sweeps, float(a), c_tile=c_tile,
     )
 
-    new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
     new_state = state._replace(
         r=sp.from_planes(x, y, z, cfg, dtype=cfg.jnp_dtype),
         energy=e.reshape(c).astype(cfg.jnp_dtype),
-        key=new_keys,
         sweeps=state.sweeps + n_sweeps,
         accepted=state.accepted + jnp.sum(a_trace, axis=0, dtype=jnp.int32),
     )

@@ -253,8 +253,14 @@ def load_last_state(d: Path, cfg: SMCConfig) -> Optional[np.ndarray]:
 # ----------------------------------------------------------------------
 
 def save_checkpoint(path: str | Path, state: ChainState, cfg: SMCConfig) -> Path:
-    """Persist the complete chain (or ensemble) state + config."""
+    """Persist the complete chain (or ensemble) state + config.
+
+    Returns the path actually written: np.savez silently appends '.npz'
+    when the suffix is missing, so normalize first — otherwise the caller
+    prints a path that --resume can't find (ADVICE r1)."""
     path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {
         "r": np.asarray(state.r),

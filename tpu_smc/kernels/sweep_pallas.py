@@ -203,7 +203,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             fz = fz + dv * dz
         return 4.0 * u, fx, fy, fz
 
-    def kernel(offsets_ref, seed_ref,                       # scalar prefetch
+    def kernel(offsets_ref, seeds_ref,                      # scalar prefetch
                x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref,  # inputs
                xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref,  # outputs
                xs, ys, zs, *rest):                          # scratch
@@ -225,19 +225,21 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         for cp in cps:
             cp.wait()
 
-        # Per-tile, per-block PRNG stream: two 31-bit key words with the
-        # tile id mixed into the second (62 bits of block entropy — a
-        # single masked word collides by the birthday bound past ~46k
-        # blocks on reference-scale runs; Mosaic caps prng_seed at 2
-        # words, so g folds in multiplicatively).
-        pltpu.prng_seed(seed_ref[0],
-                        seed_ref[1] ^ (g * jnp.int32(0x27D4EB2F)))
-
         # Wall coefficients are loop-invariant: read the scalars once.
         wa_vals = [wa_ref[0, m] for m in range(mm)]
         wb_vals = [wb_ref[0, m] for m in range(mm)]
 
         def one_sweep(s, e):
+            # Per-SWEEP PRNG stream: two 31-bit words derived (upstream)
+            # from the chain key folded with the ABSOLUTE sweep counter,
+            # with the tile id mixed into the second word. Re-seeding per
+            # sweep makes trajectories bitwise independent of how a run is
+            # chunked into device calls (ADVICE r1) and keeps block
+            # streams collision-free (a single masked word collides by
+            # the birthday bound past ~46k blocks; Mosaic caps prng_seed
+            # at 2 words, so the tile id folds in multiplicatively).
+            pltpu.prng_seed(seeds_ref[s, 0],
+                            seeds_ref[s, 1] ^ (g * jnp.int32(0x27D4EB2F)))
             offset = offsets_ref[s]
             acc_count = jnp.zeros((1, c_tile), jnp.float32)
 
@@ -350,7 +352,9 @@ def pallas_sweep_block(
     wa: jax.Array,         # [1, MM_pad] f32 wall a-coefficients
     wb: jax.Array,
     offsets: jax.Array,    # [n_sweeps] int32 cyclic offsets
-    seed: jax.Array,       # [<=2] int32 PRNG seed words for this block
+    seed: jax.Array,       # [n_sweeps, 2] int32 per-sweep PRNG seed words
+                           # (scalar/[2] accepted: broadcast with a sweep
+                           # index fold for backward compatibility)
     cfg: SMCConfig,
     n_sweeps: int,
     a: float,
@@ -399,10 +403,19 @@ def pallas_sweep_block(
         jax.ShapeDtypeStruct((n_sweeps, c), jnp.int32),
     ]
 
-    seed_words = jnp.atleast_1d(seed).astype(jnp.int32)
-    if seed_words.shape[0] < 2:
-        seed_words = jnp.concatenate(
-            [seed_words, jnp.zeros((2 - seed_words.shape[0],), jnp.int32)])
+    seed = jnp.atleast_1d(seed).astype(jnp.int32)
+    if seed.ndim == 1:
+        # Scalar/[2] block seed: expand to per-sweep words by folding in
+        # the sweep index (legacy callers/tests).
+        w0 = seed[0]
+        w1 = seed[1] if seed.shape[0] > 1 else jnp.int32(0)
+        sidx = jnp.arange(n_sweeps, dtype=jnp.int32)
+        seed_words = jnp.stack(
+            [w0 + sidx * jnp.int32(0x165667B1),
+             w1 ^ (sidx * jnp.int32(0x5851F42D))], axis=1)
+    else:
+        assert seed.shape == (n_sweeps, 2), seed.shape
+        seed_words = seed
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

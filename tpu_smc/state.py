@@ -94,6 +94,19 @@ def batch_chain_state(state: ChainState, n_chains: int) -> ChainState:
     )
 
 
+def broadcast_resumed_chain(state: ChainState, n_chains: int) -> ChainState:
+    """Broadcast a RESUMED single chain to an ensemble.
+
+    Unlike batch_chain_state, the cumulative voxel counters are kept in
+    chain 0 only — plain replication would count the pre-resume history
+    C times in pooled density/mobility CSVs (ADVICE r1)."""
+    batched = batch_chain_state(state, n_chains)
+    return batched._replace(
+        density=batched.density.at[1:].set(0),
+        mobility=batched.mobility.at[1:].set(0),
+    )
+
+
 def init_ensemble_state(
     cfg: SMCConfig,
     key: jax.Array,
