@@ -62,3 +62,35 @@ def test_cli_resume_roundtrip(run_dir, tmp_path):
         "--data-dir", str(tmp_path / "Data"),
     ])
     assert rc == 0
+
+
+def test_volume_rendering_with_animation(run_dir, tmp_path):
+    """Volume rendering of the voxel density (plotting.jl:273-331):
+    composited projections PNG + the windowed-density animation GIF
+    (synthesized multi-window local_temp so the GIF path runs)."""
+    import shutil
+
+    from tpu_smc.analysis import (load_local_windows, load_run,
+                                  render_volume)
+
+    # copy the run and append a second local_temp window so W >= 2
+    d2 = tmp_path / run_dir.name
+    shutil.copytree(run_dir, d2)
+    run = load_run(d2)
+    lt = d2 / f"local_temp_{run.key}_rank0.csv"
+    lines = lt.read_text().strip().splitlines()
+    block = lines[1:]
+    assert len(block) == 33 * 33 * 33
+    with open(lt, "a") as f:
+        for row in block:
+            f.write(row + "\n")
+
+    windows = load_local_windows(run)
+    assert windows.shape == (2, 33, 33, 33, 2)
+    np.testing.assert_array_equal(windows[0], windows[1])
+
+    written = render_volume(run, tmp_path / "plots")
+    names = {p.name.split("_N")[0] for p in written}
+    assert names == {"volume", "volume_anim"}
+    for p in written:
+        assert p.exists() and p.stat().st_size > 0

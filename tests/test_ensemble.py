@@ -130,3 +130,58 @@ def test_ensemble_chunk_invariance_pallas():
         np.asarray(s_one.energy), np.asarray(s_split.energy))
     np.testing.assert_array_equal(
         np.asarray(s_one.accepted), np.asarray(s_split.accepted))
+
+
+def test_shared_offset_chains_stay_independent():
+    """DEVIATIONS A3: all chains share the per-sweep cyclic offset (a visit
+    SCHEDULE, for the 13x dynamic-slice layout win) while noise/uniforms
+    stay per-chain. Chains must remain statistically independent: the
+    cross-chain correlation of per-sweep energy increments under the
+    shared schedule must match the per-chain-offset ground truth and be
+    consistent with zero.
+
+    Bound: S sweeps give per-pair corr s.e. ~ 1/sqrt(S); the mean over
+    P = C(C-1)/2 pairs has s.e. ~ 1/sqrt(S*P). With S=400, C=16 we assert
+    |mean| < 0.02 (~4 sigma) and max |corr| < 4.5/sqrt(S)."""
+    from tpu_smc.ensemble import ensemble_sweeps
+    from tpu_smc.sampler import sweep_state
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0, dtype="float64")
+    n_chains, n_sweeps = 16, 400
+
+    def offdiag_corr(e_tr):
+        d = np.diff(np.asarray(e_tr), axis=0)        # [S-1, C] increments
+        d = d - d.mean(axis=0, keepdims=True)
+        sd = d.std(axis=0)
+        corr = (d.T @ d) / (len(d) * np.outer(sd, sd))
+        mask = ~np.eye(n_chains, dtype=bool)
+        return corr[mask]
+
+    # shared-offset path (the production ensemble engine)
+    state, w = init_ensemble_state(cfg, jax.random.key(11), n_chains)
+    state, _ = ensemble_sweeps(state, w, cfg, cfg.proposal_a, 100)  # equil
+    _, tr = ensemble_sweeps(state, w, cfg, cfg.proposal_a, n_sweeps,
+                            collect_trace=True)
+    shared = offdiag_corr(tr.energy)
+
+    # ground truth: per-chain offsets (each chain draws its own)
+    state2, _ = init_ensemble_state(cfg, jax.random.key(11), n_chains)
+    import jax as _jax
+
+    def block(st, n):
+        def body(s, _):
+            s, stats = _jax.vmap(
+                lambda c: sweep_state(c, w, cfg, cfg.proposal_a))(s)
+            return s, stats
+        return _jax.lax.scan(body, st, None, length=n)
+
+    state2, _ = _jax.jit(block, static_argnums=1)(state2, 100)
+    _, tr2 = _jax.jit(block, static_argnums=1)(state2, n_sweeps)
+    control = offdiag_corr(tr2.energy)
+
+    s_lim = 4.5 / np.sqrt(n_sweeps - 1)
+    assert abs(shared.mean()) < 0.02, shared.mean()
+    assert np.abs(shared).max() < s_lim, np.abs(shared).max()
+    # shared schedule must not add correlation over the per-chain control
+    assert abs(shared.mean() - control.mean()) < 0.02
+    assert np.abs(shared).mean() < np.abs(control).mean() + 0.01

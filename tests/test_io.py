@@ -197,3 +197,38 @@ def test_broadcast_resumed_chain_keeps_counters_once(tmp_path):
     assert int(b.mobility[1:].sum()) == 0
     # everything else replicates
     np.testing.assert_array_equal(np.asarray(b.r[2]), np.asarray(state.r))
+
+
+def test_ensemble_pooled_data_csv(tmp_path):
+    """The CLI writes data_ensemble_*.csv with cross-chain per-gather
+    means next to the per-rank files (VERDICT r1 #6)."""
+    import subprocess as sp
+    import sys
+
+    env = {"PYTHONPATH": str(Path(__file__).resolve().parent.parent),
+           "PATH": "/usr/bin:/bin"}
+    r = sp.run(
+        [sys.executable, "-m", "tpu_smc", "20", "60", "6", "1.1",
+         "--platform", "cpu", "--dtype", "float32", "--seed", "5",
+         "--chains", "3", "--data-dir", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    run_dir = next(tmp_path.iterdir())
+    pooled = list(run_dir.glob("data_ensemble_*.csv"))
+    assert len(pooled) == 1
+    lines = pooled[0].read_text().strip().splitlines()
+    assert lines[0] == "E_mean, E_std, P_mean, jj_mean"
+    assert len(lines) == 1 + 6  # header + one row per gather
+    # pooled mean at gather k must equal the mean of the per-rank rows
+    import numpy as _np
+
+    ranks = sorted(run_dir.glob("data_*_rank*.csv"))
+    assert len(ranks) == 3
+    per_rank_e = _np.stack([
+        _np.asarray([float(l.split(",")[0])
+                     for l in p.read_text().strip().splitlines()[1:]])
+        for p in ranks
+    ])
+    pooled_e = _np.asarray([float(l.split(",")[0]) for l in lines[1:]])
+    _np.testing.assert_allclose(pooled_e, per_rank_e.mean(axis=0), rtol=1e-6)

@@ -163,3 +163,47 @@ class TestNewObservables:
             cfg,
         )
         assert int(np.asarray(d).sum()) == cfg.n
+
+
+def test_z_range_edges_partition():
+    """Non-uniform z edges (createZRange intent, SMC.c:1153-1169): a
+    complete monotone partition of [0, Lz] with thin layer_depth walls
+    layers and 3 equal central layers."""
+    from tpu_smc.observables import z_range_edges
+
+    cfg = SMCConfig(ncz=33, layer_depth=5.0, box_lz=200.0)
+    e = z_range_edges(cfg)
+    assert e.shape == (34,)
+    assert e[0] == 0.0 and e[-1] == 200.0
+    assert np.all(np.diff(e) > 0)
+    widths = np.diff(e)
+    np.testing.assert_allclose(widths[:15], 5.0)     # lower wall layers
+    np.testing.assert_allclose(widths[-15:], 5.0)    # upper wall layers
+    np.testing.assert_allclose(widths[15:18], 50.0 / 3)  # 3 central layers
+    # even Ncz also partitions completely
+    cfg2 = SMCConfig(ncz=32, layer_depth=5.0, box_lz=200.0)
+    e2 = z_range_edges(cfg2)
+    assert e2.shape == (33,) and np.all(np.diff(e2) > 0)
+
+
+def test_nonuniform_z_voxel_binning():
+    """voxel_index with nonuniform_z: particles land in the layer their z
+    falls into (k from the edge partition, i/j unchanged)."""
+    import jax
+
+    from tpu_smc.observables import voxel_index, z_range_edges
+
+    cfg = SMCConfig(ncz=33, layer_depth=5.0, box_lz=200.0,
+                    nonuniform_z=True)
+    edges = z_range_edges(cfg) - cfg.box_lz / 2  # centered coordinates
+    # one particle per layer mid-point, at x=y=0
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    r = np.zeros((cfg.ncz, 3))
+    r[:, 2] = mids
+    v = np.asarray(voxel_index(jax.numpy.asarray(r), cfg))
+    k = v % cfg.ncz
+    np.testing.assert_array_equal(k, np.arange(cfg.ncz))
+    # uniform binning would NOT reproduce this for the thin wall layers
+    cfg_u = SMCConfig(ncz=33, box_lz=200.0)
+    vu = np.asarray(voxel_index(jax.numpy.asarray(r), cfg_u)) % cfg_u.ncz
+    assert not np.array_equal(vu, np.arange(cfg.ncz))

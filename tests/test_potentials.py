@@ -190,3 +190,23 @@ class TestInvariants:
         d = 10.0 - 8.9
         expected = 4.0 * (d ** -12 - d ** -6)
         np.testing.assert_allclose(float(u), expected, rtol=1e-10)
+
+
+def test_total_forces_is_minus_grad_energy():
+    """total_forces (the reference's dead `forces`, SMC.c:656-686) must be
+    the exact negative gradient of the total energy."""
+    import jax
+
+    from tpu_smc.potentials import total_energy, total_forces
+    from tpu_smc.state import init_chain_state
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float64")
+    rng = np.random.default_rng(3)
+    r0 = np.stack([
+        rng.uniform(-5, 5, 16), rng.uniform(-5, 5, 16),
+        rng.uniform(-15, 15, 16),
+    ], axis=-1)
+    state, w = init_chain_state(cfg, jax.random.key(0), r0=r0)
+    f = np.asarray(total_forces(state.r, w, cfg))
+    g = np.asarray(jax.grad(lambda r: total_energy(r, w, cfg))(state.r))
+    np.testing.assert_allclose(f, -g, rtol=1e-9, atol=1e-9)

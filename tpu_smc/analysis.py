@@ -149,6 +149,121 @@ def acf_check(run: RunData, k_max: int = 200) -> np.ndarray:
 # Rendering
 # ----------------------------------------------------------------------
 
+def load_local_windows(run: RunData, rank: int = 0) -> np.ndarray:
+    """Windowed density deltas from local_temp (one block appended per
+    STORAGE_TIME gather, SMC.c:171-181). Returns [W, ncx, ncx, ncz, 2]
+    (possibly W=0 when the run wrote no windows)."""
+    p = run.run_dir / f"local_temp_{run.key}_rank{rank}.csv"
+    if not p.exists():
+        return np.zeros((0,) + run.local_dims + (2,))
+    raw = np.genfromtxt(p, delimiter=",", skip_header=1)
+    raw = np.atleast_2d(raw)
+    ncx, _, ncz = run.local_dims
+    block = ncx * ncx * ncz
+    if raw.size == 0 or raw.shape[0] % block:
+        return np.zeros((0, ncx, ncx, ncz, 2))
+    w = raw.shape[0] // block
+    out = np.zeros((w, ncx, ncx, ncz, 2))
+    for wi in range(w):
+        b = raw[wi * block:(wi + 1) * block]
+        i, j, k = (b[:, 0].astype(int), b[:, 1].astype(int),
+                   b[:, 2].astype(int))
+        out[wi, i, j, k, 0] = b[:, 3]
+        out[wi, i, j, k, 1] = b[:, 4]
+    return out
+
+
+def _composite(vol: np.ndarray, axis: int, opacity: float = 4.0):
+    """Front-to-back alpha compositing of a density volume along `axis` —
+    an emission-absorption volume render (the capability of plotting.jl's
+    Makie `volume`, :273-331) done in numpy. Returns (rgb image, alpha)."""
+    v = np.moveaxis(vol, axis, 0).astype(float)
+    vmax = v.max()
+    if vmax <= 0:
+        shape = v.shape[1:]
+        return np.zeros(shape + (3,)), np.zeros(shape)
+    v = v / vmax
+    cmap = plt.cm.inferno if HAVE_MPL else None
+    rgb = np.zeros(v.shape[1:] + (3,))
+    transmit = np.ones(v.shape[1:])
+    for slab in v:  # front-to-back through the volume
+        a = 1.0 - np.exp(-opacity * slab / len(v))
+        col = cmap(slab)[..., :3] if cmap is not None else slab[..., None]
+        rgb += (transmit * a)[..., None] * col
+        transmit *= 1.0 - a
+    rgb = rgb / max(float(rgb.max()), 1e-9)  # normalize exposure
+    return rgb, 1.0 - transmit
+
+
+def render_volume(run: RunData, out_dir: str | Path,
+                  animate: bool = True) -> list[Path]:
+    """Volumetric rendering of the voxel density field (plotting.jl's
+    Makie volume scene + animation, :273-331):
+
+      * volume_<key>.png — alpha-composited projections of the cumulative
+        density along x, y, z plus a translucent 3-D voxel point cloud;
+      * volume_anim_<key>.gif — the windowed density (local_temp deltas)
+        composited per window, animated over simulation time (when the
+        run wrote >= 2 windows).
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list[Path] = []
+    density = run.local[..., 0]
+    if not HAVE_MPL or density.max() <= 0:  # pragma: no cover
+        return written
+
+    fig = plt.figure(figsize=(13, 3.6))
+    for ai, axis_name in enumerate("xyz"):
+        ax = fig.add_subplot(1, 4, ai + 1)
+        rgb, _ = _composite(density, ai)
+        ax.imshow(np.clip(rgb.swapaxes(0, 1), 0, 1), origin="lower")
+        ax.set_title(f"density volume along {axis_name}", fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    ax = fig.add_subplot(1, 4, 4, projection="3d")
+    ncx, _, ncz = run.local_dims
+    thresh = np.quantile(density[density > 0], 0.5) if (density > 0).any() else 0
+    ii, jj, kk = np.nonzero(density > thresh)
+    d = density[ii, jj, kk]
+    ax.scatter(ii, jj, kk, c=d, cmap="inferno", s=3,
+               alpha=0.25, linewidths=0)
+    ax.set_title("voxel cloud", fontsize=9)
+    fig.suptitle(f"density volume {run.key}")
+    p = out / f"volume_{run.key}.png"
+    fig.savefig(p, dpi=120)
+    plt.close(fig)
+    written.append(p)
+
+    if animate:
+        windows = load_local_windows(run)
+        if windows.shape[0] >= 2:
+            from matplotlib import animation as mpl_anim
+
+            fig, ax = plt.subplots(figsize=(4.5, 4.5))
+            vmax = max(windows[..., 0].max(), 1)
+            im = ax.imshow(np.zeros((ncx, ncz, 3)), origin="lower",
+                           aspect="auto")
+            ax.set_xticks([])
+            ax.set_yticks([])
+
+            def update(wi):
+                rgb, _ = _composite(windows[wi, ..., 0] / vmax, 1,
+                                    opacity=8.0)
+                im.set_data(np.clip(rgb.swapaxes(0, 1), 0, 1))
+                ax.set_title(f"density window {wi} / {windows.shape[0]}",
+                             fontsize=9)
+                return (im,)
+
+            ani = mpl_anim.FuncAnimation(
+                fig, update, frames=windows.shape[0], interval=300)
+            p = out / f"volume_anim_{run.key}.gif"
+            ani.save(p, writer=mpl_anim.PillowWriter(fps=3))
+            plt.close(fig)
+            written.append(p)
+    return written
+
+
 def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     """Produce the full plot set (or .npz summaries without matplotlib)."""
     out = Path(out_dir)
@@ -258,6 +373,9 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         fig.savefig(p, dpi=120)
         plt.close(fig)
         written.append(p)
+
+    # voxel density volume rendering (plotting.jl:273-331)
+    written.extend(render_volume(run, out))
 
     return written
 

@@ -24,10 +24,15 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tpu_smc",
         description="TPU-native Smart Monte Carlo of a confined LJ fluid",
     )
-    p.add_argument("eqsteps", type=int, help="equilibration sweeps (ref: 4e6)")
-    p.add_argument("maxsteps", type=int, help="production sweeps (ref: 16e6)")
-    p.add_argument("numdata", type=int, help="number of gathers (ref: 4e5)")
-    p.add_argument("temperature", type=float, help="temperature (ref: 1.1)")
+    p.add_argument("eqsteps", type=int, nargs="?", default=None,
+                   help="equilibration sweeps (ref: 4e6); prompted "
+                        "interactively when omitted (main.c:20-30)")
+    p.add_argument("maxsteps", type=int, nargs="?", default=None,
+                   help="production sweeps (ref: 16e6)")
+    p.add_argument("numdata", type=int, nargs="?", default=None,
+                   help="number of gathers (ref: 4e5)")
+    p.add_argument("temperature", type=float, nargs="?", default=None,
+                   help="temperature (ref: 1.1)")
     p.add_argument("--n", type=int, default=108, help="particles (SMC.h:29)")
     p.add_argument("--m", type=int, default=3, help="wall grid per dim (SMC.h:26)")
     p.add_argument("--gamma", type=float, default=None,
@@ -68,11 +73,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
                    help="enable float64 (CPU parity runs)")
+    p.add_argument("--nonuniform-z", action="store_true",
+                   help="non-uniform z voxel binning: layer_depth layers at"
+                        " the walls, 3 thick central layers (createZRange,"
+                        " SMC.c:1153-1169)")
     return p
+
+
+def _prompt_missing(args) -> None:
+    """Interactive fallback when positionals are omitted — the reference
+    asks via scanf when argc != 5 (main.c:20-30)."""
+    prompts = (
+        ("eqsteps", int, "Enter the number of equilibration steps: "),
+        ("maxsteps", int, "Enter the number of simulation steps: "),
+        ("numdata", int, "Enter the number of microstates to analyze: "),
+        ("temperature", float,
+         "Enter the temperature in normalized units: "),
+    )
+    for name, cast, text in prompts:
+        if getattr(args, name) is None:
+            print(text, end="", flush=True)
+            setattr(args, name, cast(input()))
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _prompt_missing(args)
 
     import jax
 
@@ -97,6 +123,8 @@ def main(argv=None) -> int:
                   f"(N={cfg.n}, T={cfg.temperature}); CLI values ignored.")
     else:
         gkw = {} if args.gamma is None else {"gamma": args.gamma}
+        if args.nonuniform_z:
+            gkw["nonuniform_z"] = True
         if args.bulk:
             cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
                                  dtype=args.dtype, **gkw)
@@ -333,6 +361,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
         centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
         smcio.write_profile_csv(d, cfg, "zprofile", centers, agg.zprofile,
                                 "z, density")
+    smcio.write_ensemble_data_csv(d, cfg, agg.chains, params.gather_lapse)
     for ci, res in enumerate(agg.chains):
         smcio.write_data_csv(d, cfg, res.energy_trace_full, res.pressure_trace,
                              res.accept_trace, params.gather_lapse, rank=ci)

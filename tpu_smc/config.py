@@ -82,6 +82,13 @@ class SMCConfig:
     ncx: int = 33                # density voxels along x and y
     ncz: int = 33                # density voxels along z
     layer_depth: float = 5.0     # non-uniform z-cell thickness (SMC.h:58)
+    # Non-uniform z binning for density/mobility voxels: thin layer_depth
+    # layers at both walls, 3 thick layers in the center (createZRange /
+    # localDensityAndMobility_nonuniz, SMC.c:1153-1169, 930-964 — present
+    # but unused in the reference's live path; the reference's edge array
+    # even leaves index 17 unset. We implement the commented intent with
+    # a complete Ncz+1 edge partition — docs/DEVIATIONS.md F8).
+    nonuniform_z: bool = False
     kmax: int = 2_500_000        # max ACF lag (SMC.h:61)
 
     # --- numerics (new: the reference is double everywhere) ---

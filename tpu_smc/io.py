@@ -168,6 +168,43 @@ def write_autocorrelation_csv(
     return p
 
 
+def write_ensemble_data_csv(
+    d: Path,
+    cfg: SMCConfig,
+    chains,                 # list[SimResults] (driver_ensemble per-chain)
+    gather_lapse: int,
+) -> Path | None:
+    """Pooled ensemble data: `data_ensemble_*.csv`, one row per gather with
+    the CROSS-CHAIN mean/spread of E, mean P and mean acceptance count.
+
+    This is the aggregation the reference's replica model left to offline
+    filesystem scripts (per-rank data_*_rank%d.csv only, SMC.c:75-77,
+    SURVEY §5.8). Schema: `E_mean, E_std, P_mean, jj_mean` with the same
+    per-gather sampling convention as the per-rank files (E at k*lapse
+    from the full trace, jj the k-th sweep's acceptance count).
+    Returns None when no chain carries traces (--no-trace runs)."""
+    if not chains:
+        return None
+    p_tr = np.stack([np.asarray(c.pressure_trace) for c in chains], axis=1)
+    gather_steps = p_tr.shape[0]
+    e_tr = np.stack([np.asarray(c.energy_trace_full) for c in chains], axis=1)
+    a_tr = np.stack([np.asarray(c.accept_trace) for c in chains], axis=1)
+    p = _fname(d, "data_ensemble", cfg)
+    with open(p, "w") as f:
+        f.write("E_mean, E_std, P_mean, jj_mean\n")
+        for k in range(gather_steps):
+            idx = k * gather_lapse
+            if idx < e_tr.shape[0]:
+                em = float(e_tr[idx].mean())
+                es = float(e_tr[idx].std())
+            else:
+                em = es = 0.0
+            jj = float(a_tr[k].mean()) if k < a_tr.shape[0] else 0.0
+            f.write(f"{em:0.9f}, {es:0.9f}, {float(p_tr[k].mean()):0.9f}, "
+                    f"{jj:0.4f}\n")
+    return p
+
+
 def write_profile_csv(
     d: Path, cfg: SMCConfig, stem: str, centers: np.ndarray,
     values: np.ndarray, header: str, rank: int = 0,

@@ -33,11 +33,45 @@ def voxel_index(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     """
     i = jnp.floor((r[:, 0] / cfg.box_l + 0.5) * cfg.ncx).astype(jnp.int32)
     j = jnp.floor((r[:, 1] / cfg.box_l + 0.5) * cfg.ncx).astype(jnp.int32)
-    k = jnp.floor((r[:, 2] / cfg.box_lz + 0.5) * cfg.ncz).astype(jnp.int32)
+    if cfg.nonuniform_z:
+        edges = jnp.asarray(z_range_edges(cfg), r.dtype)
+        k = (jnp.searchsorted(edges, r[:, 2] + cfg.box_lz / 2.0,
+                              side="right") - 1).astype(jnp.int32)
+    else:
+        k = jnp.floor((r[:, 2] / cfg.box_lz + 0.5) * cfg.ncz).astype(jnp.int32)
     i = jnp.clip(i, 0, cfg.ncx - 1)
     j = jnp.clip(j, 0, cfg.ncx - 1)
     k = jnp.clip(k, 0, cfg.ncz - 1)
     return i * (cfg.ncx * cfg.ncz) + j * cfg.ncz + k
+
+
+def z_range_edges(cfg: SMCConfig) -> np.ndarray:
+    """Non-uniform z bin edges in [0, Lz] (createZRange, SMC.c:1153-1169).
+
+    The reference's comment documents the intent: every layer has
+    LAYER_DEPTH thickness except the central 3, which split the leftover
+    space equally. Its edge array has Ncz entries (so only Ncz-1 usable
+    bins) and leaves index 17 unset entirely — the function is dead code
+    in the live path. We build the documented partition properly: Ncz+1
+    monotone edges = (Ncz-3)/2 thin layers per wall + 3 equal central
+    layers (docs/DEVIATIONS.md F8)."""
+    ncz = cfg.ncz
+    ld = float(cfg.layer_depth)
+    lz = float(cfg.box_lz)
+    half = (ncz - 3) // 2
+    # keep the thin layers from spilling past the midplane for tiny boxes
+    ld = min(ld, lz / (2.0 * half + 3.0)) if half else ld
+    lower = ld * np.arange(half + 1)                  # 0 .. half*ld
+    upper = lz - ld * np.arange(half, -1, -1)         # lz-half*ld .. lz
+    inner_lo, inner_hi = lower[-1], upper[0]
+    central = inner_lo + (inner_hi - inner_lo) / 3.0 * np.arange(1, 3)
+    edges = np.concatenate([lower, central, upper])
+    # odd leftover bin when Ncz-3 is odd: merge into the center
+    if edges.size != ncz + 1:
+        edges = np.unique(np.concatenate(
+            [edges, [inner_lo + (inner_hi - inner_lo) / 2.0]]))[: ncz + 1]
+    assert edges.size == ncz + 1, (edges.size, ncz)
+    return edges
 
 
 def density_mobility_update(

@@ -285,6 +285,20 @@ def energy_force_single(
     return u, f
 
 
+def total_forces(R: jnp.ndarray, W: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
+    """Total force on every particle, [N, 3]: pair + wall terms.
+
+    The reference's `forces` (SMC.c:656-686) is dead code in its live
+    path (only the per-particle forceSingle/wallsForce run in the
+    sampler); kept here for API completeness — one vmapped row pass
+    instead of the C triangular accumulation (Newton's third law is
+    implicit: each row sums the full masked column set)."""
+    idx = jnp.arange(R.shape[0])
+    return jax.vmap(
+        lambda i, ri: energy_force_single(R, i, ri, W, cfg)[1]
+    )(idx, R)
+
+
 def total_energy(R: jnp.ndarray, W: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     """Total potential energy: pair + wall (E[0] init, SMC.c:48)."""
     u = pair_energy_total(R, cfg)
