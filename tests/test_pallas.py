@@ -211,3 +211,67 @@ def test_kernel_reference_noise_structure_tpu():
     assert abs(m21 - (-0.498)) < 0.02, m21
     assert abs(m12 - 0.274) < 0.02, m12
     assert abs(float(d.std()) / s - 1.0) < 0.01
+
+
+def test_zskip_bitwise_identical_to_dense_blocks():
+    """The z-sorted block-skip path skips ONLY provably-zero blocks: the
+    same kernel with zskip on/off must produce bitwise identical outputs
+    on sorted input (VERDICT r1 #4 — exactness by construction)."""
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(1)
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        np.sort(rng.uniform(-28, 28, 24)),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(0), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([3, 11], jnp.int32)
+    seeds = jnp.asarray([[5, 7], [9, 11]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        on = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=True, row_block_rows=8)
+        off = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=False, row_block_rows=8)
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zsorted_ensemble_bookkeeping_and_chunk_invariance():
+    """ensemble_sweeps_zsorted: energy bookkeeping exact after sort+sweep
+    chunks, and trajectories bitwise chunk-invariant (1+3+2 == 6)."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
+
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(2)
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        rng.uniform(-28, 28, 24),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(4), 128, r0=r0)
+    with pltpu.force_tpu_interpret_mode():
+        s_one, tr = ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 6, c_tile=128, row_block_rows=8)
+        s_split = state
+        for k in (1, 3, 2):
+            s_split, _ = ensemble_sweeps_zsorted(
+                s_split, w, cfg, cfg.proposal_a, k, c_tile=128,
+                row_block_rows=8)
+    exact = jax.vmap(lambda r: total_energy(r, w, cfg))(s_one.r)
+    assert float(jnp.max(jnp.abs(exact - s_one.energy))) < 1e-2
+    acc = np.asarray(tr.accepted)
+    assert np.all(acc >= 0) and np.all(acc <= cfg.n)
+    # positions are label-permuted per chunk: compare as SORTED sets
+    def canon(st):
+        r = np.asarray(st.r)
+        out = []
+        for c in range(r.shape[0]):
+            idx = np.lexsort((r[c, :, 2], r[c, :, 1], r[c, :, 0]))
+            out.append(r[c, idx])
+        return np.stack(out)
+    np.testing.assert_array_equal(canon(s_one), canon(s_split))
+    np.testing.assert_array_equal(
+        np.asarray(s_one.energy), np.asarray(s_split.energy))

@@ -107,7 +107,7 @@ def _uniforms(shape):
 
 
 def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
-                 a: float):
+                 a: float, zskip: bool = False, row_block: int | None = None):
     n = cfg.n
     reference_noise = cfg.reference_noise
     flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
@@ -115,6 +115,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     a = float(a)
     sqrt2a = math.sqrt(2.0 * a)
     cut2 = float(cfg.cutoff2)
+    cutoff = float(cfg.lj_cutoff)
     box_l = float(cfg.box_l)
     box_lz = float(cfg.box_lz)
     contact = float(cfg.contact_dz)
@@ -125,13 +126,42 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     site_xy = [((m // cfg.m) * dw, (m % cfg.m) * dw) for m in range(mm)]
     use_walls = cfg.use_walls
     pbc_z = cfg.pbc_z
-    row_block = min(n_pad, ROW_BLOCK)
+    row_block = min(n_pad, row_block or ROW_BLOCK)
     n_blocks = n_pad // row_block if n_pad % row_block == 0 else \
         n_pad // row_block + 1
+    if zskip and pbc_z:
+        raise NotImplementedError("zskip assumes walls (no z wrap)")
 
-    def pair_terms(xi, yi, zi, xs, ys, zs, i):
-        """U and F on a particle at (xi, yi, zi) [1, C] vs all rows of the
-        VMEM planes, j-blocked. Returns (u, fx, fy, fz) [1, C]."""
+    def _block_terms(xi, yi, zi, x, y, z):
+        """LJ terms of one row block against a [1, C] query. Parked/pad
+        rows (1e15) give dr2 ~ 1e30: they fail the cutoff test and their
+        inv6 underflows to exactly 0 — one `dr2 < cut2` compare is the
+        entire mask (the caller parks the moving particle's own row)."""
+        dx = xi - x
+        dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
+        dy = yi - y
+        dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
+        dz = zi - z
+        if pbc_z:
+            dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
+        dr2 = dx * dx + dy * dy + dz * dz
+        mask = dr2 < cut2
+        # guard exact-coincidence only (inf would poison the accept math)
+        inv2 = 1.0 / jnp.maximum(dr2, 1e-12)
+        inv6 = inv2 * inv2 * inv2
+        inv12 = inv6 * inv6
+        u_term = inv12 - inv6
+        u = jnp.sum(jnp.where(mask, u_term, 0.0), axis=0, keepdims=True)
+        # dV = (48 inv12 - 24 inv6) inv2 = 24 inv2 (inv12 + u_term);
+        # the 24x (and u's 4x) scale is applied once per pass by the caller
+        dv = jnp.where(mask, (inv12 + u_term) * inv2, 0.0)
+        fx = jnp.sum(dv * dx, axis=0, keepdims=True)
+        fy = jnp.sum(dv * dy, axis=0, keepdims=True)
+        fz = jnp.sum(dv * dz, axis=0, keepdims=True)
+        return u, fx, fy, fz
+
+    def pair_terms(xi, yi, zi, xs, ys, zs):
+        """U and F on a [1, C] query vs all rows, statically j-blocked."""
         u = jnp.zeros((1, c_tile), jnp.float32)
         fx = jnp.zeros((1, c_tile), jnp.float32)
         fy = jnp.zeros((1, c_tile), jnp.float32)
@@ -139,31 +169,48 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         for b in range(n_blocks):
             j0 = b * row_block
             rb = min(row_block, n_pad - j0)
-            x = xs[j0:j0 + rb, :]
-            y = ys[j0:j0 + rb, :]
-            z = zs[j0:j0 + rb, :]
-            row_ids = j0 + jax.lax.broadcasted_iota(
-                jnp.int32, (rb, c_tile), 0)
-            dx = xi - x
-            dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
-            dy = yi - y
-            dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
-            dz = zi - z
-            if pbc_z:
-                dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
-            dr2 = dx * dx + dy * dy + dz * dz
-            mask = (dr2 < cut2) & (row_ids != i) & (row_ids < n)
-            safe = jnp.where(mask, dr2, 1.0)
-            inv2 = 1.0 / safe
-            inv6 = inv2 * inv2 * inv2
-            inv12 = inv6 * inv6
-            u = u + 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0),
-                                  axis=0, keepdims=True)
-            dv = jnp.where(mask, (48.0 * inv12 - 24.0 * inv6) * inv2, 0.0)
-            fx = fx + jnp.sum(dv * dx, axis=0, keepdims=True)
-            fy = fy + jnp.sum(dv * dy, axis=0, keepdims=True)
-            fz = fz + jnp.sum(dv * dz, axis=0, keepdims=True)
-        return u, fx, fy, fz
+            du, dfx, dfy, dfz = _block_terms(
+                xi, yi, zi, xs[j0:j0 + rb, :], ys[j0:j0 + rb, :],
+                zs[j0:j0 + rb, :])
+            u, fx, fy, fz = u + du, fx + dfx, fy + dfy, fz + dfz
+        return 4.0 * u, 24.0 * fx, 24.0 * fy, 24.0 * fz
+
+    def pair_terms_zskip(xi, yi, zi, xs, ys, zs, zlo, zhi, sbmin, sbmax):
+        """zskip pair pass: rows are z-SORTED per chain; sbmin/sbmax are
+        LIVE scalar per-block z bounds (SMEM). Only the contiguous block
+        envelope that can overlap [zlo - cut, zhi + cut] is processed by
+        a dynamic-bounds fori_loop — blocks outside contribute provably
+        zero, so skipping is bitwise exact (tested). Scalar bounds (not
+        per-lane) keep the skip decision off the VPU: the per-block
+        search runs on the scalar unit with no vector->scalar syncs."""
+        lo_t = zlo - cutoff
+        hi_t = zhi + cutoff
+
+        def scan_blocks(b, carry):
+            b_lo, b_hi = carry
+            need = (sbmin[b] <= hi_t) & (sbmax[b] >= lo_t)
+            b_lo = jnp.where(need, jnp.minimum(b_lo, b), b_lo)
+            b_hi = jnp.where(need, jnp.maximum(b_hi, b + 1), b_hi)
+            return b_lo, b_hi
+
+        b_lo, b_hi = jax.lax.fori_loop(
+            0, n_blocks, scan_blocks,
+            (jnp.int32(n_blocks), jnp.int32(0)))
+
+        def block_body(b, acc):
+            u, fx, fy, fz = acc
+            j0 = b * row_block
+            du, dfx, dfy, dfz = _block_terms(
+                xi, yi, zi,
+                xs[pl.ds(j0, row_block), :],
+                ys[pl.ds(j0, row_block), :],
+                zs[pl.ds(j0, row_block), :])
+            return u + du, fx + dfx, fy + dfy, fz + dfz
+
+        zero = jnp.zeros((1, c_tile), jnp.float32)
+        u, fx, fy, fz = jax.lax.fori_loop(
+            b_lo, b_hi, block_body, (zero, zero, zero, zero))
+        return 4.0 * u, 24.0 * fx, 24.0 * fy, 24.0 * fz
 
     def wall_terms(xi, yi, zi, wa_vals, wb_vals):
         """Uniform + grid wall energy/force at [1, C] positions
@@ -207,10 +254,11 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref,  # inputs
                xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref,  # outputs
                xs, ys, zs, *rest):                          # scratch
-        if reference_noise:
-            ns, sems = rest
-        else:
-            (sems,) = rest
+        rest = list(rest)
+        ns = rest.pop(0) if reference_noise else None
+        if zskip:
+            sbmin, sbmax = rest.pop(0), rest.pop(0)  # SMEM scalar bounds
+        (sems,) = rest
         g = pl.program_id(0)
         col = pl.ds(g * c_tile, c_tile)
 
@@ -247,6 +295,19 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 # Once per sweep, read back per-move by particle id.
                 ns[:] = _reference_noise(flat_pad, c_tile, sqrt2a)
 
+            if zskip:
+                # Exact per-block SCALAR z bounds at sweep start; they
+                # only EXPAND during the sweep (by every proposal's z
+                # range at its block), so block-skip decisions stay
+                # provably safe for the whole sweep.
+                for b in range(n_blocks):
+                    j0 = b * row_block
+                    rb = min(row_block, n_pad - j0)
+                    zb = zs[j0:j0 + rb, :]
+                    real = zb < 1e14  # pad rows park at 1e15
+                    sbmin[b] = jnp.min(jnp.where(real, zb, 1e15))
+                    sbmax[b] = jnp.max(jnp.where(real, zb, -1e15))
+
             def move(nn, carry):
                 e, acc_count = carry
                 i = (nn + offset) % n
@@ -254,7 +315,24 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 yi = ys[pl.ds(i, 1), :]
                 zi = zs[pl.ds(i, 1), :]
 
-                um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs, i)
+                # Park the moving particle's row out of every cutoff so
+                # both pair passes skip it without id masks (see
+                # pair_terms); the row is rewritten on accept/reject.
+                parked = jnp.full((1, c_tile), 1e15, jnp.float32)
+                xs[pl.ds(i, 1), :] = parked
+                ys[pl.ds(i, 1), :] = parked
+                zs[pl.ds(i, 1), :] = parked
+
+                if zskip:
+                    # row i was in block ib at sort time and every later
+                    # write expanded that block's bounds, so its current
+                    # z lies within the live scalar bounds of block ib
+                    ib = i // row_block
+                    um, fmx, fmy, fmz = pair_terms_zskip(
+                        xi, yi, zi, xs, ys, zs,
+                        sbmin[ib], sbmax[ib], sbmin, sbmax)
+                else:
+                    um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs)
                 if use_walls:
                     uw, wx, wy, wz = wall_terms(xi, yi, zi, wa_vals, wb_vals)
                     um += uw
@@ -289,7 +367,13 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 if pbc_z:
                     pz = pz - box_lz * jnp.round(pz * (1.0 / box_lz))
 
-                un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs, i)
+                if zskip:
+                    pz_lo = jnp.min(pz)
+                    pz_hi = jnp.max(pz)
+                    un, fnx, fny, fnz = pair_terms_zskip(
+                        px, py, pz, xs, ys, zs, pz_lo, pz_hi, sbmin, sbmax)
+                else:
+                    un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs)
                 if use_walls:
                     uw, wx, wy, wz = wall_terms(px, py, pz, wa_vals, wb_vals)
                     un += uw
@@ -313,6 +397,13 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 xs[pl.ds(i, 1), :] = jnp.where(accept, px, xi)
                 ys[pl.ds(i, 1), :] = jnp.where(accept, py, yi)
                 zs[pl.ds(i, 1), :] = jnp.where(accept, pz, zi)
+                if zskip:
+                    # expand block ib's bounds by the proposal's z range
+                    # (covers the written value whether accepted or not;
+                    # bounds never shrink mid-sweep, so earlier skip
+                    # decisions stay valid)
+                    sbmin[ib] = jnp.minimum(sbmin[ib], pz_lo)
+                    sbmax[ib] = jnp.maximum(sbmax[ib], pz_hi)
                 e = e + jnp.where(accept, un - um, 0.0)
                 acc_count = acc_count + accept.astype(jnp.float32)
                 return e, acc_count
@@ -342,7 +433,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_sweeps", "a", "c_tile"),
+    static_argnames=("cfg", "n_sweeps", "a", "c_tile", "zskip",
+                     "row_block_rows"),
 )
 def pallas_sweep_block(
     x: jax.Array,          # [N_pad, C] f32
@@ -359,14 +451,21 @@ def pallas_sweep_block(
     n_sweeps: int,
     a: float,
     c_tile: int = 256,
+    zskip: bool = False,
+    row_block_rows: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run `n_sweeps` full SMC sweeps for every chain.
+
+    zskip: rows must be z-sorted per chain (ensemble_sweeps_zsorted does
+    this); j-blocks provably outside the moving particle's z cutoff are
+    skipped — bitwise identical results, fewer rows touched.
 
     Returns (x, y, z, e, energy_trace [S, C], accept_trace [S, C])."""
     n_pad, c = x.shape
     assert c % c_tile == 0, (c, c_tile)
     grid = (c // c_tile,)
-    kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a)
+    kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a,
+                          zskip=zskip, row_block=row_block_rows)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
@@ -384,6 +483,12 @@ def pallas_sweep_block(
     if cfg.reference_noise:
         scratch.append(pltpu.VMEM((_round_up(3 * cfg.n, 8), c_tile),
                                   jnp.float32))
+    if zskip:
+        rb = min(n_pad, row_block_rows or ROW_BLOCK)
+        assert n_pad % rb == 0, (n_pad, rb)
+        nb = n_pad // rb
+        scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live block zmin
+        scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live block zmax
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
