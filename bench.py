@@ -130,18 +130,24 @@ def main() -> int:
     # cache in .jax_cache/ makes warm runs fast).
     agg108 = None
     if time.time() - START < 400:
+        # 200-sweep blocks, best of 3: a 50-sweep window is ~0.1 s at this
+        # rate and dispatch noise made the quoted number swing +-40%
+        # across rounds (VERDICT r1 #10).
         cfg2 = SMCConfig(dtype="float32")
         state2, w2 = init_ensemble_state(cfg2, jax.random.key(0), 2048)
         state2, _ = ens.ensemble_sweeps_pallas(
-            state2, w2, cfg2, cfg2.proposal_a, 50, seed=11
+            state2, w2, cfg2, cfg2.proposal_a, 200, seed=11
         )
         sync(state2)
-        t0 = time.time()
-        state2, _ = ens.ensemble_sweeps_pallas(
-            state2, w2, cfg2, cfg2.proposal_a, 50, seed=12
-        )
-        sync(state2)
-        agg108 = 2048 * 50 / (time.time() - t0)
+        best108 = float("inf")
+        for rep in range(3):
+            t0 = time.time()
+            state2, _ = ens.ensemble_sweeps_pallas(
+                state2, w2, cfg2, cfg2.proposal_a, 200, seed=12 + rep
+            )
+            sync(state2)
+            best108 = min(best108, time.time() - t0)
+        agg108 = 2048 * 200 / best108
         log(f"bench: N=108 secondary: {agg108:,.0f} aggregate sweeps/s")
     else:
         log("bench: skipping N=108 secondary (time budget)")
