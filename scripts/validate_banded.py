@@ -63,6 +63,8 @@ def main() -> int:
     sync(state0)
 
     def measure(name, fn):
+        st, tr = fn()   # warm-up/compile with identical static args
+        sync(st)
         t0 = time.time()
         st, tr = fn()
         sync(st)
