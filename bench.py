@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 
 N = 1024
 CHAINS = 512
-SWEEPS = 20
+SWEEPS = 50   # per-call block: amortizes dispatch/DMA like production windows
 # BASELINE.md: 4744 sweeps/s at N=108 on one core; per-sweep cost is
 # O(N^2) => 4744 * (108/1024)^2 = 52.8 sweeps/s at N=1024.
 FALLBACK_C_RATE = 52.8

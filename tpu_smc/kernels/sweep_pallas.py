@@ -132,32 +132,39 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         raise NotImplementedError("zskip assumes walls (no z wrap)")
 
     def _block_terms(xi, yi, zi, x, y, z):
-        """LJ terms of one row block against a [1, C] query. Parked/pad
-        rows (1e15) give dr2 ~ 1e30: they fail the cutoff test and their
-        inv6 underflows to exactly 0 — one `dr2 < cut2` compare is the
-        entire mask (the caller parks the moving particle's own row)."""
+        """LJ terms of one row block against a [1, C] query.
+
+        x/y are PRE-SCALED by 1/L (planes are stored that way inside this
+        kernel): the min-image wrap is then one round+sub, and the box
+        scale folds into dr2 (one fma) and the per-pass force scale.
+        Parked/pad rows (1e15) give dr2 ~ 1e30: they fail the cutoff test
+        and their inv6 underflows to exactly 0 — one `dr2 < cut2` compare
+        (via the single inv2 select below) is the entire mask (the caller
+        parks the moving particle's own row)."""
         dx = xi - x
-        dx = dx - box_l * jnp.round(dx * (1.0 / box_l))
+        dx = dx - jnp.round(dx)
         dy = yi - y
-        dy = dy - box_l * jnp.round(dy * (1.0 / box_l))
+        dy = dy - jnp.round(dy)
         dz = zi - z
         if pbc_z:
             dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
-        dr2 = dx * dx + dy * dy + dz * dz
+        dr2 = (dx * dx + dy * dy) * (box_l * box_l) + dz * dz
         mask = dr2 < cut2
         # guard exact-coincidence only (inf would poison the accept math);
         # hardware-approximate reciprocal + one Newton step reaches full
         # f32 precision in fewer VPU ops than the exact divide
         m = jnp.maximum(dr2, 1e-12)
         r0 = pl.reciprocal(m, approx=True)
-        inv2 = r0 * (2.0 - m * r0)
+        # the SINGLE select of the pass: masked inv2 = 0 makes inv6/inv12/
+        # u_term/dv exact zeros downstream with no further where ops
+        inv2 = jnp.where(mask, r0 * (2.0 - m * r0), 0.0)
         inv6 = inv2 * inv2 * inv2
         inv12 = inv6 * inv6
         u_term = inv12 - inv6
-        u = jnp.sum(jnp.where(mask, u_term, 0.0), axis=0, keepdims=True)
+        u = jnp.sum(u_term, axis=0, keepdims=True)
         # dV = (48 inv12 - 24 inv6) inv2 = 24 inv2 (inv12 + u_term);
         # the 24x (and u's 4x) scale is applied once per pass by the caller
-        dv = jnp.where(mask, (inv12 + u_term) * inv2, 0.0)
+        dv = (inv12 + u_term) * inv2
         fx = jnp.sum(dv * dx, axis=0, keepdims=True)
         fy = jnp.sum(dv * dy, axis=0, keepdims=True)
         fz = jnp.sum(dv * dz, axis=0, keepdims=True)
@@ -176,7 +183,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 xi, yi, zi, xs[j0:j0 + rb, :], ys[j0:j0 + rb, :],
                 zs[j0:j0 + rb, :])
             u, fx, fy, fz = u + du, fx + dfx, fy + dfy, fz + dfz
-        return 4.0 * u, 24.0 * fx, 24.0 * fy, 24.0 * fz
+        return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
+                24.0 * fz)
 
     def pair_terms_zskip(xi, yi, zi, xs, ys, zs, zlo, zhi, sbmin, sbmax):
         """zskip pair pass: rows are z-SORTED per chain; sbmin/sbmax are
@@ -213,7 +221,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         zero = jnp.zeros((1, c_tile), jnp.float32)
         u, fx, fy, fz = jax.lax.fori_loop(
             b_lo, b_hi, block_body, (zero, zero, zero, zero))
-        return 4.0 * u, 24.0 * fx, 24.0 * fy, 24.0 * fz
+        return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
+                24.0 * fz)
 
     s_pad = _round_up(mm, 8)  # wall sites vectorized onto sublanes
 
@@ -349,7 +358,10 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 else:
                     um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs)
                 if use_walls:
-                    uw, wx, wy, wz = wall_terms(xi, yi, zi, wa_cols, wb_cols, sxc, syc)
+                    # wall sites live in real units; x/y queries are scaled
+                    uw, wx, wy, wz = wall_terms(
+                        xi * box_l, yi * box_l, zi, wa_cols, wb_cols,
+                        sxc, syc)
                     um += uw
                     fmx += wx
                     fmy += wy
@@ -374,10 +386,11 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 ddx = fmx * (a / t) + g1
                 ddy = fmy * (a / t) + g2
                 ddz = fmz * (a / t) + g3
-                px = xi + ddx
-                px = px - box_l * jnp.round(px * (1.0 / box_l))
-                py = yi + ddy
-                py = py - box_l * jnp.round(py * (1.0 / box_l))
+                # proposal in scaled x/y space: wrap is round+sub
+                px = xi + ddx * (1.0 / box_l)
+                px = px - jnp.round(px)
+                py = yi + ddy * (1.0 / box_l)
+                py = py - jnp.round(py)
                 pz = zi + ddz
                 if pbc_z:
                     pz = pz - box_lz * jnp.round(pz * (1.0 / box_lz))
@@ -390,7 +403,9 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 else:
                     un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs)
                 if use_walls:
-                    uw, wx, wy, wz = wall_terms(px, py, pz, wa_cols, wb_cols, sxc, syc)
+                    uw, wx, wy, wz = wall_terms(
+                        px * box_l, py * box_l, pz, wa_cols, wb_cols,
+                        sxc, syc)
                     un += uw
                     fnx += wx
                     fny += wy
@@ -540,11 +555,18 @@ def pallas_sweep_block(
     else:
         assert seed.shape == (n_sweeps, 2), seed.shape
         seed_words = seed
-    return pl.pallas_call(
+    # x/y enter the kernel PRE-SCALED by 1/L (z stays real): the min-image
+    # wrap becomes one round+sub per block and the box scale folds into
+    # dr2 / the per-pass force scale (docs/PERF_NOTES.md). The scale
+    # round-trips at this call boundary only.
+    inv_l = 1.0 / float(cfg.box_l)
+    xo, yo, zo, e, e_tr, a_tr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(offsets.astype(jnp.int32), seed_words, x, y, z, e, wa_cols, wb_cols)
+    )(offsets.astype(jnp.int32), seed_words,
+      x * inv_l, y * inv_l, z, e, wa_cols, wb_cols)
+    return xo * cfg.box_l, yo * cfg.box_l, zo, e, e_tr, a_tr
 
 
 # ----------------------------------------------------------------------
