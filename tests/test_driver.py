@@ -59,3 +59,29 @@ def test_gather_cadence_counts():
     assert res.energy_trace_full.shape[0] == res.energy_trace.shape[0] + 1
     assert int(np.asarray(state.sweeps)) == params.eqsteps + \
         params.gather_steps * params.gather_lapse
+
+
+def test_temperature_sweep_driver():
+    """tsweep: a whole temperature ladder in ONE vmapped program
+    (per-chain T threaded through the sampler's acceptance arithmetic).
+    Energy must rise monotonically with T and the middle rung must agree
+    with a plain single-T ensemble run."""
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig(dtype="float64")
+    params = RunParams(eqsteps=150, maxsteps=500, numdata=50)
+    temps = [0.8, 1.1, 1.5]
+    _, res = simulate_temperature_sweep(
+        cfg, params, temps, jax.random.key(5), chains_per_t=4)
+    assert list(res.temps) == temps
+    # E(T) monotone; acceptance rises with T for this system
+    assert res.mean_energy[0] < res.mean_energy[1] < res.mean_energy[2]
+    assert np.all((res.acceptance > 0.9) & (res.acceptance <= 1.0))
+    assert np.all(res.cv > 0)
+    # middle rung vs a plain ensemble at the same T (replica error bars)
+    se, w2 = init_ensemble_state(cfg, jax.random.key(6), 4)
+    _, r2 = simulate_ensemble(cfg, params, se, w2,
+                              opts=ObservableOptions(clusters=False,
+                                                     pressure=False))
+    err = (res.err_energy[1] ** 2 + (r2.std_energy / 2) ** 2) ** 0.5
+    assert abs(res.mean_energy[1] - r2.mean_energy) < max(5 * err, 2.0)

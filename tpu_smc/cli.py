@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
                    help="enable float64 (CPU parity runs)")
+    p.add_argument("--temperatures", default=None, metavar="T1,T2,...",
+                   help="temperature-sweep mode: run chains at EVERY "
+                        "listed temperature in one compiled ensemble and "
+                        "write tsweep_*.csv (E/acceptance/cv per T); the "
+                        "positional T names the run directory")
+    p.add_argument("--chains-per-t", type=int, default=16,
+                   help="replicas per temperature in --temperatures mode")
     p.add_argument("--nonuniform-z", action="store_true",
                    help="non-uniform z voxel binning: layer_depth layers at"
                         " the walls, 3 thick central layers (createZRange,"
@@ -145,6 +152,25 @@ def main(argv=None) -> int:
 
     seed = args.seed if args.seed is not None else int(time.time())
     key = jax.random.key(seed)
+
+    if args.temperatures:
+        from .tsweep import simulate_temperature_sweep, write_tsweep_csv
+
+        temps = [float(v) for v in args.temperatures.split(",")]
+        print(f"Temperature sweep: {len(temps)} temperatures x "
+              f"{args.chains_per_t} chains, one compiled ensemble")
+        _, res = simulate_temperature_sweep(
+            cfg, params, temps, key, chains_per_t=args.chains_per_t,
+            w=w_np)
+        path = write_tsweep_csv(d, cfg, res)
+        print("\n###  Temperature sweep results  ###")
+        print("T        E_mean      +-err     acc      cv")
+        for i, t in enumerate(res.temps):
+            print(f"{t:0.3f}  {res.mean_energy[i]:10.4f}  "
+                  f"{res.err_energy[i]:8.4f}  {res.acceptance[i]:0.4f}  "
+                  f"{res.cv[i]:8.4f}")
+        print(f"\nWritten to {path}")
+        return 0
 
     if resume_state is not None:
         state = resume_state

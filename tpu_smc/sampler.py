@@ -67,6 +67,7 @@ def sweep(
     cfg: SMCConfig,
     a: float | jax.Array,
     offset: jax.Array | None = None,
+    temperature: float | jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One SMC sweep over all N particles (oneParticleMoves, SMC.c:278-351).
 
@@ -80,10 +81,16 @@ def sweep(
     and the per-move position read/write becomes a cheap dynamic slice
     instead of a per-chain gather/scatter — a large TPU win.
 
+    `temperature` overrides cfg.temperature as a TRACED value (it only
+    enters the proposal/acceptance arithmetic), enabling multi-T
+    ensembles in one compiled program (tsweep.py) — the reference would
+    need one recompiled binary per T.
+
     Returns (r, energy, key, n_accepted).
     """
     dtype = cfg.jnp_dtype
-    t = jnp.asarray(cfg.temperature, dtype)
+    t = jnp.asarray(
+        cfg.temperature if temperature is None else temperature, dtype)
     a = jnp.asarray(a, dtype)
 
     key, k_noise, k_unif, k_off = jax.random.split(key, 4)
@@ -157,9 +164,11 @@ def sweep_state(
     cfg: SMCConfig,
     a: float | jax.Array,
     offset: jax.Array | None = None,
+    temperature: float | jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """One sweep expressed on the ChainState pytree."""
-    r, e, key, acc = sweep(state.r, state.energy, state.key, w, cfg, a, offset=offset)
+    r, e, key, acc = sweep(state.r, state.energy, state.key, w, cfg, a,
+                           offset=offset, temperature=temperature)
     new = state._replace(
         r=r,
         energy=e,

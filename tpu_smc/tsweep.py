@@ -1,0 +1,132 @@
+"""Temperature-sweep driver: many temperatures, one compiled program.
+
+The reference fixes T per process invocation (argv, main.c:18) — mapping
+a phase curve E(T), acceptance(T), c_v(T) means one run per temperature.
+Here temperature is a TRACED per-chain value in the sampler's
+proposal/acceptance arithmetic (sampler.sweep(temperature=...)), so a
+whole temperature ladder runs as ONE vmapped ensemble in one jitted
+program: chains_per_t replicas at each of the len(temps) temperatures,
+zero recompiles across T. The proposal mobility follows A = gamma * T
+per chain (main.c:48-51), and thermalization doubles it (SMC.c:110,125).
+
+Output: `tsweep_*.csv` with one row per temperature —
+    T, E_mean, E_err, acceptance, cv
+where E carries the reference's 3NT/2 kinetic offset (SMC.c:210-211),
+E_err is the replica error bar (spread of chain means / sqrt(chains)),
+and cv = var(E)/T^2 (SMC.c:249) pooled over the T's chains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunParams, SMCConfig
+from .sampler import sweep_state
+from .state import ChainState, init_ensemble_state
+
+
+class TSweepResults(NamedTuple):
+    temps: np.ndarray          # [T]
+    mean_energy: np.ndarray    # [T] incl. 3NT/2
+    err_energy: np.ndarray     # [T] replica error bar
+    acceptance: np.ndarray     # [T]
+    cv: np.ndarray             # [T] var(E)/T^2 from the pooled trace
+
+
+def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
+                    collect_trace):
+    """n_sweeps sweeps with a PER-CHAIN temperature array temps_c [C];
+    shared per-sweep offset like ensemble_sweeps (chunk-invariant)."""
+
+    def body(st, _):
+        okey = jax.random.fold_in(st.key[0], 0x5EED)
+        offset = jax.random.randint(okey, (), 0, cfg.n)
+        st, stats = jax.vmap(
+            lambda s, t: sweep_state(
+                s, w, cfg, a_scale * cfg.gamma * t, offset=offset,
+                temperature=t)
+        )(st, temps_c)
+        return st, stats if collect_trace else None
+
+    return jax.lax.scan(body, state, None, length=n_sweeps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "a_scale",
+                                   "collect_trace"))
+def _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
+                   collect_trace=False):
+    return _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
+                           collect_trace)
+
+
+def simulate_temperature_sweep(
+    cfg: SMCConfig,
+    params: RunParams,
+    temps,
+    key: jax.Array,
+    chains_per_t: int = 16,
+    r0: np.ndarray | None = None,
+    w: np.ndarray | None = None,
+) -> tuple[ChainState, TSweepResults]:
+    """Run the full ladder: thermalization (A doubled) + production with
+    per-sweep energy traces, pooled per temperature."""
+    temps = np.asarray(temps, dtype=np.float64)
+    n_t = len(temps)
+    c = n_t * chains_per_t
+    state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+    temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
+
+    # thermalization, chunked for the device watchdog
+    done = 0
+    while done < params.eqsteps:
+        k = min(params.eqsteps - done, 2000)  # watchdog-safe chunk
+        state, _ = _multi_t_block(state, w_arr, cfg, temps_c, 2.0, k)
+        state = jax.tree.map(lambda x: x, state)
+        np.asarray(state.energy[:1])  # sync
+        done += k
+    state = state._replace(accepted=jnp.zeros_like(state.accepted))
+
+    # production with the per-sweep trace
+    e_chunks, a_chunks = [], []
+    done = 0
+    while done < params.maxsteps:
+        k = min(params.maxsteps - done, 2000)  # watchdog-safe chunk
+        state, stats = _multi_t_block(
+            state, w_arr, cfg, temps_c, 1.0, k, collect_trace=True)
+        e_chunks.append(np.asarray(stats.energy))
+        a_chunks.append(np.asarray(stats.accepted))
+        done += k
+    e_tr = np.concatenate(e_chunks)          # [S, C]
+    a_tr = np.concatenate(a_chunks)
+
+    kinetic = 1.5 * cfg.n * temps            # 3NT/2 per T (SMC.c:210-211)
+    e_t = e_tr.reshape(len(e_tr), n_t, chains_per_t)
+    a_t = a_tr.reshape(len(a_tr), n_t, chains_per_t)
+    chain_means = e_t.mean(axis=0)           # [T, chains]
+    mean_e = chain_means.mean(axis=1) + kinetic
+    err_e = chain_means.std(axis=1) / max(1, chains_per_t - 1) ** 0.5
+    acc = a_t.mean(axis=(0, 2)) / cfg.n
+    cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
+
+    return state, TSweepResults(
+        temps=temps, mean_energy=mean_e, err_energy=err_e,
+        acceptance=np.asarray(acc), cv=np.asarray(cv),
+    )
+
+
+def write_tsweep_csv(d, cfg: SMCConfig, res: TSweepResults):
+    from .io import _fname
+
+    p = _fname(d, "tsweep", cfg)
+    with open(p, "w") as f:
+        f.write("T, E_mean, E_err, acceptance, cv\n")
+        for i in range(len(res.temps)):
+            f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
+                    f"{res.err_energy[i]:0.9f}, {res.acceptance[i]:0.6f}, "
+                    f"{res.cv[i]:0.9f}\n")
+    return p
