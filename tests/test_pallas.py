@@ -275,3 +275,24 @@ def test_zsorted_ensemble_bookkeeping_and_chunk_invariance():
     np.testing.assert_array_equal(canon(s_one), canon(s_split))
     np.testing.assert_array_equal(
         np.asarray(s_one.energy), np.asarray(s_split.energy))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="long-run drift needs the real kernel "
+                           "(TPU_SMC_TEST_TPU=1 to run)")
+def test_kernel_longrun_drift_tpu():
+    """Hardware drift check: the kernel's incrementally-carried energy
+    must stay within float32 accumulation error of an exact recompute
+    over a long block (the reference never recomputes and drifts forever
+    — SMC.c:194,341; we bound it, DEVIATIONS F5/A5)."""
+    from tpu_smc.ensemble import ensemble_sweeps_pallas
+
+    cfg = SMCConfig(dtype="float32")  # N=108, walls on
+    state, w = init_ensemble_state(cfg, jax.random.key(3), 256)
+    state, _ = ensemble_sweeps_pallas(state, w, cfg, cfg.proposal_a, 500,
+                                      seed=7)
+    exact = jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
+    drift = np.abs(np.asarray(exact) - np.asarray(state.energy))
+    # |E| ~ 25; 500 sweeps x 108 moves of f32 accumulation
+    assert float(drift.max()) < 5e-2, float(drift.max())
+    assert float(np.median(drift)) < 1e-2
