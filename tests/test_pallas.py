@@ -296,3 +296,31 @@ def test_kernel_longrun_drift_tpu():
     # |E| ~ 25; 500 sweeps x 108 moves of f32 accumulation
     assert float(drift.max()) < 5e-2, float(drift.max())
     assert float(np.median(drift)) < 1e-2
+
+
+def test_kernel_bulk_pbc_z_with_pad_rows():
+    """Bulk (pbc_z) regression: parking can't exclude rows when every
+    coordinate wraps (an out-of-range park value wraps back into the
+    box), so the kernel must id-mask instead. n=12 forces 4 pad rows;
+    carried E must equal the exact recompute."""
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=10.0, dtype="float32",
+                    use_walls=False, pbc_z=True, lj_cutoff=3.0)
+    rng = np.random.default_rng(5)
+    r0 = rng.uniform(-4.5, 4.5, (12, 3))
+    state, w = init_ensemble_state(cfg, jax.random.key(1), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([2, 9], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        x2, y2, z2, e2, _, at = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, jnp.int32(4), cfg, 2,
+            cfg.proposal_a, c_tile=128,
+        )
+    r2 = sp.from_planes(x2, y2, z2, cfg)
+    exact = jax.vmap(lambda r: total_energy(r, w, cfg))(r2)
+    np.testing.assert_allclose(
+        np.asarray(e2[0]), np.asarray(exact), rtol=1e-4, atol=1e-3
+    )
+    acc = np.asarray(at)
+    assert np.all(acc >= 0) and np.all(acc <= cfg.n)

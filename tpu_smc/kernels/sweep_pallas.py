@@ -131,16 +131,24 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     if zskip and pbc_z:
         raise NotImplementedError("zskip assumes walls (no z wrap)")
 
-    def _block_terms(xi, yi, zi, x, y, z):
+    def _block_terms(xi, yi, zi, x, y, z, i=None, j0=0, rb=None):
         """LJ terms of one row block against a [1, C] query.
 
         x/y are PRE-SCALED by 1/L (planes are stored that way inside this
         kernel): the min-image wrap is then one round+sub, and the box
         scale folds into dr2 (one fma) and the per-pass force scale.
-        Parked/pad rows (1e15) give dr2 ~ 1e30: they fail the cutoff test
-        and their inv6 underflows to exactly 0 — one `dr2 < cut2` compare
-        (via the single inv2 select below) is the entire mask (the caller
-        parks the moving particle's own row)."""
+
+        Walls configs (z unwrapped): parked/pad rows (1e15) give
+        dr2 ~ 1e30 through the z term — they fail the cutoff test and
+        their inv6 underflows to exactly 0, so one `dr2 < cut2` compare
+        (via the single inv2 select below) is the entire mask (the
+        caller parks the moving particle's own row).
+
+        Bulk configs (pbc_z): EVERY coordinate wraps, so an out-of-range
+        park value would wrap back into the box (scaled x/y wrap to
+        exactly 0) — parking cannot exclude rows. The self/pad exclusion
+        is done by explicit row-id masking instead (the reference bulk
+        system is tiny; the extra compares are irrelevant there)."""
         dx = xi - x
         dx = dx - jnp.round(dx)
         dy = yi - y
@@ -150,6 +158,10 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
         dr2 = (dx * dx + dy * dy) * (box_l * box_l) + dz * dz
         mask = dr2 < cut2
+        if pbc_z:
+            row_ids = j0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rb, c_tile), 0)
+            mask = mask & (row_ids != i) & (row_ids < n)
         # guard exact-coincidence only (inf would poison the accept math);
         # hardware-approximate reciprocal + one Newton step reaches full
         # f32 precision in fewer VPU ops than the exact divide
@@ -170,7 +182,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         fz = jnp.sum(dv * dz, axis=0, keepdims=True)
         return u, fx, fy, fz
 
-    def pair_terms(xi, yi, zi, xs, ys, zs):
+    def pair_terms(xi, yi, zi, xs, ys, zs, i=None):
         """U and F on a [1, C] query vs all rows, statically j-blocked."""
         u = jnp.zeros((1, c_tile), jnp.float32)
         fx = jnp.zeros((1, c_tile), jnp.float32)
@@ -181,7 +193,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             rb = min(row_block, n_pad - j0)
             du, dfx, dfy, dfz = _block_terms(
                 xi, yi, zi, xs[j0:j0 + rb, :], ys[j0:j0 + rb, :],
-                zs[j0:j0 + rb, :])
+                zs[j0:j0 + rb, :], i=i, j0=j0, rb=rb)
             u, fx, fy, fz = u + du, fx + dfx, fy + dfy, fz + dfz
         return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
                 24.0 * fz)
@@ -339,13 +351,17 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 yi = ys[pl.ds(i, 1), :]
                 zi = zs[pl.ds(i, 1), :]
 
-                # Park the moving particle's row out of every cutoff so
-                # both pair passes skip it without id masks (see
-                # pair_terms); the row is rewritten on accept/reject.
-                parked = jnp.full((1, c_tile), 1e15, jnp.float32)
-                xs[pl.ds(i, 1), :] = parked
-                ys[pl.ds(i, 1), :] = parked
-                zs[pl.ds(i, 1), :] = parked
+                if not pbc_z:
+                    # Park the moving particle's row out of every cutoff
+                    # (through the unwrapped z term) so both pair passes
+                    # skip it without id masks (see _block_terms); the
+                    # row is rewritten on accept/reject. In pbc_z mode
+                    # parking cannot work (everything wraps) and
+                    # _block_terms id-masks instead.
+                    parked = jnp.full((1, c_tile), 1e15, jnp.float32)
+                    xs[pl.ds(i, 1), :] = parked
+                    ys[pl.ds(i, 1), :] = parked
+                    zs[pl.ds(i, 1), :] = parked
 
                 if zskip:
                     # row i was in block ib at sort time and every later
@@ -356,7 +372,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                         xi, yi, zi, xs, ys, zs,
                         sbmin[ib], sbmax[ib], sbmin, sbmax)
                 else:
-                    um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs)
+                    um, fmx, fmy, fmz = pair_terms(xi, yi, zi, xs, ys, zs,
+                                                   i=i)
                 if use_walls:
                     # wall sites live in real units; x/y queries are scaled
                     uw, wx, wy, wz = wall_terms(
@@ -401,7 +418,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                     un, fnx, fny, fnz = pair_terms_zskip(
                         px, py, pz, xs, ys, zs, pz_lo, pz_hi, sbmin, sbmax)
                 else:
-                    un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs)
+                    un, fnx, fny, fnz = pair_terms(px, py, pz, xs, ys, zs,
+                                                   i=i)
                 if use_walls:
                     uw, wx, wy, wz = wall_terms(
                         px * box_l, py * box_l, pz, wa_cols, wb_cols,
