@@ -94,3 +94,35 @@ def test_volume_rendering_with_animation(run_dir, tmp_path):
     assert names == {"volume", "volume_anim"}
     for p in written:
         assert p.exists() and p.stat().st_size > 0
+
+
+def test_tsweep_cli_and_plot(tmp_path):
+    """--temperatures mode end-to-end: tsweep CSV written, analysis
+    renders the E(T)/cv(T)/acceptance(T) curves."""
+    rc = cli_main([
+        "20", "80", "8", "1.1", "--dtype", "float32", "--seed", "9",
+        "--temperatures", "0.9,1.3", "--chains-per-t", "3",
+        "--data-dir", str(tmp_path / "Data"),
+    ])
+    assert rc == 0
+    run_dir = next((tmp_path / "Data").iterdir())
+    ts = list(run_dir.glob("tsweep_*.csv"))
+    assert len(ts) == 1
+    lines = ts[0].read_text().strip().splitlines()
+    assert lines[0] == "T, E_mean, E_err, acceptance, cv"
+    assert len(lines) == 3
+    e_rows = [float(l.split(",")[1]) for l in lines[1:]]
+    assert e_rows[0] < e_rows[1]  # E rises with T
+
+    from tpu_smc.analysis import load_run, render_all
+
+    # analysis needs the standard artifacts too: tsweep mode writes only
+    # wall + tsweep, so drop a standard run beside it first
+    rc = cli_main([
+        "10", "40", "4", "1.1", "--dtype", "float32", "--seed", "9",
+        "--data-dir", str(tmp_path / "Data"),
+    ])
+    assert rc == 0
+    run = load_run(run_dir)
+    written = render_all(run, tmp_path / "plots")
+    assert any(p.name.startswith("tsweep_") for p in written)

@@ -377,6 +377,30 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     # voxel density volume rendering (plotting.jl:273-331)
     written.extend(render_volume(run, out))
 
+    # temperature-sweep curves when the run produced a tsweep CSV
+    # (tpu_smc/tsweep.py — a beyond-reference capability)
+    ts = run.run_dir / f"tsweep_{run.key}.csv"
+    if ts.exists():
+        data = np.genfromtxt(ts, delimiter=",", skip_header=1)
+        data = np.atleast_2d(data)
+        fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
+        axes[0].errorbar(data[:, 0], data[:, 1], yerr=data[:, 2],
+                         marker="o", ms=3, lw=1)
+        axes[0].set_xlabel("T")
+        axes[0].set_ylabel("E")
+        axes[1].plot(data[:, 0], data[:, 4], marker="o", ms=3, lw=1)
+        axes[1].set_xlabel("T")
+        axes[1].set_ylabel("c_v")
+        axes[2].plot(data[:, 0], data[:, 3], marker="o", ms=3, lw=1)
+        axes[2].set_xlabel("T")
+        axes[2].set_ylabel("acceptance")
+        fig.suptitle(f"temperature sweep {run.key}")
+        fig.tight_layout()
+        p = out / f"tsweep_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     return written
 
 
