@@ -109,8 +109,14 @@ def test_ensemble_chunk_invariance_xla():
 
 
 def test_ensemble_chunk_invariance_pallas():
-    """Same chunk-invariance contract for the Pallas path: per-sweep PRNG
-    seeds fold the ABSOLUTE sweep counter, so 6 sweeps == 1+3+2 sweeps."""
+    """The Pallas path's per-sweep PRNG seeds/offsets fold the ABSOLUTE
+    sweep counter, so the RNG SCHEDULE is chunk-invariant: 6 sweeps ==
+    1+3+2 sweeps bitwise. NOTE this bitwise form of the test requires a
+    box whose f32 x*(1/L)*L round trip is exact (box_l=10 here): for
+    general L the kernel's x/y pre-scale rounds once per call boundary,
+    so trajectories depend on the (deterministic) chunk layout — seeded
+    reproducibility is guaranteed by driver.therm_chunk's deterministic
+    sizing instead (docs/DEVIATIONS.md A6)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from tpu_smc.ensemble import ensemble_sweeps_pallas
@@ -185,3 +191,20 @@ def test_shared_offset_chains_stay_independent():
     # shared schedule must not add correlation over the per-chain control
     assert abs(shared.mean() - control.mean()) < 0.02
     assert np.abs(shared).mean() < np.abs(control).mean() + 0.01
+
+
+def test_zsorted_ragged_row_block_autoshrink():
+    """zsorted must handle particle counts whose n_pad is not a multiple
+    of the requested row block (auto-shrinks to a divisor) instead of
+    asserting (review r2 finding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = SMCConfig(n=200, box_l=20.0, box_lz=80.0, dtype="float32")
+    state, w = init_ensemble_state(cfg, jax.random.key(0), 128)
+    with pltpu.force_tpu_interpret_mode():
+        st2, tr = ens.ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 1, c_tile=128,
+            row_block_rows=128)  # 200 % 128 != 0 -> shrinks to 40
+    assert bool(np.all(np.isfinite(np.asarray(st2.energy))))
+    acc = np.asarray(tr.accepted)
+    assert np.all(acc >= 0) and np.all(acc <= cfg.n)

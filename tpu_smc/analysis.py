@@ -173,12 +173,19 @@ def load_local_windows(run: RunData, rank: int = 0) -> np.ndarray:
     return out
 
 
-def _composite(vol: np.ndarray, axis: int, opacity: float = 4.0):
+def _composite(vol: np.ndarray, axis: int, opacity: float = 4.0,
+               vmax: float | None = None, normalize: bool = True):
     """Front-to-back alpha compositing of a density volume along `axis` —
     an emission-absorption volume render (the capability of plotting.jl's
-    Makie `volume`, :273-331) done in numpy. Returns (rgb image, alpha)."""
+    Makie `volume`, :273-331) done in numpy. Returns (rgb image, alpha).
+
+    `vmax` fixes the density scale across calls (animation frames must
+    share one exposure or density evolution is invisible); `normalize`
+    controls the final brightness stretch (off for animations, same
+    reason)."""
     v = np.moveaxis(vol, axis, 0).astype(float)
-    vmax = v.max()
+    if vmax is None:
+        vmax = v.max()
     if vmax <= 0:
         shape = v.shape[1:]
         return np.zeros(shape + (3,)), np.zeros(shape)
@@ -191,7 +198,8 @@ def _composite(vol: np.ndarray, axis: int, opacity: float = 4.0):
         col = cmap(slab)[..., :3] if cmap is not None else slab[..., None]
         rgb += (transmit * a)[..., None] * col
         transmit *= 1.0 - a
-    rgb = rgb / max(float(rgb.max()), 1e-9)  # normalize exposure
+    if normalize:
+        rgb = rgb / max(float(rgb.max()), 1e-9)  # normalize exposure
     return rgb, 1.0 - transmit
 
 
@@ -248,8 +256,11 @@ def render_volume(run: RunData, out_dir: str | Path,
             ax.set_yticks([])
 
             def update(wi):
-                rgb, _ = _composite(windows[wi, ..., 0] / vmax, 1,
-                                    opacity=8.0)
+                # fixed vmax + no per-frame normalization: frames share
+                # one exposure so density evolution is visible
+                rgb, _ = _composite(windows[wi, ..., 0], 1, opacity=8.0,
+                                    vmax=float(vmax), normalize=False)
+                rgb = rgb * 3.0  # fixed brightness boost, same all frames
                 im.set_data(np.clip(rgb.swapaxes(0, 1), 0, 1))
                 ax.set_title(f"density window {wi} / {windows.shape[0]}",
                              fontsize=9)

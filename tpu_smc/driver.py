@@ -46,6 +46,18 @@ from .sampler import run_sweeps
 from .state import ChainState
 
 
+def therm_chunk(cfg: SMCConfig, sampler: str = "xla") -> int:
+    """Deterministic thermalization chunk (sweeps per device call).
+
+    Machine-INDEPENDENT by design: the previous wall-clock probe sized
+    chunks from host speed, so the same --seed could give different
+    trajectories on different machines through the pallas engine's
+    per-call boundary rounding (ADVICE r1). Sized from the O(N^2) sweep
+    cost to stay far under the ~100 s device watchdog on v5e."""
+    budget = 5e8 if sampler == "pallas" else 1e8
+    return max(50, min(2000, int(budget / (cfg.n * cfg.n))))
+
+
 def _sync(state: ChainState) -> ChainState:
     """Synchronize on the device computation WITHOUT touching the PRNG-key
     leaf: jax.block_until_ready on key arrays triggers device faults over
@@ -228,8 +240,11 @@ def simulate(
     dtype = cfg.jnp_dtype
 
     # --- thermalization with doubled A (SMC.c:110-125) ---
-    # Chunked adaptively so no single device program outruns the TPU
-    # watchdog (~100 s): a timed probe chunk sizes the rest to ~30 s.
+    # Chunked DETERMINISTICALLY (therm_chunk) so no single device program
+    # outruns the TPU watchdog (~100 s). Wall-clock-sized chunks would
+    # make seeded runs depend on host speed (ADVICE r1): the XLA sampler
+    # is chunk-invariant, but the pallas engine's x/y pre-scale rounds at
+    # each call boundary, so chunk sizes must be machine-independent.
     therm_acc = 0.0
     if params.eqsteps:
         therm_step = jax.jit(
@@ -238,13 +253,9 @@ def simulate(
             )[0],
             static_argnums=1,
         )
-        probe = min(params.eqsteps, 200)
-        t0 = time.perf_counter()
-        state = _sync(therm_step(state, probe))
-        dt = max(time.perf_counter() - t0, 1e-3)
-        chunk = max(probe, int(probe * 30.0 / dt))
-        done_eq = probe
-        therm_moves = int(state.accepted)
+        chunk = therm_chunk(cfg)
+        done_eq = 0
+        therm_moves = 0
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         while done_eq < params.eqsteps:
             k = min(chunk, params.eqsteps - done_eq)

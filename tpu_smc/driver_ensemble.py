@@ -172,38 +172,33 @@ def simulate_ensemble(
 
     therm_acc = 0.0
     if params.eqsteps:
-        # Adaptive chunks: keep each device program well under the TPU
-        # runtime watchdog (probe 200 sweeps, then size for ~30 s).
+        # DETERMINISTIC chunks (driver.therm_chunk): the pallas engine's
+        # per-call boundary rounding means wall-clock-sized chunks would
+        # make seeded runs host-speed-dependent (ADVICE r1); each chunk
+        # stays far under the TPU runtime watchdog by construction.
         if opts.sampler == "pallas":
-            def therm_step(s, k, i):
-                del i  # seed derives from the per-block chain key
+            def therm_step(s, k):
                 return ensemble_sweeps_pallas(
                     s, w, cfg, 2.0 * cfg.proposal_a, k,
                 )[0]
         else:
-            def therm_step(s, k, i):
+            def therm_step(s, k):
                 return ensemble_sweeps(
                     s, w, cfg, 2.0 * cfg.proposal_a, k, collect_trace=False,
                 )[0]
         therm_step = jax.jit(therm_step, static_argnums=1)
-        import time as _t
+        from .driver import therm_chunk
 
-        probe = min(params.eqsteps, 200)
-        t0 = _t.perf_counter()
-        state = _sync(therm_step(state, probe, jnp.int32(0)))
-        dt = max(_t.perf_counter() - t0, 1e-3)
-        chunk = max(probe, int(probe * 30.0 / dt))
-        done_eq = probe
-        ci = 1
-        therm_moves = float(np.asarray(state.accepted, np.int64).mean())
+        chunk = therm_chunk(cfg, sampler=opts.sampler)
+        done_eq = 0
+        therm_moves = 0.0
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         while done_eq < params.eqsteps:
             k = min(chunk, params.eqsteps - done_eq)
-            state = _sync(therm_step(state, k, jnp.int32(ci)))
+            state = _sync(therm_step(state, k))
             therm_moves += float(np.asarray(state.accepted, np.int64).mean())
             state = state._replace(accepted=jnp.zeros_like(state.accepted))
             done_eq += k
-            ci += 1
         therm_acc = therm_moves / (params.eqsteps * cfg.n)
         state = state._replace(
             energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)

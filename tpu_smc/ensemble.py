@@ -113,43 +113,22 @@ def ensemble_block(
     return state, mean_e, acc
 
 
-def ensemble_sweeps_pallas(
-    state: ChainState,
-    w: jax.Array,
-    cfg: SMCConfig,
-    a: float,
-    n_sweeps: int,
-    seed: int | jax.Array | None = None,
-    c_tile: int | None = None,
-) -> Tuple[ChainState, SweepStats]:
-    """n_sweeps sweeps for every chain through the Pallas whole-sweep
-    kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
-    the entire block. ~4x the XLA path at N=108 (measured on v5e).
+def _auto_c_tile(cfg: SMCConfig, c: int, row_block_rows: int = 512) -> int:
+    """Lane-tile width under the ~13 MB VMEM budget: 3 position planes
+    [n_pad, c_tile] (+ a [3N, c_tile] noise plane in reference_noise
+    mode) + ~10 j-blocked temporaries [row_block, c_tile]."""
+    n_pad = ((cfg.n + 7) // 8) * 8
+    row_blk = min(n_pad, row_block_rows)
+    plane_rows = 3 * n_pad + (3 * n_pad if cfg.reference_noise else 0)
+    c_tile = 256
+    while c_tile > 128 and (
+        (plane_rows + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
+    ):
+        c_tile //= 2
+    return min(c_tile, c)
 
-    The kernel uses the on-core PRNG instead of the chains' threefry
-    keys. Each sweep's stream is seeded from the chain key folded with
-    the ABSOLUTE sweep counter (state.sweeps), so seeded trajectories are
-    bitwise independent of how the run is chunked into device calls
-    (ADVICE r1) — the chain keys themselves stay untouched. Traces come
-    back exactly like run_sweeps: per-sweep E and accept counts, shape
-    [n_sweeps, C].
-    """
-    from .kernels import sweep_pallas as sp
 
-    c = state.r.shape[0]
-    if c_tile is None:
-        # VMEM budget: 3 scratch planes [n_pad, c_tile] (+ a [3N, c_tile]
-        # noise plane in reference_noise mode) + ~10 j-blocked temporaries
-        # [ROW_BLOCK, c_tile] (see kernels/sweep_pallas.py).
-        n_pad = ((cfg.n + 7) // 8) * 8
-        row_blk = min(n_pad, 512)
-        plane_rows = 3 * n_pad + (3 * n_pad if cfg.reference_noise else 0)
-        c_tile = 256
-        while c_tile > 128 and (
-            (plane_rows + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
-        ):
-            c_tile //= 2
-        c_tile = min(c_tile, c)
+def _check_c_tile(c: int, c_tile: int) -> int:
     while c % c_tile != 0 and c_tile > 128:
         c_tile //= 2
     if c % c_tile != 0:
@@ -157,10 +136,16 @@ def ensemble_sweeps_pallas(
             f"pallas sampler needs the chain count ({c}) to be a multiple "
             f"of 128 (lane width); use the xla sampler otherwise"
         )
-    # Per-sweep randomness derives from a base key folded with the
-    # ABSOLUTE sweep index — never from the block structure — so the same
-    # --seed gives the same trajectories no matter how thermalization or
-    # the gather windows are chunked into device calls (ADVICE r1).
+    return c_tile
+
+
+def _per_sweep_randomness(state: ChainState, cfg: SMCConfig,
+                          seed, n_sweeps: int):
+    """Per-sweep PRNG seed words [n_sweeps, 2] and cyclic offsets
+    [n_sweeps], derived from a base key folded with the ABSOLUTE sweep
+    index (state.sweeps) — never from the call/block structure — so the
+    per-sweep RNG SCHEDULE is identical however a run is chunked into
+    device calls (ADVICE r1). Shared by the pallas and zsorted engines."""
     s0 = state.sweeps.reshape(-1)[0].astype(jnp.int32)
     if seed is None:
         base = jax.random.fold_in(state.key[0], 0x5EEDB1)
@@ -179,6 +164,41 @@ def ensemble_sweeps_pallas(
         lambda i: jax.random.randint(
             jax.random.fold_in(okey_base, i), (), 0, cfg.n, dtype=jnp.int32)
     )(sweep_ids)
+    return sw_seeds, offsets
+
+
+def ensemble_sweeps_pallas(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    seed: int | jax.Array | None = None,
+    c_tile: int | None = None,
+) -> Tuple[ChainState, SweepStats]:
+    """n_sweeps sweeps for every chain through the Pallas whole-sweep
+    kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
+    the entire block. ~4x the XLA path at N=108 (measured on v5e).
+
+    The kernel uses the on-core PRNG instead of the chains' threefry
+    keys. Each sweep's stream is seeded from the chain key folded with
+    the ABSOLUTE sweep counter (state.sweeps) — see _per_sweep_randomness
+    — so the RNG schedule is identical however the run is chunked into
+    device calls, and seeded runs are bitwise reproducible given the
+    driver's (deterministic) chunk sizes. NOTE: unlike the XLA path,
+    trajectories are not bitwise invariant ACROSS different chunkings —
+    the kernel's x/y pre-scale rounds once per call boundary (f32
+    `x*(1/L)*L` is not an exact round trip for general L). Traces come
+    back exactly like run_sweeps: per-sweep E and accept counts, shape
+    [n_sweeps, C].
+    """
+    from .kernels import sweep_pallas as sp
+
+    c = state.r.shape[0]
+    if c_tile is None:
+        c_tile = _auto_c_tile(cfg, c)
+    c_tile = _check_c_tile(c, c_tile)
+    sw_seeds, offsets = _per_sweep_randomness(state, cfg, seed, n_sweeps)
 
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)
@@ -233,41 +253,22 @@ def ensemble_sweeps_zsorted(
 
     c = state.r.shape[0]
     n = cfg.n
+    n_pad = ((n + 7) // 8) * 8
+    # zskip needs n_pad % row_block == 0: shrink to the largest divisor
+    # (multiple of 8) of n_pad at or below the request
+    rb = min(n_pad, max(8, (row_block_rows // 8) * 8))
+    while n_pad % rb != 0:
+        rb -= 8
+    row_block_rows = rb
     if c_tile is None:
-        n_pad = ((cfg.n + 7) // 8) * 8
-        row_blk = min(n_pad, row_block_rows)
-        c_tile = 256
-        while c_tile > 128 and (
-            (3 * n_pad + 10 * row_blk) * c_tile * 4 > 13 * 2 ** 20
-        ):
-            c_tile //= 2
-        c_tile = min(c_tile, c)
-    while c % c_tile != 0 and c_tile > 128:
-        c_tile //= 2
-    assert c % c_tile == 0, (c, c_tile)
+        c_tile = _auto_c_tile(cfg, c, row_block_rows=row_block_rows)
+    c_tile = _check_c_tile(c, c_tile)
     assert n_sweeps % sweeps_per_sort == 0, (n_sweeps, sweeps_per_sort)
     n_chunks = n_sweeps // sweeps_per_sort
 
-    # Chunk-invariant per-sweep randomness, exactly like
-    # ensemble_sweeps_pallas (seeds/offsets fold the ABSOLUTE counter).
-    s0 = state.sweeps.reshape(-1)[0].astype(jnp.int32)
-    if seed is None:
-        base = jax.random.fold_in(state.key[0], 0x5EEDB1)
-    else:
-        seed_vec = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-        base = jax.random.key(seed_vec[0].astype(jnp.uint32))
-        if seed_vec.shape[0] > 1:
-            base = jax.random.fold_in(base, seed_vec[1].astype(jnp.uint32))
-    sweep_ids = s0 + jnp.arange(n_sweeps, dtype=jnp.int32)
-    per_sweep = jax.vmap(
-        lambda i: jax.random.key_data(jax.random.fold_in(base, i)).reshape(-1)
-    )(sweep_ids)
-    sw_seeds = (per_sweep[:, -2:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    okey_base = jax.random.fold_in(base, 0x0FF5E7)
-    offsets = jax.vmap(
-        lambda i: jax.random.randint(
-            jax.random.fold_in(okey_base, i), (), 0, cfg.n, dtype=jnp.int32)
-    )(sweep_ids)
+    # Per-sweep randomness folds the ABSOLUTE counter, exactly like
+    # ensemble_sweeps_pallas (shared helper).
+    sw_seeds, offsets = _per_sweep_randomness(state, cfg, seed, n_sweeps)
 
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)

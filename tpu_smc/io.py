@@ -185,10 +185,12 @@ def write_ensemble_data_csv(
     Returns None when no chain carries traces (--no-trace runs)."""
     if not chains:
         return None
-    p_tr = np.stack([np.asarray(c.pressure_trace) for c in chains], axis=1)
-    gather_steps = p_tr.shape[0]
     e_tr = np.stack([np.asarray(c.energy_trace_full) for c in chains], axis=1)
     a_tr = np.stack([np.asarray(c.accept_trace) for c in chains], axis=1)
+    if e_tr.size == 0 or a_tr.size == 0:
+        return None  # --no-trace runs carry no per-sweep data to pool
+    p_tr = np.stack([np.asarray(c.pressure_trace) for c in chains], axis=1)
+    gather_steps = p_tr.shape[0]
     p = _fname(d, "data_ensemble", cfg)
     with open(p, "w") as f:
         f.write("E_mean, E_std, P_mean, jj_mean\n")

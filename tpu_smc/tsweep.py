@@ -75,42 +75,51 @@ def simulate_temperature_sweep(
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature."""
+    from .driver import therm_chunk
+
     temps = np.asarray(temps, dtype=np.float64)
     n_t = len(temps)
     c = n_t * chains_per_t
     state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
 
-    # thermalization, chunked for the device watchdog
+    # Deterministic watchdog-safe chunks (driver.therm_chunk: sized from
+    # the O(N^2) sweep cost, machine-independent — ADVICE r1).
+    chunk = therm_chunk(cfg)
     done = 0
     while done < params.eqsteps:
-        k = min(params.eqsteps - done, 2000)  # watchdog-safe chunk
+        k = min(params.eqsteps - done, chunk)
         state, _ = _multi_t_block(state, w_arr, cfg, temps_c, 2.0, k)
-        state = jax.tree.map(lambda x: x, state)
         np.asarray(state.energy[:1])  # sync
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
-    # production with the per-sweep trace
-    e_chunks, a_chunks = [], []
+    # Production: energies SUBSAMPLED at the gather cadence (the per-sweep
+    # [S, C] trace of a reference-scale run would be terabytes; the other
+    # drivers also sample observables per gather — params.numdata rules),
+    # acceptance from the cumulative counters (overflow-harvested).
+    lapse = max(1, params.gather_lapse)
+    chunk_g = max(lapse, (chunk // lapse) * lapse)
+    e_samples = []
+    prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
-        k = min(params.maxsteps - done, 2000)  # watchdog-safe chunk
+        k = min(params.maxsteps - done, chunk_g)
         state, stats = _multi_t_block(
             state, w_arr, cfg, temps_c, 1.0, k, collect_trace=True)
-        e_chunks.append(np.asarray(stats.energy))
-        a_chunks.append(np.asarray(stats.accepted))
+        e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
+        prod_moves += np.asarray(state.accepted, np.int64)
+        state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
-    e_tr = np.concatenate(e_chunks)          # [S, C]
-    a_tr = np.concatenate(a_chunks)
+    e_tr = np.concatenate(e_samples)         # [gathers, C]
 
     kinetic = 1.5 * cfg.n * temps            # 3NT/2 per T (SMC.c:210-211)
     e_t = e_tr.reshape(len(e_tr), n_t, chains_per_t)
-    a_t = a_tr.reshape(len(a_tr), n_t, chains_per_t)
     chain_means = e_t.mean(axis=0)           # [T, chains]
     mean_e = chain_means.mean(axis=1) + kinetic
     err_e = chain_means.std(axis=1) / max(1, chains_per_t - 1) ** 0.5
-    acc = a_t.mean(axis=(0, 2)) / cfg.n
+    acc = (prod_moves.reshape(n_t, chains_per_t).mean(axis=1)
+           / (done * cfg.n))
     cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
 
     return state, TSweepResults(
