@@ -108,3 +108,27 @@ def test_ensemble_checkpoint_roundtrip(tmp_path):
     st2, cfg2 = smcio.load_checkpoint(p)
     assert st2.r.shape == (3, CFG.n, 3)
     np.testing.assert_array_equal(np.asarray(st2.r), np.asarray(state.r))
+
+
+def test_seeded_cli_runs_bitwise_identical(tmp_path):
+    """The ADVICE r1 reproducibility contract, end to end: two CLI runs
+    with the same --seed must produce bitwise identical artifacts
+    (deterministic therm chunking + per-sweep absolute-counter RNG)."""
+    import filecmp
+
+    from tpu_smc.cli import main as cli_main
+
+    outs = []
+    for i in (1, 2):
+        d = tmp_path / f"run{i}"
+        rc = cli_main(["30", "120", "12", "1.1", "--dtype", "float32",
+                       "--seed", "42", "--data-dir", str(d)])
+        assert rc == 0
+        outs.append(next(d.iterdir()))
+    names = sorted(p.name for p in outs[0].iterdir())
+    assert names == sorted(p.name for p in outs[1].iterdir())
+    for name in names:
+        if name.startswith("info_"):
+            continue  # carries wall-clock timestamps
+        assert filecmp.cmp(outs[0] / name, outs[1] / name, shallow=False), \
+            name
