@@ -253,7 +253,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         dz = jnp.where(zi <= -box_lz / 2.0, contact,
                        jnp.where(zi >= box_lz / 2.0, -contact, dz))
         dz2 = dz * dz
-        iz2 = 1.0 / dz2
+        r0z = pl.reciprocal(dz2, approx=True)
+        iz2 = r0z * (2.0 - dz2 * r0z)  # Newton: full f32 precision
         iz6 = iz2 * iz2 * iz2
         iz12 = iz6 * iz6
         u0 = a0 * iz12 - b0 * iz6
@@ -266,7 +267,9 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         dym = dym - box_l * jnp.round(dym * (1.0 / box_l))
         dr2 = dxm * dxm + dym * dym + dz2
         msk = dr2 < cut2
-        inv2 = 1.0 / jnp.maximum(dr2, 1e-12)
+        m2 = jnp.maximum(dr2, 1e-12)
+        r02 = pl.reciprocal(m2, approx=True)
+        inv2 = r02 * (2.0 - m2 * r02)
         inv6 = inv2 * inv2 * inv2
         inv12 = inv6 * inv6
         us = jnp.where(msk, wa_col * inv12 - wb_col * inv6, 0.0)
