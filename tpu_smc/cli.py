@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "positional T names the run directory")
     p.add_argument("--chains-per-t", type=int, default=16,
                    help="replicas per temperature in --temperatures mode")
+    p.add_argument("--pt-exchange", type=int, default=None, metavar="K",
+                   help="with --temperatures: parallel tempering — attempt "
+                        "replica exchanges between adjacent temperatures "
+                        "every K sweeps (on-device swaps; writes pt_*.csv "
+                        "with per-pair swap acceptance)")
     p.add_argument("--nonuniform-z", action="store_true",
                    help="non-uniform z voxel binning: layer_depth layers at"
                         " the walls, 3 thick central layers (createZRange,"
@@ -159,9 +164,27 @@ def main(argv=None) -> int:
         temps = [float(v) for v in args.temperatures.split(",")]
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{args.chains_per_t} chains, one compiled ensemble")
-        _, res = simulate_temperature_sweep(
-            cfg, params, temps, key, chains_per_t=args.chains_per_t,
-            w=w_np)
+        if args.pt_exchange:
+            from .pt import simulate_parallel_tempering, write_pt_csv
+
+            print(f"Parallel tempering: exchange attempts every "
+                  f"{args.pt_exchange} sweeps")
+            _, pt_res = simulate_parallel_tempering(
+                cfg, params, temps, key, chains_per_t=args.chains_per_t,
+                exchange_interval=args.pt_exchange, w=w_np)
+            res = pt_res.tsweep
+            pt_path = write_pt_csv(d, cfg, pt_res)
+            print("\n###  Replica-exchange swap acceptance  ###")
+            for i in range(len(pt_res.pair_t_lo)):
+                print(f"T {pt_res.pair_t_lo[i]:0.3f} <-> "
+                      f"{pt_res.pair_t_hi[i]:0.3f}: "
+                      f"{pt_res.swap_acceptance[i]:0.3f} "
+                      f"({pt_res.swap_attempts[i]} attempts)")
+            print(f"Written to {pt_path}")
+        else:
+            _, res = simulate_temperature_sweep(
+                cfg, params, temps, key, chains_per_t=args.chains_per_t,
+                w=w_np)
         path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")

@@ -1,0 +1,240 @@
+"""Parallel tempering (replica exchange) over the temperature ladder.
+
+Beyond-reference capability, built on the temperature-sweep driver
+(tsweep.py): the reference runs one temperature per process invocation
+(argv, main.c:18) with zero inter-chain communication (SURVEY §5.8), so
+it cannot exchange configurations across temperatures at all. Here the
+whole ladder lives in ONE vmapped device program, so replica exchange is
+a handful of on-device vector ops every `exchange_interval` sweeps:
+
+  - the C chains are laid out [n_t, chains_per_t] (temperature-major,
+    like tsweep): chains_per_t INDEPENDENT ladders run side by side;
+  - an exchange step proposes swaps between adjacent temperature levels
+    (i, i+1) of each ladder, alternating even/odd pairings per attempt
+    (the deterministic-even-odd scheme), and accepts with the standard
+    replica-exchange Metropolis rule
+        P = min(1, exp((beta_i - beta_j) (E_i - E_j))),
+    where E is the chain's running POTENTIAL energy (the same quantity
+    the in-chain Metropolis test uses, SMC.c:329-341);
+  - on accept, the CONFIGURATION (positions r, energy E, and the voxel
+    tracker rbin, which is a pure function of r) swaps between the two
+    temperature slots; the temperature, RNG key, acceptance counters and
+    cumulative voxel accumulators stay with the slot, so per-T marginals
+    and per-T observables keep their meaning.
+
+Each temperature slot still samples its own Boltzmann distribution
+(detailed balance holds per ladder), but configurations random-walk in
+temperature, so low-T chains escape local minima through the high-T end
+— the standard mixing win that motivates parallel tempering.
+
+Seeded runs are chunk-invariant: the exchange key and the even/odd
+parity derive from the ABSOLUTE cycle counter, not the block-local one
+(same discipline as the per-sweep kernel seeds, ADVICE r1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunParams, SMCConfig
+from .state import ChainState, init_ensemble_state
+from .tsweep import TSweepResults, _multi_t_sweeps
+
+
+def exchange_step(
+    state: ChainState,
+    betas_t: jax.Array,
+    chains_per_t: int,
+    key: jax.Array,
+    parity: jax.Array | int,
+) -> tuple[ChainState, jax.Array, jax.Array]:
+    """One replica-exchange attempt across the ladder.
+
+    `state` leaves carry a leading [C] axis with C = n_t * chains_per_t
+    in temperature-major order (np.repeat(temps, chains_per_t), like
+    tsweep). `betas_t` is 1/T per level, shape [n_t]. `parity` selects
+    the even (0) or odd (1) adjacent pairing.
+
+    Returns (state, accepts, attempts): per-PAIR accepted/attempted swap
+    counts, shape [n_t - 1] each (summed over the chains_per_t ladders).
+    """
+    n_t = betas_t.shape[0]
+
+    def lvl(x):
+        return x.reshape((n_t, chains_per_t) + x.shape[1:])
+
+    e = lvl(state.energy)                          # [n_t, R]
+    idx = jnp.arange(n_t)
+    parity = jnp.asarray(parity, jnp.int32)
+    # Level i is the LOW side of a proposed pair (i, i+1) when its index
+    # matches the parity and a partner above exists.
+    is_lo = ((idx % 2) == (parity % 2)) & (idx + 1 < n_t)   # [n_t]
+    up = jnp.minimum(idx + 1, n_t - 1)
+
+    # P = min(1, exp((beta_i - beta_j)(E_i - E_j))): log u < delta.
+    delta = (betas_t - betas_t[up])[:, None] * (e - e[up])  # [n_t, R]
+    u = jax.random.uniform(key, (n_t, chains_per_t))
+    accept_lo = is_lo[:, None] & (jnp.log(u) < delta)       # [n_t, R]
+
+    # A level swaps UP if it accepted as the low side, DOWN if the level
+    # below accepted; with an even/odd pairing these are disjoint.
+    accept_from_below = jnp.pad(accept_lo, ((1, 0), (0, 0)))[:n_t]
+    partner = jnp.where(
+        accept_lo, idx[:, None] + 1,
+        jnp.where(accept_from_below, idx[:, None] - 1, idx[:, None]),
+    )                                                       # [n_t, R]
+
+    def swap_leaf(x):
+        xl = lvl(x)
+        p = partner.reshape((n_t, chains_per_t) + (1,) * (xl.ndim - 2))
+        out = jnp.take_along_axis(xl, jnp.broadcast_to(p, xl.shape), axis=0)
+        return out.reshape(x.shape)
+
+    new = state._replace(
+        r=swap_leaf(state.r),
+        energy=swap_leaf(state.energy),
+        rbin=swap_leaf(state.rbin),
+    )
+    accepts = accept_lo.sum(axis=1)[:-1].astype(jnp.int32)   # [n_t-1]
+    attempts = (is_lo.astype(jnp.int32) * chains_per_t)[:-1]
+    return new, accepts, attempts
+
+
+class PTResults(NamedTuple):
+    tsweep: TSweepResults           # per-T E/err/acceptance/cv
+    pair_t_lo: np.ndarray           # [n_t-1]
+    pair_t_hi: np.ndarray           # [n_t-1]
+    swap_acceptance: np.ndarray     # [n_t-1] accepted / attempted
+    swap_attempts: np.ndarray       # [n_t-1] production attempts per pair
+    exchange_interval: int
+
+
+@partial(jax.jit, static_argnames=("cfg", "chains_per_t", "interval",
+                                   "n_cycles", "a_scale", "collect_trace"))
+def _pt_block(state, w, cfg, temps_c, betas_t, a_scale, chains_per_t,
+              interval, n_cycles, cycle0, collect_trace=False):
+    """n_cycles x (interval sweeps + one exchange attempt), fully on
+    device. cycle0 is the absolute index of the first cycle (parity and
+    exchange keys are chunk-invariant)."""
+    n_t = betas_t.shape[0]
+
+    def cycle(carry, k):
+        st, nacc, natt = carry
+        st, stats = _multi_t_sweeps(st, w, cfg, temps_c, a_scale, interval,
+                                    collect_trace)
+        abs_k = cycle0 + k
+        ekey = jax.random.fold_in(
+            jax.random.fold_in(st.key[0], 0x9C0FFEE), abs_k)
+        st, acc, att = exchange_step(st, betas_t, chains_per_t, ekey,
+                                     abs_k % 2)
+        return (st, nacc + acc, natt + att), stats
+
+    zeros = jnp.zeros((max(n_t - 1, 0),), jnp.int32)
+    (state, nacc, natt), stats = jax.lax.scan(
+        cycle, (state, zeros, zeros), jnp.arange(n_cycles))
+    return state, nacc, natt, stats
+
+
+def simulate_parallel_tempering(
+    cfg: SMCConfig,
+    params: RunParams,
+    temps,
+    key: jax.Array,
+    chains_per_t: int = 16,
+    exchange_interval: int = 10,
+    r0: np.ndarray | None = None,
+    w: np.ndarray | None = None,
+) -> tuple[ChainState, PTResults]:
+    """Run the ladder with replica exchange every `exchange_interval`
+    sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
+    statistics count production attempts only. Per-T statistics follow
+    tsweep's conventions (E includes 3NT/2; cv = var(E)/T^2)."""
+    from .driver import therm_chunk
+
+    temps = np.asarray(temps, dtype=np.float64)
+    n_t = len(temps)
+    interval = max(1, int(exchange_interval))
+    c = n_t * chains_per_t
+    state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+    temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
+    betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
+
+    chunk_cycles = max(1, therm_chunk(cfg) // interval)
+
+    def run_phase(state, total_sweeps, a_scale, cycle0, collect=False,
+                  lapse=1, sweep0=0):
+        """ceil(total_sweeps/interval) cycles in watchdog-safe blocks;
+        when collect, returns energies sampled at the ABSOLUTE gather
+        cadence (sweep indices where (index+1) % lapse == 0)."""
+        cycles = -(-total_sweeps // interval)
+        acc = np.zeros((max(n_t - 1, 0),), np.int64)
+        att = np.zeros_like(acc)
+        samples = []
+        done_c = 0
+        while done_c < cycles:
+            k = min(cycles - done_c, chunk_cycles)
+            state, a_blk, t_blk, stats = _pt_block(
+                state, w_arr, cfg, temps_c, betas_t, a_scale, chains_per_t,
+                interval, k, cycle0 + done_c, collect_trace=collect)
+            acc += np.asarray(a_blk, np.int64)
+            att += np.asarray(t_blk, np.int64)
+            if collect:
+                e_blk = np.asarray(stats.energy).reshape(-1, c)
+                start = (lapse - 1 - sweep0) % lapse
+                samples.append(e_blk[start::lapse])
+                sweep0 += e_blk.shape[0]
+            else:
+                np.asarray(state.energy[:1])  # sync under the watchdog
+            done_c += k
+        return state, acc, att, samples, cycle0 + done_c
+
+    # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
+    # speed equilibration) but are not counted.
+    state, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
+    state = state._replace(accepted=jnp.zeros_like(state.accepted))
+
+    lapse = max(1, params.gather_lapse)
+    state, acc, att, samples, _ = run_phase(
+        state, params.maxsteps, 1.0, cyc, collect=True, lapse=lapse)
+    prod_sweeps = -(-params.maxsteps // interval) * interval
+    prod_moves = np.asarray(state.accepted, np.int64)
+
+    e_tr = np.concatenate(samples) if samples else np.zeros((0, c))
+    kinetic = 1.5 * cfg.n * temps
+    e_t = e_tr.reshape(len(e_tr), n_t, chains_per_t)
+    chain_means = e_t.mean(axis=0)
+    mean_e = chain_means.mean(axis=1) + kinetic
+    err_e = chain_means.std(axis=1) / max(1, chains_per_t - 1) ** 0.5
+    acc_moves = (prod_moves.reshape(n_t, chains_per_t).mean(axis=1)
+                 / (prod_sweeps * cfg.n))
+    cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
+
+    ts = TSweepResults(
+        temps=temps, mean_energy=mean_e, err_energy=err_e,
+        acceptance=np.asarray(acc_moves), cv=np.asarray(cv))
+    return state, PTResults(
+        tsweep=ts,
+        pair_t_lo=temps[:-1],
+        pair_t_hi=temps[1:],
+        swap_acceptance=acc / np.maximum(att, 1),
+        swap_attempts=att,
+        exchange_interval=interval,
+    )
+
+
+def write_pt_csv(d, cfg: SMCConfig, res: PTResults):
+    from .io import _fname
+
+    p = _fname(d, "pt", cfg)
+    with open(p, "w") as f:
+        f.write("T_lo, T_hi, swap_acceptance, attempts\n")
+        for i in range(len(res.pair_t_lo)):
+            f.write(f"{res.pair_t_lo[i]:0.4f}, {res.pair_t_hi[i]:0.4f}, "
+                    f"{res.swap_acceptance[i]:0.6f}, "
+                    f"{res.swap_attempts[i]:d}\n")
+    return p
