@@ -324,3 +324,95 @@ def test_kernel_bulk_pbc_z_with_pad_rows():
     )
     acc = np.asarray(at)
     assert np.all(acc >= 0) and np.all(acc <= cfg.n)
+
+
+# ----------------------------------------------------------------------
+# Per-chain (A, T) mode: the temperature-ladder kernel (tsweep/pt)
+# ----------------------------------------------------------------------
+
+def _ladder_rows(c, temps):
+    """[1, C] A and 1/T rows for a ladder repeated across chains."""
+    t_c = np.repeat(np.asarray(temps, np.float32), c // len(temps))
+    a_c = (CFG.gamma * t_c).astype(np.float32)
+    return (jnp.asarray(a_c).reshape(1, c),
+            jnp.asarray(1.0 / t_c).reshape(1, c), t_c)
+
+
+def test_kernel_per_chain_at_energy_bookkeeping():
+    """Ladder mode: carried E equals a from-scratch recompute for every
+    chain even though each lane ran a different (A, T)."""
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, CFG)
+    wa, wb = sp.wall_coeff_rows(w, CFG)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    a_row, invt_row, _ = _ladder_rows(128, [0.8, 1.0, 1.2, 1.5])
+    offsets = jnp.asarray([3, 7], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        x2, y2, z2, e2, et, at = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, jnp.int32(5), CFG, 2, 0.0,
+            c_tile=128, a_row=a_row, invt_row=invt_row,
+        )
+    r2 = sp.from_planes(x2, y2, z2, CFG)
+    exact = jax.vmap(lambda r: total_energy(r, w, CFG))(r2)
+    np.testing.assert_allclose(
+        np.asarray(e2[0]), np.asarray(exact), rtol=1e-4, atol=1e-3
+    )
+    acc = np.asarray(at)
+    assert np.all(acc >= 0) and np.all(acc <= CFG.n)
+    assert np.all(np.abs(np.asarray(r2)[..., 2]) < CFG.box_lz / 2)
+
+
+def test_kernel_per_chain_uniform_matches_scalar():
+    """With every chain at the SAME (A, T), the ladder kernel must
+    reproduce the scalar-static kernel's trajectory (same PRNG schedule;
+    the only difference is mul-by-1/T vs divide-by-T rounding)."""
+    state, w = _dense_state(128)
+    x, y, z = sp.to_planes(state.r, CFG)
+    wa, wb = sp.wall_coeff_rows(w, CFG)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    a = float(CFG.proposal_a)
+    a_row = jnp.full((1, 128), a, jnp.float32)
+    invt_row = jnp.full((1, 128), 1.0 / CFG.temperature, jnp.float32)
+    offsets = jnp.asarray([2], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = sp.pallas_sweep_block(x, y, z, e, wa, wb, offsets,
+                                    jnp.int32(9), CFG, 1, a, c_tile=128)
+        lad = sp.pallas_sweep_block(x, y, z, e, wa, wb, offsets,
+                                    jnp.int32(9), CFG, 1, 0.0, c_tile=128,
+                                    a_row=a_row, invt_row=invt_row)
+    # accept decisions must agree; positions/energies to f32 roundoff
+    np.testing.assert_array_equal(np.asarray(ref[5]), np.asarray(lad[5]))
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(ref[i]), np.asarray(lad[i]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_tsweep_pallas_engine_end_to_end():
+    """simulate_temperature_sweep(sampler='pallas') through the ladder
+    kernel (interpret): finite per-T stats, E monotone in T."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    params = RunParams(eqsteps=2, maxsteps=8, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        _, res = simulate_temperature_sweep(
+            CFG, params, [0.9, 1.4], jax.random.key(0),
+            chains_per_t=64, sampler="pallas")
+    assert np.all(np.isfinite(res.mean_energy))
+    assert np.all((res.acceptance > 0) & (res.acceptance <= 1))
+    assert res.mean_energy[1] > res.mean_energy[0]
+
+
+def test_pt_pallas_engine_end_to_end():
+    """Parallel tempering through the ladder kernel (interpret)."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.pt import simulate_parallel_tempering
+
+    params = RunParams(eqsteps=2, maxsteps=8, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        _, res = simulate_parallel_tempering(
+            CFG, params, [0.9, 1.4], jax.random.key(0),
+            chains_per_t=64, exchange_interval=2, sampler="pallas")
+    assert np.all(np.isfinite(res.tsweep.mean_energy))
+    assert np.all((res.swap_acceptance >= 0) & (res.swap_acceptance <= 1))
+    assert int(res.swap_attempts.sum()) > 0

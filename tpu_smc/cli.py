@@ -162,8 +162,18 @@ def main(argv=None) -> int:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
 
         temps = [float(v) for v in args.temperatures.split(",")]
+        ladder_c = len(temps) * args.chains_per_t
+        tsampler = args.sampler
+        if tsampler == "auto":
+            tsampler = (
+                "pallas"
+                if (jax.default_backend() == "tpu"
+                    and cfg.dtype == "float32" and ladder_c % 128 == 0)
+                else "xla"
+            )
         print(f"Temperature sweep: {len(temps)} temperatures x "
-              f"{args.chains_per_t} chains, one compiled ensemble")
+              f"{args.chains_per_t} chains, one compiled ensemble "
+              f"({tsampler} engine)")
         if args.pt_exchange:
             from .pt import simulate_parallel_tempering, write_pt_csv
 
@@ -171,7 +181,8 @@ def main(argv=None) -> int:
                   f"{args.pt_exchange} sweeps")
             _, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
-                exchange_interval=args.pt_exchange, w=w_np)
+                exchange_interval=args.pt_exchange, w=w_np,
+                sampler=tsampler)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
             print("\n###  Replica-exchange swap acceptance  ###")
@@ -184,7 +195,7 @@ def main(argv=None) -> int:
         else:
             _, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
-                w=w_np)
+                w=w_np, sampler=tsampler)
         path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")

@@ -175,6 +175,8 @@ def ensemble_sweeps_pallas(
     n_sweeps: int,
     seed: int | jax.Array | None = None,
     c_tile: int | None = None,
+    a_per_chain: jax.Array | None = None,
+    t_per_chain: jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """n_sweeps sweeps for every chain through the Pallas whole-sweep
     kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
@@ -191,6 +193,10 @@ def ensemble_sweeps_pallas(
     `x*(1/L)*L` is not an exact round trip for general L). Traces come
     back exactly like run_sweeps: per-sweep E and accept counts, shape
     [n_sweeps, C].
+
+    a_per_chain/t_per_chain ([C], both or neither): per-chain proposal
+    mobility and temperature — runs a whole temperature LADDER through
+    one kernel compile (tsweep/pt at kernel speed); `a` is then ignored.
     """
     from .kernels import sweep_pallas as sp
 
@@ -204,9 +210,18 @@ def ensemble_sweeps_pallas(
     wa, wb = sp.wall_coeff_rows(w, cfg)
     e = state.energy.reshape(1, c).astype(jnp.float32)
 
+    kw = {}
+    if a_per_chain is not None:
+        kw = dict(
+            a_row=jnp.asarray(a_per_chain, jnp.float32).reshape(1, c),
+            invt_row=(1.0 / jnp.asarray(t_per_chain, jnp.float32)
+                      ).reshape(1, c),
+        )
+        a = 0.0  # static `a` is unused in per-chain mode: one compile key
+
     x, y, z, e, e_trace, a_trace = sp.pallas_sweep_block(
         x, y, z, e, wa, wb, offsets, sw_seeds,
-        cfg, n_sweeps, float(a), c_tile=c_tile,
+        cfg, n_sweeps, float(a), c_tile=c_tile, **kw,
     )
 
     new_state = state._replace(

@@ -107,7 +107,12 @@ def _uniforms(shape):
 
 
 def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
-                 a: float, zskip: bool = False, row_block: int | None = None):
+                 a: float, zskip: bool = False, row_block: int | None = None,
+                 per_chain_at: bool = False):
+    """per_chain_at: the proposal mobility A and temperature T are
+    PER-CHAIN [1, C] input rows instead of compile-time scalars — one
+    kernel compile covers a whole temperature ladder (tsweep/pt) AND its
+    thermalization (A-doubling changes row values, not the program)."""
     n = cfg.n
     reference_noise = cfg.reference_noise
     flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
@@ -281,11 +286,17 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         fz = fz0 + jnp.sum(dv, axis=0, keepdims=True) * dz
         return 4.0 * u, fx, fy, fz
 
-    def kernel(offsets_ref, seeds_ref,                      # scalar prefetch
-               x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref,  # inputs
-               xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref,  # outputs
-               xs, ys, zs, *rest):                          # scratch
-        rest = list(rest)
+    def kernel(offsets_ref, seeds_ref, *refs):
+        refs = list(refs)
+        # inputs
+        x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref = refs[:6]
+        k = 6
+        if per_chain_at:
+            ac_ref, it_ref = refs[k:k + 2]   # [1, C] A and 1/T rows
+            k += 2
+        # outputs, then scratch
+        xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref = refs[k:k + 6]
+        xs, ys, zs, *rest = refs[k + 6:]
         ns = rest.pop(0) if reference_noise else None
         if zskip:
             sbmin, sbmax = rest.pop(0), rest.pop(0)  # SMEM scalar bounds
@@ -316,6 +327,22 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         syc = jnp.where(m_ids < mm,
                         (m_ids % cfg.m).astype(jnp.float32) * dw, 1e15)
 
+        # Proposal/acceptance scales: compile-time scalars in the default
+        # mode; loop-invariant [1, C] rows in per_chain_at mode (scalar
+        # mode keeps the exact `.../t` divide for bitwise continuity).
+        if per_chain_at:
+            a_c = ac_ref[:, :]
+            inv_t = it_ref[:, :]
+            a_t = a_c * inv_t            # A/T   (SMC.c:307)
+            a_4t = 0.25 * a_c * inv_t    # A/4T  (SMC.c:326)
+            s2a = jnp.sqrt(2.0 * a_c)    # Box-Muller sigma
+            scale_logap = (lambda v: v * inv_t)
+        else:
+            a_t = a / t
+            a_4t = a / (4.0 * t)
+            s2a = sqrt2a
+            scale_logap = (lambda v: v / t)
+
         def one_sweep(s, e):
             # Per-SWEEP PRNG stream: two 31-bit words derived (upstream)
             # from the chain key folded with the ABSOLUTE sweep counter,
@@ -332,7 +359,7 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
 
             if reference_noise:
                 # Once per sweep, read back per-move by particle id.
-                ns[:] = _reference_noise(flat_pad, c_tile, sqrt2a)
+                ns[:] = _reference_noise(flat_pad, c_tile, s2a)
 
             if zskip:
                 # Exact per-block SCALAR z bounds at sweep start; they
@@ -396,16 +423,16 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 else:
                     # 3 Gaussians (Box-Muller, sigma = sqrt(2A)) + 1 uniform
                     u = _uniforms((8, c_tile))
-                    r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * sqrt2a
+                    r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * s2a
                     g1 = r1 * jnp.cos(TWO_PI * u[1:2])
                     g2 = r1 * jnp.sin(TWO_PI * u[1:2])
-                    g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * sqrt2a * \
+                    g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * s2a * \
                         jnp.cos(TWO_PI * u[3:4])
                     u_acc = u[4:5]
 
-                ddx = fmx * (a / t) + g1
-                ddy = fmy * (a / t) + g2
-                ddz = fmz * (a / t) + g3
+                ddx = fmx * a_t + g1
+                ddy = fmy * a_t + g2
+                ddz = fmz * a_t + g3
                 # proposal in scaled x/y space: wrap is round+sub
                 px = xi + ddx * (1.0 / box_l)
                 px = px - jnp.round(px)
@@ -437,11 +464,12 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 dfz = fnz - fmz
                 dw_term = (dfx * dfx + dfy * dfy + dfz * dfz
                            + 2.0 * (dfx * fmx + dfy * fmy + dfz * fmz)) \
-                    * (a / (4.0 * t))
-                log_ap = -(un - um
-                           + 0.5 * (ddx * (fnx + fmx) + ddy * (fny + fmy)
-                                    + ddz * (fnz + fmz))
-                           + dw_term) / t
+                    * a_4t
+                log_ap = scale_logap(
+                    -(un - um
+                      + 0.5 * (ddx * (fnx + fmx) + ddy * (fny + fmy)
+                               + ddz * (fnz + fmz))
+                      + dw_term))
                 accept = (u_acc < jnp.exp(jnp.minimum(log_ap, 0.0))) \
                     | (log_ap >= 0.0)
 
@@ -504,6 +532,8 @@ def pallas_sweep_block(
     c_tile: int = 256,
     zskip: bool = False,
     row_block_rows: int | None = None,
+    a_row: jax.Array | None = None,
+    invt_row: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run `n_sweeps` full SMC sweeps for every chain.
 
@@ -511,12 +541,21 @@ def pallas_sweep_block(
     this); j-blocks provably outside the moving particle's z cutoff are
     skipped — bitwise identical results, fewer rows touched.
 
+    a_row/invt_row ([1, C] f32, both or neither): PER-CHAIN proposal
+    mobility A and 1/T — the temperature-ladder mode (tsweep/pt). The
+    static `a` is then ignored (pass 0.0); one compile serves every
+    ladder AND its thermalization (A-doubling is a value change).
+
     Returns (x, y, z, e, energy_trace [S, C], accept_trace [S, C])."""
     n_pad, c = x.shape
     assert c % c_tile == 0, (c, c_tile)
+    per_chain_at = a_row is not None
+    assert per_chain_at == (invt_row is not None), \
+        "a_row and invt_row must be passed together"
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a,
-                          zskip=zskip, row_block=row_block_rows)
+                          zskip=zskip, row_block=row_block_rows,
+                          per_chain_at=per_chain_at)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
@@ -546,10 +585,13 @@ def pallas_sweep_block(
         scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live block zmax
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
+    in_specs = [hbm, hbm, hbm, row_block, wall_block, wall_block]
+    if per_chain_at:
+        in_specs += [row_block, row_block]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[hbm, hbm, hbm, row_block, wall_block, wall_block],
+        in_specs=in_specs,
         out_specs=[hbm, hbm, hbm, row_block, trace_block, trace_block],
         scratch_shapes=scratch,
     )
@@ -581,12 +623,14 @@ def pallas_sweep_block(
     # dr2 / the per-pass force scale (docs/PERF_NOTES.md). The scale
     # round-trips at this call boundary only.
     inv_l = 1.0 / float(cfg.box_l)
+    args = [x * inv_l, y * inv_l, z, e, wa_cols, wb_cols]
+    if per_chain_at:
+        args += [a_row.astype(jnp.float32), invt_row.astype(jnp.float32)]
     xo, yo, zo, e, e_tr, a_tr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(offsets.astype(jnp.int32), seed_words,
-      x * inv_l, y * inv_l, z, e, wa_cols, wb_cols)
+    )(offsets.astype(jnp.int32), seed_words, *args)
     return xo * cfg.box_l, yo * cfg.box_l, zo, e, e_tr, a_tr
 
 

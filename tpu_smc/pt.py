@@ -115,18 +115,31 @@ class PTResults(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "chains_per_t", "interval",
-                                   "n_cycles", "a_scale", "collect_trace"))
+                                   "n_cycles", "a_scale", "collect_trace",
+                                   "sampler"))
 def _pt_block(state, w, cfg, temps_c, betas_t, a_scale, chains_per_t,
-              interval, n_cycles, cycle0, collect_trace=False):
+              interval, n_cycles, cycle0, collect_trace=False,
+              sampler="xla"):
     """n_cycles x (interval sweeps + one exchange attempt), fully on
     device. cycle0 is the absolute index of the first cycle (parity and
-    exchange keys are chunk-invariant)."""
+    exchange keys are chunk-invariant). sampler="pallas" runs the sweeps
+    through the whole-sweep kernel with per-chain (A, T) rows."""
     n_t = betas_t.shape[0]
 
     def cycle(carry, k):
         st, nacc, natt = carry
-        st, stats = _multi_t_sweeps(st, w, cfg, temps_c, a_scale, interval,
-                                    collect_trace)
+        if sampler == "pallas":
+            from . import ensemble as ens
+
+            st, stats = ens.ensemble_sweeps_pallas(
+                st, w, cfg, 0.0, interval,
+                a_per_chain=a_scale * cfg.gamma * temps_c,
+                t_per_chain=temps_c)
+            if not collect_trace:
+                stats = None
+        else:
+            st, stats = _multi_t_sweeps(st, w, cfg, temps_c, a_scale,
+                                        interval, collect_trace)
         abs_k = cycle0 + k
         ekey = jax.random.fold_in(
             jax.random.fold_in(st.key[0], 0x9C0FFEE), abs_k)
@@ -149,6 +162,7 @@ def simulate_parallel_tempering(
     exchange_interval: int = 10,
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
+    sampler: str = "xla",
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
@@ -164,7 +178,7 @@ def simulate_parallel_tempering(
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
 
-    chunk_cycles = max(1, therm_chunk(cfg) // interval)
+    chunk_cycles = max(1, therm_chunk(cfg, sampler=sampler) // interval)
 
     def run_phase(state, total_sweeps, a_scale, cycle0, collect=False,
                   lapse=1, sweep0=0):
@@ -180,7 +194,8 @@ def simulate_parallel_tempering(
             k = min(cycles - done_c, chunk_cycles)
             state, a_blk, t_blk, stats = _pt_block(
                 state, w_arr, cfg, temps_c, betas_t, a_scale, chains_per_t,
-                interval, k, cycle0 + done_c, collect_trace=collect)
+                interval, k, cycle0 + done_c, collect_trace=collect,
+                sampler=sampler)
             acc += np.asarray(a_blk, np.int64)
             att += np.asarray(t_blk, np.int64)
             if collect:

@@ -64,6 +64,24 @@ def _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
                            collect_trace)
 
 
+def _ladder_block(state, w, cfg, temps_c, a_scale, n_sweeps, sampler,
+                  collect_trace=False):
+    """One device block of the ladder through the chosen engine. The
+    pallas engine runs the whole ladder via PER-CHAIN (A, T) kernel rows
+    (ensemble.ensemble_sweeps_pallas a_per_chain/t_per_chain): one kernel
+    compile covers every temperature and the thermalization doubling."""
+    if sampler == "pallas":
+        from . import ensemble as ens
+
+        a_c = a_scale * cfg.gamma * temps_c
+        state, stats = ens.ensemble_sweeps_pallas(
+            state, w, cfg, 0.0, n_sweeps,
+            a_per_chain=a_c, t_per_chain=temps_c)
+        return state, (stats if collect_trace else None)
+    return _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
+                          collect_trace)
+
+
 def simulate_temperature_sweep(
     cfg: SMCConfig,
     params: RunParams,
@@ -72,6 +90,7 @@ def simulate_temperature_sweep(
     chains_per_t: int = 16,
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
+    sampler: str = "xla",
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature."""
@@ -85,11 +104,12 @@ def simulate_temperature_sweep(
 
     # Deterministic watchdog-safe chunks (driver.therm_chunk: sized from
     # the O(N^2) sweep cost, machine-independent — ADVICE r1).
-    chunk = therm_chunk(cfg)
+    chunk = therm_chunk(cfg, sampler=sampler)
     done = 0
     while done < params.eqsteps:
         k = min(params.eqsteps - done, chunk)
-        state, _ = _multi_t_block(state, w_arr, cfg, temps_c, 2.0, k)
+        state, _ = _ladder_block(state, w_arr, cfg, temps_c, 2.0, k,
+                                 sampler)
         np.asarray(state.energy[:1])  # sync
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
@@ -105,8 +125,9 @@ def simulate_temperature_sweep(
     done = 0
     while done < params.maxsteps:
         k = min(params.maxsteps - done, chunk_g)
-        state, stats = _multi_t_block(
-            state, w_arr, cfg, temps_c, 1.0, k, collect_trace=True)
+        state, stats = _ladder_block(
+            state, w_arr, cfg, temps_c, 1.0, k, sampler,
+            collect_trace=True)
         e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
         prod_moves += np.asarray(state.accepted, np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
