@@ -124,6 +124,32 @@ def main() -> int:
     c_rate, c_src = measure_c_baseline()
     log(f"bench: C baseline {c_rate:.1f} sweeps/s ({c_src})")
 
+    # Multi-chip: when this host sees >1 device, also measure the sharded
+    # kernel over the full mesh (chains shard with zero cross-chip
+    # traffic, so aggregate ~ n_devices x single chip — the BASELINE.json
+    # north star is stated for v5e-8). Single-chip runs skip this.
+    agg_mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = ens.make_mesh(n_dev, axis_names=("chains",))
+        c_all = CHAINS * n_dev
+        state_m, w_m = init_ensemble_state(cfg, jax.random.key(1), c_all)
+        state_m = ens.shard_ensemble(state_m, mesh)
+        state_m, _ = ens.ensemble_sweeps_pallas_sharded(
+            state_m, w_m, cfg, cfg.proposal_a, SWEEPS, seed=21, mesh=mesh)
+        sync(state_m)
+        best_m = float("inf")
+        for rep in range(3):
+            t0 = time.time()
+            state_m, _ = ens.ensemble_sweeps_pallas_sharded(
+                state_m, w_m, cfg, cfg.proposal_a, SWEEPS, seed=22 + rep,
+                mesh=mesh)
+            sync(state_m)
+            best_m = min(best_m, time.time() - t0)
+        agg_mesh = c_all * SWEEPS / best_m
+        log(f"bench: {agg_mesh:,.0f} aggregate sweeps/s over "
+            f"{n_dev} chips ({agg_mesh / agg:.1f}x one chip)")
+
     # Secondary: the default molecule-surface system (N=108). Skipped when
     # the wall clock is already deep into the driver's budget (device
     # attach ~2 min + cold Mosaic compiles are minutes each; the persistent
@@ -161,6 +187,9 @@ def main() -> int:
             "acceptance": round(acc, 4),
             "baseline_sweeps_per_s": round(c_rate, 2),
             "baseline_source": c_src,
+            "n_devices": n_dev,
+            "mesh_aggregate_sweeps_per_s":
+                round(agg_mesh, 1) if agg_mesh else None,
             "n108_chains2048_sweeps_per_s":
                 round(agg108, 1) if agg108 else None,
             "n108_vs_c_core": round(agg108 / 4744.0, 1) if agg108 else None,

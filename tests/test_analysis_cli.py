@@ -126,3 +126,31 @@ def test_tsweep_cli_and_plot(tmp_path):
     run = load_run(run_dir)
     written = render_all(run, tmp_path / "plots")
     assert any(p.name.startswith("tsweep_") for p in written)
+
+
+def test_volume_html_viewer(run_dir, tmp_path):
+    """Interactive volume viewer: self-contained HTML with the density
+    volume (and the local_temp time axis when >= 2 windows exist)."""
+    import shutil
+
+    from tpu_smc.analysis import load_run, render_volume_html
+
+    run = load_run(run_dir)
+    p = render_volume_html(run, tmp_path / "plots")
+    assert p is not None and p.name == f"volume_{run.key}.html"
+    html = p.read_text()
+    assert "const DIMS = [33, 33, 33]" in html
+    assert "const NW = 0" in html            # single window -> no time axis
+    assert "<canvas" in html and "cmap" in html
+
+    # with >= 2 windows the time slider data is embedded
+    d2 = tmp_path / run_dir.name
+    shutil.copytree(run_dir, d2)
+    lt = d2 / f"local_temp_{run.key}_rank0.csv"
+    lines = lt.read_text().strip().splitlines()
+    with open(lt, "a") as f:
+        for row in lines[1:]:
+            f.write(row + "\n")
+    run2 = load_run(d2)
+    p2 = render_volume_html(run2, tmp_path / "plots2")
+    assert "const NW = 2" in p2.read_text()

@@ -275,6 +275,157 @@ def render_volume(run: RunData, out_dir: str | Path,
     return written
 
 
+_VOLUME_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>tpu_smc volume {key}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; background: #111; color: #ddd;
+        display: flex; flex-direction: column; align-items: center; }}
+ canvas {{ image-rendering: pixelated; border: 1px solid #444;
+          margin: 10px; }}
+ .row {{ margin: 4px; }} label {{ margin: 0 8px; }}
+ input[type=range] {{ width: 260px; vertical-align: middle; }}
+ select, button {{ background: #222; color: #ddd; border: 1px solid #555; }}
+</style></head><body>
+<h3>voxel density volume — {key}</h3>
+<div class="row">
+ axis <select id="axis"><option>x</option><option>y</option>
+      <option selected>z</option></select>
+ <label>mode <select id="mode"><option selected>slice</option>
+      <option>MIP</option></select></label>
+ <label>slice <input id="slice" type="range" min="0" value="0">
+      <span id="sliceval"></span></label>
+</div>
+<div class="row" id="timerow" style="display:none">
+ window <input id="time" type="range" min="0" value="0">
+ <span id="timeval"></span>
+ <button id="play">play</button>
+</div>
+<canvas id="cv" width="512" height="512"></canvas>
+<div class="row" id="info"></div>
+<script>
+const DIMS = {dims};          // [ncx, ncy, ncz]
+const CUM = {cum};            // flat, C order, cumulative density
+const WINDOWS = {windows};    // [] or flat [W * ncx * ncy * ncz]
+const NW = {n_windows};
+// inferno-ish colormap
+function cmap(t) {{
+  t = Math.max(0, Math.min(1, t));
+  const r = Math.min(255, 255 * Math.pow(t, 0.55) * 1.3);
+  const g = 255 * Math.pow(t, 1.6) * 0.9;
+  const b = 255 * (t < 0.5 ? 0.4 + 1.2 * t * (1 - t) * 2 : 1.6 * (1 - t));
+  return [r, g, b];
+}}
+const cv = document.getElementById("cv"), ctx = cv.getContext("2d");
+const axisEl = document.getElementById("axis"),
+      modeEl = document.getElementById("mode"),
+      sliceEl = document.getElementById("slice"),
+      timeEl = document.getElementById("time");
+if (NW > 1) document.getElementById("timerow").style.display = "";
+timeEl.max = Math.max(0, NW - 1);
+function vol() {{
+  if (NW > 1) {{
+    const sz = DIMS[0] * DIMS[1] * DIMS[2], w = +timeEl.value;
+    return WINDOWS.slice(w * sz, (w + 1) * sz);
+  }}
+  return CUM;
+}}
+function at(v, i, j, k) {{
+  return v[(i * DIMS[1] + j) * DIMS[2] + k];
+}}
+function draw() {{
+  const ax = axisEl.selectedIndex, v = vol();
+  const other = [0, 1, 2].filter(a => a !== ax);
+  sliceEl.max = DIMS[ax] - 1;
+  const s = Math.min(+sliceEl.value, DIMS[ax] - 1);
+  document.getElementById("sliceval").textContent = s;
+  document.getElementById("timeval").textContent =
+      NW > 1 ? (+timeEl.value + 1) + "/" + NW : "";
+  const W = DIMS[other[0]], H = DIMS[other[1]];
+  let vmax = 1e-12;
+  for (const x of v) if (x > vmax) vmax = x;
+  const img = ctx.createImageData(W, H);
+  for (let a = 0; a < W; a++) for (let b = 0; b < H; b++) {{
+    let val = 0;
+    const idx = [0, 0, 0];
+    idx[other[0]] = a; idx[other[1]] = b;
+    if (modeEl.selectedIndex === 0) {{        // slice
+      idx[ax] = s; val = at(v, idx[0], idx[1], idx[2]);
+    }} else {{                                 // MIP along axis
+      for (let c = 0; c < DIMS[ax]; c++) {{
+        idx[ax] = c;
+        val = Math.max(val, at(v, idx[0], idx[1], idx[2]));
+      }}
+    }}
+    const [r, g, bl] = cmap(val / vmax);
+    const p = 4 * ((H - 1 - b) * W + a);
+    img.data[p] = r; img.data[p + 1] = g; img.data[p + 2] = bl;
+    img.data[p + 3] = 255;
+  }}
+  // nearest-neighbour upscale to the canvas
+  const off = document.createElement("canvas");
+  off.width = W; off.height = H;
+  off.getContext("2d").putImageData(img, 0, 0);
+  ctx.imageSmoothingEnabled = false;
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  ctx.drawImage(off, 0, 0, cv.width, cv.height);
+  document.getElementById("info").textContent =
+    "dims " + DIMS.join("x") + ", max voxel count " + vmax;
+}}
+for (const el of [axisEl, modeEl, sliceEl, timeEl])
+  el.addEventListener("input", draw);
+let playing = null;
+document.getElementById("play").addEventListener("click", () => {{
+  if (playing) {{ clearInterval(playing); playing = null; return; }}
+  playing = setInterval(() => {{
+    timeEl.value = (+timeEl.value + 1) % NW; draw();
+  }}, 300);
+}});
+draw();
+</script></body></html>
+"""
+
+
+def render_volume_html(run: RunData, out_dir: str | Path,
+                       max_floats: int = 2_000_000) -> Optional[Path]:
+    """Self-contained interactive volume viewer (volume_<key>.html): the
+    cumulative voxel density with axis/slice/MIP controls, plus a time
+    slider over the local_temp windows when the run wrote them — the
+    interactive counterpart of plotting.jl's Makie volume scene
+    (:273-331), with zero external dependencies (plain canvas JS).
+
+    Windows are embedded only while the total payload stays under
+    `max_floats` values (~a few MB of HTML); beyond that the viewer
+    falls back to the cumulative volume alone."""
+    density = run.local[..., 0]
+    if density.max() <= 0:
+        return None
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def compact(a):
+        flat = np.asarray(a, dtype=float).ravel()
+        # voxel counts are integers; keep the JSON small
+        return "[" + ",".join(
+            str(int(x)) if float(x).is_integer() else f"{x:.4g}"
+            for x in flat) + "]"
+
+    windows = load_local_windows(run)
+    n_windows = int(windows.shape[0])
+    if n_windows * density.size > max_floats:
+        windows = windows[:0]
+        n_windows = 0
+    html = _VOLUME_HTML.format(
+        key=run.key,
+        dims=list(run.local_dims),
+        cum=compact(density),
+        windows=compact(windows[..., 0]) if n_windows > 1 else "[]",
+        n_windows=n_windows if n_windows > 1 else 0,
+    )
+    p = out / f"volume_{run.key}.html"
+    p.write_text(html)
+    return p
+
+
 def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     """Produce the full plot set (or .npz summaries without matplotlib)."""
     out = Path(out_dir)
@@ -387,6 +538,9 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
 
     # voxel density volume rendering (plotting.jl:273-331)
     written.extend(render_volume(run, out))
+    html = render_volume_html(run, out)
+    if html is not None:
+        written.append(html)
 
     # temperature-sweep curves when the run produced a tsweep CSV
     # (tpu_smc/tsweep.py — a beyond-reference capability)
