@@ -208,3 +208,71 @@ def test_zsorted_ragged_row_block_autoshrink():
     assert bool(np.all(np.isfinite(np.asarray(st2.energy))))
     acc = np.asarray(tr.accepted)
     assert np.all(acc >= 0) and np.all(acc <= cfg.n)
+
+
+def test_simulate_ensemble_sharded_xla_matches_single_device():
+    """Auto-sharded ensemble driver (mesh over the 8 virtual devices):
+    GSPMD partitioning must not change the XLA engine's results — the
+    sharded run reproduces the single-device run exactly."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+    from tpu_smc.ensemble import make_mesh, shard_ensemble
+    from tpu_smc.state import init_ensemble_state
+
+    cfg = SMCConfig(n=12, box_l=10.0, box_lz=30.0, dtype="float64")
+    params = RunParams(eqsteps=4, maxsteps=16, numdata=8)
+    opts = ObservableOptions(pressure=True, clusters=False)
+
+    state0, w = init_ensemble_state(cfg, jax.random.key(3), 16)
+    _, agg_single = simulate_ensemble(cfg, params, state0, w, opts=opts)
+
+    mesh = make_mesh(8, axis_names=("chains",))
+    state1, _ = init_ensemble_state(cfg, jax.random.key(3), 16)
+    state1 = shard_ensemble(state1, mesh)
+    st, agg_mesh = simulate_ensemble(cfg, params, state1, w, opts=opts,
+                                     mesh=mesh)
+
+    assert agg_mesh.mean_energy == pytest.approx(agg_single.mean_energy,
+                                                 rel=1e-12)
+    assert agg_mesh.acceptance_ratio == agg_single.acceptance_ratio
+    for cs, cm in zip(agg_single.chains, agg_mesh.chains):
+        np.testing.assert_allclose(cm.r_final, cs.r_final, rtol=1e-12)
+
+
+def test_simulate_ensemble_sharded_pallas_runs():
+    """The pallas engine under a mesh goes through the shard_map wrapper
+    inside the windowed driver (interpret mode on the virtual devices)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+    from tpu_smc.ensemble import make_mesh, shard_ensemble
+    from tpu_smc.state import init_ensemble_state
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=1, maxsteps=4, numdata=4)
+    mesh = make_mesh(8, axis_names=("chains",))
+    state, w = init_ensemble_state(cfg, jax.random.key(1), 8 * 128)
+    state = shard_ensemble(state, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        st, agg = simulate_ensemble(
+            cfg, params, state, w, mesh=mesh,
+            opts=ObservableOptions(pressure=False, clusters=False,
+                                   sampler="pallas"))
+    assert np.isfinite(agg.mean_energy)
+    assert 0.0 <= agg.acceptance_ratio <= 1.0
+    assert int(np.asarray(st.sweeps)[0]) == 5
+
+
+def test_cli_ensemble_shards_over_virtual_devices(tmp_path, capsys):
+    """CLI --chains auto-shards over the 8 virtual CPU devices."""
+    from tpu_smc.cli import main
+
+    rc = main(["10", "40", "4", "1.1", "--n", "12", "--chains", "8",
+               "--seed", "3", "--dtype", "float64", "--no-trace",
+               "--data-dir", str(tmp_path)])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "Sharding 8 chains over 8 devices" in outp

@@ -392,6 +392,19 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
             else "xla"
         )
     print(f"Ensemble sweep engine: {sampler}")
+    # Multi-device hosts: shard the chain axis over every visible device
+    # (zero cross-device traffic — the reference's replica model on ICI).
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and c % n_dev == 0:
+        from .ensemble import make_mesh, shard_ensemble
+
+        mesh = make_mesh(n_dev, axis_names=("chains",))
+        state = shard_ensemble(state, mesh)
+        print(f"Sharding {c} chains over {n_dev} devices")
+    elif n_dev > 1:
+        print(f"Note: {c} chains do not divide over {n_dev} devices; "
+              "running on one device")
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,
@@ -399,7 +412,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     )
     state, agg = simulate_ensemble(
         cfg, params, state, w, opts=opts, on_window=on_window,
-        acf_mode=args.acf_mode,
+        acf_mode=args.acf_mode, mesh=mesh,
     )
 
     print(f"\n\nAggregate throughput: {agg.sweeps_per_second:,.0f} sweeps/s "

@@ -40,14 +40,30 @@ def _gather_step_batched(
     gather_lapse: int,
     gather_index: jax.Array,
     opts: ObservableOptions,
+    mesh=None,
 ) -> tuple[ChainState, GatherOut]:
     """Batched version of driver._gather_step: every observable vmapped
-    over the chain axis. Trace shapes gain a trailing [C]."""
+    over the chain axis. Trace shapes gain a trailing [C].
+
+    `mesh`: multi-device runs. The XLA engine needs no special casing —
+    the chain axis of the INPUT state is sharded and GSPMD partitions
+    the whole program (chains never communicate). The pallas engine's
+    kernel is a custom call GSPMD cannot split, so it goes through the
+    shard_map wrapper explicitly; the observables around it still
+    auto-partition."""
     dtype = cfg.jnp_dtype
     if opts.sampler == "pallas":
-        state, trace = ensemble_sweeps_pallas(
-            state, w, cfg, cfg.proposal_a, gather_lapse,
-        )
+        if mesh is not None:
+            from .ensemble import ensemble_sweeps_pallas_sharded
+
+            state, trace = ensemble_sweeps_pallas_sharded(
+                state, w, cfg, cfg.proposal_a, gather_lapse, seed=None,
+                mesh=mesh,
+            )
+        else:
+            state, trace = ensemble_sweeps_pallas(
+                state, w, cfg, cfg.proposal_a, gather_lapse,
+            )
     else:
         state, trace = ensemble_sweeps(
             state, w, cfg, cfg.proposal_a, gather_lapse,
@@ -121,7 +137,8 @@ def _gather_step_batched(
     return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gather_lapse", "n_gathers", "opts"))
+@partial(jax.jit, static_argnames=("cfg", "gather_lapse", "n_gathers",
+                                   "opts", "mesh"))
 def simulate_window_batched(
     state: ChainState,
     w: jax.Array,
@@ -130,10 +147,11 @@ def simulate_window_batched(
     n_gathers: int,
     gather_offset: jax.Array,
     opts: ObservableOptions,
+    mesh=None,
 ) -> tuple[ChainState, GatherOut]:
     def body(carry, k):
         return _gather_step_batched(
-            carry, w, cfg, gather_lapse, gather_offset + k, opts
+            carry, w, cfg, gather_lapse, gather_offset + k, opts, mesh=mesh
         )
 
     return jax.lax.scan(body, state, jnp.arange(n_gathers))
@@ -160,9 +178,14 @@ def simulate_ensemble(
     opts: ObservableOptions = ObservableOptions(),
     on_window=None,
     acf_mode: str = "reference",
+    mesh=None,
 ) -> tuple[ChainState, EnsembleResults]:
     """Ensemble run: thermalization + windowed main loop + per-chain and
-    pooled post-processing. `state` must carry a leading chain axis."""
+    pooled post-processing. `state` must carry a leading chain axis.
+
+    `mesh`: chains sharded over the mesh's "chains" axis (state should be
+    placed with ensemble.shard_ensemble first); zero cross-device traffic
+    during sweeps, exactly the reference's replica model over ICI."""
     import time as _time
 
     lapse = params.gather_lapse
@@ -178,6 +201,13 @@ def simulate_ensemble(
         # stays far under the TPU runtime watchdog by construction.
         if opts.sampler == "pallas":
             def therm_step(s, k):
+                if mesh is not None:
+                    from .ensemble import ensemble_sweeps_pallas_sharded
+
+                    return ensemble_sweeps_pallas_sharded(
+                        s, w, cfg, 2.0 * cfg.proposal_a, k, seed=None,
+                        mesh=mesh,
+                    )[0]
                 return ensemble_sweeps_pallas(
                     s, w, cfg, 2.0 * cfg.proposal_a, k,
                 )[0]
@@ -223,7 +253,8 @@ def simulate_ensemble(
         while sub_done < g:
             sub = min(cfg.max_gathers_per_call, g - sub_done)
             state, part = simulate_window_batched(
-                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
+                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts,
+                mesh=mesh,
             )
             state = _sync(state)
             prod_moves += np.asarray(state.accepted, np.int64)

@@ -383,7 +383,7 @@ def ensemble_sweeps_pallas_sharded(
     cfg: SMCConfig,
     a: float,
     n_sweeps: int,
-    seed: int,
+    seed: int | None,
     mesh: Mesh,
     axis: str = "chains",
     c_tile: int | None = None,
@@ -392,17 +392,24 @@ def ensemble_sweeps_pallas_sharded(
 
     Each device runs the kernel on its local chain shard (zero cross-chip
     traffic, faithful to the replica model); per-device PRNG streams are
-    decorrelated by folding the device index into the seed."""
+    decorrelated by folding the device index into the seed. seed=None
+    derives each shard's stream from its own first chain's key folded
+    with the ABSOLUTE sweep counter (distinct across devices, and
+    chunk-invariant like the single-chip engine)."""
     nd = mesh.shape[axis]
     c = state.r.shape[0]
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
 
     def local(st):
         st = jax.tree.map(lambda x: x, st)
-        dev = jax.lax.axis_index(axis)
-        local_seed = jnp.stack(
-            [jnp.int32(seed) + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
-             dev.astype(jnp.int32)])
+        if seed is None:
+            local_seed = None
+        else:
+            dev = jax.lax.axis_index(axis)
+            local_seed = jnp.stack(
+                [jnp.int32(seed)
+                 + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
+                 dev.astype(jnp.int32)])
         return ensemble_sweeps_pallas(
             st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile
         )
