@@ -57,6 +57,10 @@ def main() -> int:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--sampler", choices=("xla", "pallas"), default="xla")
+    ap.add_argument("--ks-gate", action="store_true",
+                    help="also gate on the two-sample KS statistic of the "
+                         "tau-decorrelated energy histograms (1%% critical "
+                         "value); informational otherwise")
     ap.add_argument("--correct-noise", action="store_true",
                     help="use true i.i.d. Gaussian proposals instead of the "
                          "bug-compatible reference_noise mode. The C "
@@ -148,6 +152,7 @@ def main() -> int:
     # alongside the mean-based contract, not a pass/fail gate (KS is
     # oversensitive to residual autocorrelation).
     ks_d = float("nan")
+    ks_crit = float("nan")
     try:
         c_samples = []
         for dcsv in (Path(td) / "Data").glob("*/data_*_rank0.csv"):
@@ -165,6 +170,11 @@ def main() -> int:
         cdf_a = np.searchsorted(a_s, grid, side="right") / len(a_s)
         cdf_b = np.searchsorted(b_s, grid, side="right") / len(b_s)
         ks_d = float(np.max(np.abs(cdf_a - cdf_b)))
+        # two-sample KS critical value at alpha = 1% (c(0.01) = 1.63),
+        # valid for the tau-decorrelated subsamples
+        na, nb = len(a_s), len(b_s)
+        if na and nb:
+            ks_crit = 1.63 * ((na + nb) / (na * nb)) ** 0.5
     except Exception:
         pass
 
@@ -195,6 +205,9 @@ def main() -> int:
         "delta_energy_sigmas": de / combined if combined else float("nan"),
         "delta_acceptance": dacc,
         "ks_statistic_energy": ks_d,
+        "ks_critical_1pct": ks_crit,
+        "ks_within_critical": bool(ks_d < ks_crit)
+        if np.isfinite(ks_d) and np.isfinite(ks_crit) else None,
         "strict_energy_1e-3_rel": strict_e,
         "strict_acceptance_1e-3_abs": strict_acc,
         "consistent_energy_3sigma": consistent_e,
@@ -202,8 +215,17 @@ def main() -> int:
         "resolved_at_1e-3": {"energy": resolved_e, "acceptance": resolved_acc},
     }
     print(json.dumps(report, indent=2))
+    ks_ok = report["ks_within_critical"]
+    if args.ks_gate and ks_ok is False:
+        # distribution-level gate (ROADMAP: promoted once the strict
+        # energy criterion resolved): the tau-decorrelated energy
+        # histograms must agree at the 1% KS level
+        print(f"PARITY: FAIL (KS {ks_d:.4f} > critical {ks_crit:.4f})")
+        return 1
     if strict_e and strict_acc:
-        print("PARITY: PASS (strict 1e-3)")
+        extra = (f", KS {ks_d:.4f} < {ks_crit:.4f}"
+                 if args.ks_gate and ks_ok else "")
+        print(f"PARITY: PASS (strict 1e-3{extra})")
         return 0
     if consistent_e and consistent_acc:
         sig = de / combined if combined else float("nan")
