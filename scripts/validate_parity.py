@@ -216,6 +216,12 @@ def main() -> int:
     }
     print(json.dumps(report, indent=2))
     ks_ok = report["ks_within_critical"]
+    if args.ks_gate and ks_ok is None:
+        # the user asked for the distribution gate; a gate that could
+        # not run must not silently pass
+        print("PARITY: FAIL (--ks-gate requested but the KS statistic "
+              "could not be computed)")
+        return 1
     if args.ks_gate and ks_ok is False:
         # distribution-level gate (ROADMAP: promoted once the strict
         # energy criterion resolved): the tau-decorrelated energy

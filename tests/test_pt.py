@@ -159,3 +159,43 @@ def test_pt_cli_writes_artifacts(tmp_path):
     lines = pt_file.read_text().strip().splitlines()
     assert lines[0] == "T_lo, T_hi, swap_acceptance, attempts"
     assert len(lines) == 2
+
+
+def test_pt_long_interval_chunked_path():
+    """exchange_interval larger than the watchdog sweep budget takes the
+    chunked path (sweep sub-blocks + exchange-only device calls) instead
+    of one oversized device call."""
+    from unittest import mock
+
+    from tpu_smc import driver as drv
+
+    temps = [1.0, 1.3]
+    params = RunParams(eqsteps=6, maxsteps=12, numdata=6)
+    # force a tiny per-call budget so interval=4 > budget=3
+    with mock.patch.object(drv, "therm_chunk", lambda cfg, sampler="xla": 3):
+        _, res = simulate_parallel_tempering(
+            CFG, params, temps, jax.random.key(1), chains_per_t=2,
+            exchange_interval=4)
+    ts = res.tsweep
+    assert np.all(np.isfinite(ts.mean_energy))
+    assert np.all((ts.acceptance > 0) & (ts.acceptance <= 1))
+    # 12 sweeps / interval 4 = 3 production cycles after ceil(6/4)=2 therm
+    # cycles: absolute cycles 2,3,4 -> parities 0,1,0 -> pair (0,1)
+    # attempted twice x 2 ladders
+    assert np.array_equal(res.swap_attempts, [4])
+
+
+def test_resolve_sampler_accounts_for_sharding():
+    """--sampler auto must gate on the PER-DEVICE chain count: a global
+    count that fills 128 lanes can still leave sub-lane shards."""
+    from tpu_smc.cli import _resolve_sampler
+
+    cfg32 = SMCConfig(dtype="float32")
+    # CPU backend here -> always xla on auto; explicit choice passes through
+    assert _resolve_sampler("pallas", cfg32, 256, n_dev=8) == "pallas"
+    assert _resolve_sampler("xla", cfg32, 1024) == "xla"
+    assert _resolve_sampler("auto", cfg32, 1024) == "xla"  # cpu backend
+
+    # the gate arithmetic itself (independent of backend)
+    assert 256 // 8 % 128 != 0          # the r2 finding: sub-lane shards
+    assert 1024 // 8 % 128 == 0

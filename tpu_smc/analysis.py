@@ -332,6 +332,11 @@ function vol() {{
 function at(v, i, j, k) {{
   return v[(i * DIMS[1] + j) * DIMS[2] + k];
 }}
+// ONE fixed exposure across time windows (per-frame auto-scaling would
+// hide the density evolution the time axis exists to show — same rule
+// as the GIF renderer, analysis.py render_volume)
+let VMAX = 1e-12;
+for (const x of (NW > 1 ? WINDOWS : CUM)) if (x > VMAX) VMAX = x;
 function draw() {{
   const ax = axisEl.selectedIndex, v = vol();
   const other = [0, 1, 2].filter(a => a !== ax);
@@ -341,8 +346,7 @@ function draw() {{
   document.getElementById("timeval").textContent =
       NW > 1 ? (+timeEl.value + 1) + "/" + NW : "";
   const W = DIMS[other[0]], H = DIMS[other[1]];
-  let vmax = 1e-12;
-  for (const x of v) if (x > vmax) vmax = x;
+  const vmax = VMAX;
   const img = ctx.createImageData(W, H);
   for (let a = 0; a < W; a++) for (let b = 0; b < H; b++) {{
     let val = 0;

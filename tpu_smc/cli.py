@@ -92,6 +92,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1) -> str:
+    """--sampler auto: the pallas engine needs TPU + float32 and a
+    PER-DEVICE chain count that fills the 128-lane width — after
+    sharding, each device's kernel sees chains/n_dev chains, so the
+    gate must look at the local count, not the global one."""
+    if requested != "auto":
+        return requested
+    import jax
+
+    local = chains // n_dev if (n_dev > 1 and chains % n_dev == 0) \
+        else chains
+    return ("pallas"
+            if (jax.default_backend() == "tpu" and cfg.dtype == "float32"
+                and local % 128 == 0)
+            else "xla")
+
+
 def _prompt_missing(args) -> None:
     """Interactive fallback when positionals are omitted — the reference
     asks via scanf when argc != 5 (main.c:20-30)."""
@@ -163,14 +180,7 @@ def main(argv=None) -> int:
 
         temps = [float(v) for v in args.temperatures.split(",")]
         ladder_c = len(temps) * args.chains_per_t
-        tsampler = args.sampler
-        if tsampler == "auto":
-            tsampler = (
-                "pallas"
-                if (jax.default_backend() == "tpu"
-                    and cfg.dtype == "float32" and ladder_c % 128 == 0)
-                else "xla"
-            )
+        tsampler = _resolve_sampler(args.sampler, cfg, ladder_c)
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{args.chains_per_t} chains, one compiled ensemble "
               f"({tsampler} engine)")
@@ -383,17 +393,10 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
         print(f"\rWindow {widx + 1} done...", end="")
         return _window_maintenance(args, cfg, widx, st, stopper, w)
 
-    sampler = args.sampler
-    if sampler == "auto":
-        sampler = (
-            "pallas"
-            if (jax.default_backend() == "tpu" and cfg.dtype == "float32"
-                and c % 128 == 0)
-            else "xla"
-        )
-    print(f"Ensemble sweep engine: {sampler}")
     # Multi-device hosts: shard the chain axis over every visible device
     # (zero cross-device traffic — the reference's replica model on ICI).
+    # Decided BEFORE the engine: the pallas gate needs the per-device
+    # chain count.
     mesh = None
     n_dev = len(jax.devices())
     if n_dev > 1 and c % n_dev == 0:
@@ -405,6 +408,9 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     elif n_dev > 1:
         print(f"Note: {c} chains do not divide over {n_dev} devices; "
               "running on one device")
+    sampler = _resolve_sampler(args.sampler, cfg, c,
+                               n_dev=n_dev if mesh is not None else 1)
+    print(f"Ensemble sweep engine: {sampler}")
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,

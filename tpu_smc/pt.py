@@ -114,6 +114,17 @@ class PTResults(NamedTuple):
     exchange_interval: int
 
 
+@partial(jax.jit, static_argnames=("cfg", "chains_per_t"))
+def _exchange_block(state, betas_t, cfg, chains_per_t, abs_k):
+    """One exchange attempt as its own device call (used when the
+    exchange interval exceeds the watchdog-safe sweep budget); key and
+    parity derive from the ABSOLUTE cycle index, exactly like the
+    scanned path."""
+    ekey = jax.random.fold_in(
+        jax.random.fold_in(state.key[0], 0x9C0FFEE), abs_k)
+    return exchange_step(state, betas_t, chains_per_t, ekey, abs_k % 2)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chains_per_t", "interval",
                                    "n_cycles", "a_scale", "collect_trace",
                                    "sampler"))
@@ -178,46 +189,81 @@ def simulate_parallel_tempering(
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
 
-    chunk_cycles = max(1, therm_chunk(cfg, sampler=sampler) // interval)
+    sweep_budget = therm_chunk(cfg, sampler=sampler)  # per device call
 
     def run_phase(state, total_sweeps, a_scale, cycle0, collect=False,
                   lapse=1, sweep0=0):
-        """ceil(total_sweeps/interval) cycles in watchdog-safe blocks;
-        when collect, returns energies sampled at the ABSOLUTE gather
-        cadence (sweep indices where (index+1) % lapse == 0)."""
+        """ceil(total_sweeps/interval) exchange cycles in watchdog-safe
+        device calls; when collect, returns energies sampled at the
+        ABSOLUTE gather cadence (sweep indices where (i+1) % lapse == 0).
+        The int32 accepted counters are harvested (and reset) every call
+        — overflow-safe for reference-scale runs, like tsweep."""
         cycles = -(-total_sweeps // interval)
         acc = np.zeros((max(n_t - 1, 0),), np.int64)
         att = np.zeros_like(acc)
+        moves = np.zeros((c,), np.int64)
         samples = []
-        done_c = 0
-        while done_c < cycles:
-            k = min(cycles - done_c, chunk_cycles)
-            state, a_blk, t_blk, stats = _pt_block(
-                state, w_arr, cfg, temps_c, betas_t, a_scale, chains_per_t,
-                interval, k, cycle0 + done_c, collect_trace=collect,
-                sampler=sampler)
-            acc += np.asarray(a_blk, np.int64)
-            att += np.asarray(t_blk, np.int64)
-            if collect:
-                e_blk = np.asarray(stats.energy).reshape(-1, c)
-                start = (lapse - 1 - sweep0) % lapse
-                samples.append(e_blk[start::lapse])
-                sweep0 += e_blk.shape[0]
-            else:
-                np.asarray(state.energy[:1])  # sync under the watchdog
-            done_c += k
-        return state, acc, att, samples, cycle0 + done_c
+
+        def harvest(st):
+            nonlocal moves
+            moves += np.asarray(st.accepted, np.int64)
+            return st._replace(accepted=jnp.zeros_like(st.accepted))
+
+        def take(stats):
+            nonlocal sweep0
+            e_blk = np.asarray(stats.energy).reshape(-1, c)
+            start = (lapse - 1 - sweep0) % lapse
+            samples.append(e_blk[start::lapse])
+            sweep0 += e_blk.shape[0]
+
+        if interval <= sweep_budget:
+            # Whole cycles scan on device, several per call.
+            chunk_cycles = max(1, sweep_budget // interval)
+            done_c = 0
+            while done_c < cycles:
+                k = min(cycles - done_c, chunk_cycles)
+                state, a_blk, t_blk, stats = _pt_block(
+                    state, w_arr, cfg, temps_c, betas_t, a_scale,
+                    chains_per_t, interval, k, cycle0 + done_c,
+                    collect_trace=collect, sampler=sampler)
+                acc += np.asarray(a_blk, np.int64)
+                att += np.asarray(t_blk, np.int64)
+                if collect:
+                    take(stats)
+                state = harvest(state)  # also syncs under the watchdog
+                done_c += k
+        else:
+            # One cycle spans several watchdog-safe calls: chunked sweeps
+            # through the ladder engine, then an exchange-only call.
+            from .tsweep import _ladder_block
+
+            for ci in range(cycles):
+                sub = 0
+                while sub < interval:
+                    k = min(sweep_budget, interval - sub)
+                    state, stats = _ladder_block(
+                        state, w_arr, cfg, temps_c, a_scale, k, sampler,
+                        collect_trace=collect)
+                    if collect:
+                        take(stats)
+                    state = harvest(state)
+                    sub += k
+                state, a_blk, t_blk = _exchange_block(
+                    state, betas_t, cfg, chains_per_t,
+                    jnp.int32(cycle0 + ci))
+                acc += np.asarray(a_blk, np.int64)
+                att += np.asarray(t_blk, np.int64)
+        return state, acc, att, samples, moves, cycle0 + cycles
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
     # speed equilibration) but are not counted.
-    state, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
+    state, _, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     lapse = max(1, params.gather_lapse)
-    state, acc, att, samples, _ = run_phase(
+    state, acc, att, samples, prod_moves, _ = run_phase(
         state, params.maxsteps, 1.0, cyc, collect=True, lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
-    prod_moves = np.asarray(state.accepted, np.int64)
 
     e_tr = np.concatenate(samples) if samples else np.zeros((0, c))
     kinetic = 1.5 * cfg.n * temps
