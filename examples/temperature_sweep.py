@@ -29,3 +29,14 @@ print("T        E_mean      +-err     acc      cv")
 for i, t in enumerate(res.temps):
     print(f"{t:0.3f}  {res.mean_energy[i]:10.4f}  {res.err_energy[i]:8.4f}"
           f"  {res.acceptance[i]:0.4f}  {res.cv[i]:8.4f}")
+
+# MBAR-reweight the ladder's samples onto a fine grid: continuous
+# E(T)/c_v(T)/f(T) between the simulated temperatures (reweight.py).
+from tpu_smc.reweight import reweight_from_ladder
+
+rw = reweight_from_ladder(res, cfg, np.linspace(0.7, 1.6, 37))
+print("\nMBAR curve (every 4th point):")
+print("T        E_mean        cv        ESS       f")
+for i in range(0, len(rw.temps), 4):
+    print(f"{rw.temps[i]:0.3f}  {rw.mean_energy[i]:10.4f}  "
+          f"{rw.cv[i]:8.4f}  {rw.ess[i]:8.1f}  {rw.free_energy[i]:8.4f}")

@@ -102,10 +102,12 @@ def test_tsweep_cli_and_plot(tmp_path):
     rc = cli_main([
         "20", "80", "8", "1.1", "--dtype", "float32", "--seed", "9",
         "--temperatures", "0.9,1.3", "--chains-per-t", "3",
+        "--reweight", "0.9:1.3:5",
         "--data-dir", str(tmp_path / "Data"),
     ])
     assert rc == 0
     run_dir = next((tmp_path / "Data").iterdir())
+    assert len(list(run_dir.glob("reweight_*.csv"))) == 1
     ts = list(run_dir.glob("tsweep_*.csv"))
     assert len(ts) == 1
     lines = ts[0].read_text().strip().splitlines()

@@ -1,0 +1,142 @@
+"""MBAR reweighting (tpu_smc/reweight.py).
+
+Validated three ways: analytically on a system with a known density of
+states (3-dof harmonic well: g(E) ~ sqrt(E), so E | T ~ Gamma(3/2, T)
+with <E> = 1.5 T, var = 1.5 T^2, f(beta) = 1.5 ln(beta) + const);
+self-consistently (reweighting AT a ladder temperature must reproduce
+that state's sample mean); and end-to-end through the temperature-sweep
+driver (an interpolated temperature must land near a direct simulation
+at that temperature).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_smc.config import RunParams, SMCConfig
+from tpu_smc.reweight import (
+    mbar_free_energies,
+    parse_t_grid,
+    reweight_from_ladder,
+    reweight_observables,
+)
+
+TEMPS = np.array([0.8, 1.0, 1.25])
+
+
+def _gamma_samples(temps, m=40_000, seed=0):
+    """Per-T energy samples of the 3-dof harmonic well: Gamma(3/2, T)."""
+    rng = np.random.default_rng(seed)
+    return [rng.gamma(1.5, t, m) for t in temps]
+
+
+class TestAnalytic:
+    def test_interpolated_moments_and_free_energy(self):
+        e_k = _gamma_samples(TEMPS)
+        grid = np.array([0.8, 0.9, 1.1, 1.25])
+        res = reweight_observables(e_k, TEMPS, grid)
+        # <E> = 1.5 T, cv = var/T^2 = 1.5, both at interior points the
+        # ladder never sampled directly.
+        np.testing.assert_allclose(res.mean_energy, 1.5 * grid, rtol=0.02)
+        np.testing.assert_allclose(res.cv, 1.5, rtol=0.05)
+        # f(beta) = 1.5 ln(beta) + const (Z ~ beta^-1.5), relative to
+        # the grid's first point.
+        f_exact = 1.5 * np.log(1.0 / grid)
+        np.testing.assert_allclose(
+            res.free_energy, f_exact - f_exact[0], atol=0.02)
+        # interpolation should keep a healthy effective sample size
+        assert np.all(res.ess > 10_000)
+        assert res.iterations > 0
+
+    def test_ladder_free_energies_match_analytic(self):
+        e_k = _gamma_samples(TEMPS, seed=3)
+        f_k, _, _, _ = mbar_free_energies(e_k, 1.0 / TEMPS)
+        f_exact = 1.5 * np.log(1.0 / TEMPS)
+        np.testing.assert_allclose(
+            np.asarray(f_k), f_exact - f_exact[0], atol=0.02)
+
+    def test_self_consistency_at_ladder_temps(self):
+        """Reweighting AT a sampled temperature ~ that state's own mean
+        (MBAR pools all states, so it differs from the raw mean only by
+        statistical noise)."""
+        e_k = _gamma_samples(TEMPS, seed=1)
+        res = reweight_observables(e_k, TEMPS, TEMPS)
+        raw_means = np.array([e.mean() for e in e_k])
+        np.testing.assert_allclose(res.mean_energy, raw_means, rtol=0.02)
+
+    def test_sample_cap_strides_not_truncates(self):
+        e_k = _gamma_samples(TEMPS, m=8_000, seed=2)
+        res = reweight_observables(e_k, TEMPS, np.array([1.0]),
+                                   max_samples_per_state=1_000)
+        np.testing.assert_allclose(res.mean_energy, [1.5], rtol=0.05)
+        assert res.ess[0] <= 3 * 1_000 + 3  # the cap actually applied
+
+
+def test_parse_t_grid():
+    np.testing.assert_allclose(parse_t_grid("0.8:1.2:5"),
+                               [0.8, 0.9, 1.0, 1.1, 1.2])
+    np.testing.assert_allclose(parse_t_grid("1.0,1.3"), [1.0, 1.3])
+    with pytest.raises(ValueError):
+        parse_t_grid("1.2:0.8:5")
+    with pytest.raises(ValueError):
+        parse_t_grid("0.8:1.2")
+
+
+def test_reweight_from_ladder_end_to_end():
+    """tsweep at [1.0, 1.2] -> MBAR at 1.1 must land near a direct
+    simulation at 1.1 (and strictly between the ladder endpoints).
+    MBAR assumes equilibrium samples, so the ladder gets a real
+    thermalization phase (the analytic tests above isolate the
+    estimator; this one exercises the full driver path)."""
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=200, maxsteps=400, numdata=100)
+    _, res = simulate_temperature_sweep(
+        cfg, params, [1.0, 1.2], jax.random.key(0), chains_per_t=32)
+    assert res.energy_samples is not None
+    assert res.energy_samples.shape[1:] == (2, 32)
+
+    rw = reweight_from_ladder(res, cfg, [1.0, 1.1, 1.2])
+    # endpoints reproduce the driver's own per-T means up to the
+    # (correlated-sample) replica spread
+    for j, k in ((0, 0), (2, 1)):
+        tol = max(6 * res.err_energy[k], 0.3)
+        assert abs(rw.mean_energy[j] - res.mean_energy[k]) < tol
+
+    _, direct = simulate_temperature_sweep(
+        cfg, params, [1.1], jax.random.key(1), chains_per_t=32)
+    lo, hi = sorted(res.mean_energy)
+    assert lo < rw.mean_energy[1] < hi
+    # statistical agreement with the direct run (few, correlated
+    # samples -> generous bound driven by the direct run's replica err)
+    tol = max(8 * direct.err_energy[0], 0.5)
+    assert abs(rw.mean_energy[1] - direct.mean_energy[0]) < tol
+
+
+def test_reweight_needs_samples():
+    from tpu_smc.tsweep import TSweepResults
+
+    empty = TSweepResults(
+        temps=np.array([1.0]), mean_energy=np.zeros(1),
+        err_energy=np.zeros(1), acceptance=np.zeros(1), cv=np.zeros(1))
+    with pytest.raises(ValueError):
+        reweight_from_ladder(empty, SMCConfig(), [1.0])
+
+
+def test_reweight_cli_writes_artifact(tmp_path):
+    from tpu_smc.cli import main
+
+    rc = main(["30", "60", "30", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "4",
+               "--reweight", "1.0:1.2:3", "--seed", "5",
+               "--platform", "cpu", "--data-dir", str(tmp_path)])
+    assert rc == 0
+    run = next(tmp_path.iterdir())
+    rw_file = next(p for p in run.iterdir()
+                   if p.name.startswith("reweight_"))
+    lines = rw_file.read_text().strip().splitlines()
+    assert lines[0] == "T, E_mean, cv, ess, f"
+    assert len(lines) == 4
+    # first grid point is T=1.0: its f is the reference zero
+    assert float(lines[1].split(",")[4]) == 0.0

@@ -552,12 +552,29 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     if ts.exists():
         data = np.genfromtxt(ts, delimiter=",", skip_header=1)
         data = np.atleast_2d(data)
+        # MBAR reweighting curve, when the run produced one (reweight.py):
+        # the continuous E(T)/c_v(T) line the discrete ladder points sit on
+        rw_file = run.run_dir / f"reweight_{run.key}.csv"
+        rw = None
+        if rw_file.exists():
+            rw = np.atleast_2d(
+                np.genfromtxt(rw_file, delimiter=",", skip_header=1))
         fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
+        if rw is not None:
+            axes[0].plot(rw[:, 0], rw[:, 1], lw=1, color="C1",
+                         label="MBAR")
+            axes[1].plot(rw[:, 0], rw[:, 2], lw=1, color="C1")
         axes[0].errorbar(data[:, 0], data[:, 1], yerr=data[:, 2],
-                         marker="o", ms=3, lw=1)
+                         marker="o", ms=3, lw=0 if rw is not None else 1,
+                         ls="none" if rw is not None else "-",
+                         label="ladder" if rw is not None else None)
+        if rw is not None:
+            axes[0].legend(fontsize=8)
         axes[0].set_xlabel("T")
         axes[0].set_ylabel("E")
-        axes[1].plot(data[:, 0], data[:, 4], marker="o", ms=3, lw=1)
+        axes[1].plot(data[:, 0], data[:, 4], marker="o", ms=3,
+                     lw=0 if rw is not None else 1,
+                     ls="none" if rw is not None else "-")
         axes[1].set_xlabel("T")
         axes[1].set_ylabel("c_v")
         axes[2].plot(data[:, 0], data[:, 3], marker="o", ms=3, lw=1)

@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "replica exchanges between adjacent temperatures "
                         "every K sweeps (on-device swaps; writes pt_*.csv "
                         "with per-pair swap acceptance)")
+    p.add_argument("--reweight", default=None, metavar="TMIN:TMAX:NUM",
+                   help="with --temperatures: MBAR-reweight the ladder's "
+                        "energy samples onto this temperature grid "
+                        "(inclusive linspace, or a comma list T1,T2,...) "
+                        "and write reweight_*.csv with E/cv/free-energy "
+                        "curves plus the effective sample size per point")
     p.add_argument("--nonuniform-z", action="store_true",
                    help="non-uniform z voxel binning: layer_depth layers at"
                         " the walls, 3 thick central layers (createZRange,"
@@ -175,6 +181,9 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time())
     key = jax.random.key(seed)
 
+    if args.reweight and not args.temperatures:
+        print("Note: --reweight needs the --temperatures ladder; ignored.")
+
     if args.temperatures:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
 
@@ -214,6 +223,20 @@ def main(argv=None) -> int:
                   f"{res.err_energy[i]:8.4f}  {res.acceptance[i]:0.4f}  "
                   f"{res.cv[i]:8.4f}")
         print(f"\nWritten to {path}")
+        if args.reweight:
+            from .reweight import (parse_t_grid, reweight_from_ladder,
+                                   write_reweight_csv)
+
+            rw = reweight_from_ladder(res, cfg, parse_t_grid(args.reweight))
+            rw_path = write_reweight_csv(d, cfg, rw)
+            print(f"\n###  MBAR reweighting ({rw.iterations} iterations)"
+                  "  ###")
+            print("T        E_mean        cv        ESS       f")
+            for i, t in enumerate(rw.temps):
+                print(f"{t:0.3f}  {rw.mean_energy[i]:10.4f}  "
+                      f"{rw.cv[i]:8.4f}  {rw.ess[i]:8.1f}  "
+                      f"{rw.free_energy[i]:8.4f}")
+            print(f"\nWritten to {rw_path}")
         return 0
 
     if resume_state is not None:

@@ -331,7 +331,7 @@ def banded_sweep_block(
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_moves, a, window, d_z)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
                              memory_space=pltpu.VMEM)
     wall_block = pl.BlockSpec((1, wa.shape[1]), lambda g, *_: (0, 0),

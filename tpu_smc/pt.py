@@ -277,7 +277,8 @@ def simulate_parallel_tempering(
 
     ts = TSweepResults(
         temps=temps, mean_energy=mean_e, err_energy=err_e,
-        acceptance=np.asarray(acc_moves), cv=np.asarray(cv))
+        acceptance=np.asarray(acc_moves), cv=np.asarray(cv),
+        energy_samples=e_t)
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

@@ -1,0 +1,201 @@
+"""MBAR reweighting across the temperature ladder.
+
+Beyond-reference capability: the reference measures each temperature in
+its own process invocation (argv, main.c:18) and can only report
+observables AT the simulated temperatures. The ladder drivers here
+(tsweep.py / pt.py) collect per-gather potential-energy samples from
+every temperature at once; this module combines them with the
+multistate Bennett acceptance ratio estimator (MBAR, Shirts & Chodera
+2008) so mean energy, heat capacity and relative free energy can be
+evaluated at ANY temperature inside (or near) the ladder — a continuous
+E(T)/c_v(T)/f(T) curve from one run, instead of one point per process.
+
+TPU-native shape: the self-consistent MBAR iteration is a dense
+[K states x M samples] log-sum-exp fixed point — pure matrix work,
+jitted as one XLA program (lax.while_loop), no Python in the loop.
+
+Statistical conventions match the rest of the framework:
+  - samples are the per-gather POTENTIAL energies (the same trace
+    data.csv stores, with the 3NT/2 kinetic offset added only at
+    output, SMC.c:210-211);
+  - cv = var(E)/T^2 (SMC.c:249-250), evaluated under the reweighted
+    ensemble (the constant kinetic offset drops out of the variance);
+  - the effective sample size per target (1/sum w^2) is reported so
+    extrapolation beyond the ladder's support is visible, not silent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SMCConfig
+
+__all__ = [
+    "ReweightResults", "mbar_free_energies", "reweight_observables",
+    "reweight_from_ladder", "write_reweight_csv", "parse_t_grid",
+]
+
+
+class ReweightResults(NamedTuple):
+    temps: np.ndarray          # [G] target temperatures
+    mean_energy: np.ndarray    # [G] incl. the 3NT/2 kinetic offset
+    cv: np.ndarray             # [G] var(E)/T^2 under the reweighted ensemble
+    ess: np.ndarray            # [G] effective sample size 1/sum(w^2)
+    free_energy: np.ndarray    # [G] dimensionless f = -ln Z, f(temps[0]) = 0
+    ladder_f: np.ndarray       # [K] converged MBAR free energies (f[0] = 0)
+    iterations: int            # self-consistent iterations used
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _mbar_fixed_point(u_kn, log_n_k, tol, max_iter):
+    """Self-consistent MBAR iteration.
+
+    u_kn [K, M]: reduced potential of every pooled sample m under every
+    state k (here u_kn = beta_k * E_m). log_n_k [K]: log sample counts.
+    Returns (f_k [K] with f[0] = 0, iterations, final residual).
+    """
+
+    def log_denom(f_k):
+        # log sum_k N_k exp(f_k - u_kn[k, m])  -> [M]
+        return jax.nn.logsumexp(
+            log_n_k[:, None] + f_k[:, None] - u_kn, axis=0)
+
+    def step(carry):
+        f_k, i, _ = carry
+        f_new = -jax.nn.logsumexp(-u_kn - log_denom(f_k)[None, :], axis=1)
+        f_new = f_new - f_new[0]
+        return f_new, i + 1, jnp.max(jnp.abs(f_new - f_k))
+
+    def cond(carry):
+        _, i, resid = carry
+        return (i < max_iter) & (resid > tol)
+
+    f0 = jnp.zeros(u_kn.shape[0], u_kn.dtype)
+    f_k, iters, resid = jax.lax.while_loop(
+        cond, step, (f0, jnp.int32(0), jnp.asarray(jnp.inf, u_kn.dtype)))
+    return f_k, iters, resid
+
+
+def mbar_free_energies(e_k: Sequence[np.ndarray], betas,
+                       tol: float = 1e-7, max_iter: int = 10_000):
+    """Solve the MBAR equations for a temperature ladder.
+
+    e_k: per-state 1-D arrays of potential-energy samples (lengths may
+    differ). betas: [K] inverse temperatures. Returns (f_k, log_denom_m,
+    e_pooled, iterations) — everything downstream reweighting needs.
+    """
+    betas = jnp.asarray(betas, jnp.float32)
+    e_pooled = jnp.concatenate(
+        [jnp.asarray(e, jnp.float32).reshape(-1) for e in e_k])
+    n_k = np.asarray([np.size(e) for e in e_k], np.int64)
+    if (n_k <= 0).any():
+        raise ValueError("every ladder state needs at least one sample")
+    log_n_k = jnp.asarray(np.log(n_k), jnp.float32)
+    u_kn = betas[:, None] * e_pooled[None, :]          # [K, M]
+    f_k, iters, _ = _mbar_fixed_point(u_kn, log_n_k, jnp.float32(tol),
+                                      max_iter)
+    log_denom = jax.nn.logsumexp(
+        log_n_k[:, None] + f_k[:, None] - u_kn, axis=0)  # [M]
+    return f_k, log_denom, e_pooled, int(iters)
+
+
+@jax.jit
+def _reweight_one(beta, e_pooled, log_denom):
+    """Weights, moments and diagnostics at one target beta."""
+    logw = -beta * e_pooled - log_denom
+    logw = logw - jax.nn.logsumexp(logw)
+    w = jnp.exp(logw)
+    e_mean = jnp.sum(w * e_pooled)
+    e_var = jnp.sum(w * (e_pooled - e_mean) ** 2)
+    ess = 1.0 / jnp.sum(w * w)
+    # dimensionless free energy -ln Z(beta) up to the ladder's constant
+    f = -jax.nn.logsumexp(-beta * e_pooled - log_denom)
+    return e_mean, e_var, ess, f
+
+
+def reweight_observables(
+    e_k: Sequence[np.ndarray],
+    temps,
+    t_grid,
+    cfg: SMCConfig | None = None,
+    max_samples_per_state: int = 1 << 17,
+) -> ReweightResults:
+    """MBAR estimates of E(T), c_v(T), f(T) on `t_grid` from ladder
+    samples `e_k` taken at `temps`.
+
+    Samples beyond `max_samples_per_state` are strided down (the MBAR
+    point estimate is consistent under correlated samples; capping M
+    bounds the [K, M] matrix). Mean energy includes 3NT/2 when `cfg` is
+    given (SMC.c:210-211); cv is var(E)/T^2 like SMC.c:249.
+    """
+    temps = np.asarray(temps, np.float64)
+    t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
+    e_k = [np.asarray(e).reshape(-1) for e in e_k]
+    e_k = [
+        e[:: max(1, -(-len(e) // max_samples_per_state))] for e in e_k
+    ]
+    f_k, log_denom, e_pooled, iters = mbar_free_energies(e_k, 1.0 / temps)
+
+    means, cvs, esss, fs = [], [], [], []
+    for t in t_grid:
+        e_mean, e_var, ess, f = _reweight_one(
+            jnp.float32(1.0 / t), e_pooled, log_denom)
+        means.append(float(e_mean))
+        cvs.append(float(e_var) / t ** 2)
+        esss.append(float(ess))
+        fs.append(float(f))
+    kinetic = 1.5 * cfg.n * t_grid if cfg is not None else 0.0
+    fs = np.asarray(fs)
+    return ReweightResults(
+        temps=t_grid,
+        mean_energy=np.asarray(means) + kinetic,
+        cv=np.asarray(cvs),
+        ess=np.asarray(esss),
+        free_energy=fs - fs[0],
+        ladder_f=np.asarray(f_k),
+        iterations=iters,
+    )
+
+
+def reweight_from_ladder(res, cfg: SMCConfig, t_grid) -> ReweightResults:
+    """Reweight from a TSweepResults/PTResults carrying energy_samples
+    ([gathers, n_t, chains_per_t] potential energies)."""
+    ts = getattr(res, "tsweep", res)
+    if ts.energy_samples is None or ts.energy_samples.size == 0:
+        raise ValueError("ladder results carry no energy samples")
+    e_s = ts.energy_samples  # [gathers, n_t, R]
+    e_k = [e_s[:, k, :].reshape(-1) for k in range(e_s.shape[1])]
+    return reweight_observables(e_k, ts.temps, t_grid, cfg=cfg)
+
+
+def parse_t_grid(spec: str) -> np.ndarray:
+    """CLI grid spec: 'tmin:tmax:num' (inclusive linspace) or a comma
+    list 'T1,T2,...'."""
+    if ":" in spec:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            raise ValueError(f"bad T grid spec {spec!r} "
+                             "(want tmin:tmax:num or T1,T2,...)")
+        lo, hi, num = float(parts[0]), float(parts[1]), int(parts[2])
+        if num < 1 or hi < lo:
+            raise ValueError(f"bad T grid spec {spec!r}")
+        return np.linspace(lo, hi, num)
+    return np.asarray([float(v) for v in spec.split(",")], np.float64)
+
+
+def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):
+    from .io import _fname
+
+    p = _fname(d, "reweight", cfg)
+    with open(p, "w") as f:
+        f.write("T, E_mean, cv, ess, f\n")
+        for i in range(len(res.temps)):
+            f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
+                    f"{res.cv[i]:0.9f}, {res.ess[i]:0.1f}, "
+                    f"{res.free_energy[i]:0.9f}\n")
+    return p

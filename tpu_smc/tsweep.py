@@ -36,6 +36,9 @@ class TSweepResults(NamedTuple):
     err_energy: np.ndarray     # [T] replica error bar
     acceptance: np.ndarray     # [T]
     cv: np.ndarray             # [T] var(E)/T^2 from the pooled trace
+    # raw per-gather POTENTIAL energies [gathers, T, chains_per_t]
+    # (no kinetic offset) — the input MBAR reweighting needs (reweight.py)
+    energy_samples: np.ndarray | None = None
 
 
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
@@ -146,6 +149,7 @@ def simulate_temperature_sweep(
     return state, TSweepResults(
         temps=temps, mean_energy=mean_e, err_energy=err_e,
         acceptance=np.asarray(acc), cv=np.asarray(cv),
+        energy_samples=e_t,
     )
 
 
