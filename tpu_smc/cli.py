@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "replica exchanges between adjacent temperatures "
                         "every K sweeps (on-device swaps; writes pt_*.csv "
                         "with per-pair swap acceptance)")
+    p.add_argument("--target-acceptance", type=float, default=None,
+                   metavar="ACC",
+                   help="auto-tune the proposal mobility A before the run "
+                        "to hit this acceptance ratio (bracketed bisection "
+                        "on short blocks; production holds the tuned A "
+                        "fixed). The reference's A = gamma*T lands at "
+                        "~0.97; 0.5-0.7 decorrelates faster")
     p.add_argument("--reweight", default=None, metavar="TMIN:TMAX:NUM",
                    help="with --temperatures: MBAR-reweight the ladder's "
                         "energy samples onto this temperature grid "
@@ -187,6 +194,10 @@ def main(argv=None) -> int:
     if args.temperatures:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
 
+        if args.target_acceptance:
+            print("Note: --target-acceptance is not supported in "
+                  "--temperatures mode (A follows gamma*T per level); "
+                  "ignored.")
         temps = [float(v) for v in args.temperatures.split(",")]
         ladder_c = len(temps) * args.chains_per_t
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c)
@@ -284,6 +295,20 @@ def main(argv=None) -> int:
     if args.chains > 1:
         return _run_ensemble(args, cfg, params, d, state, w)
 
+    tuned_a = None
+    if args.target_acceptance:
+        from .state import batch_chain_state
+        from .tuning import tune_mobility
+
+        st1, tr = tune_mobility(
+            cfg, batch_chain_state(state, 1), w,
+            target=args.target_acceptance)
+        state = jax.tree.map(lambda x: x[0], st1)
+        tuned_a = tr.proposal_a
+        print(f"Auto-tuned proposal mobility: A = {tr.proposal_a:0.4g} "
+              f"(gamma = {tr.gamma:0.3g}, acceptance {tr.acceptance:0.3f} "
+              f"after {tr.sweeps_used} tuning sweeps)")
+
     pos_writer = smcio.PositionsWriter(d, cfg)
     pos_writer.append(np.asarray(state.r))
     temp_writer = smcio.LocalWriter(d, cfg, "local_temp")
@@ -305,6 +330,7 @@ def main(argv=None) -> int:
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,
+        proposal_a=tuned_a,
     )
     state, res = simulate(cfg, params, state, w, opts=opts,
                           on_window=on_window, acf_mode=args.acf_mode)
@@ -439,6 +465,18 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
         collect_sweep_trace=not args.no_trace,
         sampler=sampler,
     )
+    if getattr(args, "target_acceptance", None):
+        import dataclasses
+
+        from .tuning import tune_mobility
+
+        state, tr = tune_mobility(
+            cfg, state, w, target=args.target_acceptance,
+            sampler=sampler, mesh=mesh)
+        opts = dataclasses.replace(opts, proposal_a=tr.proposal_a)
+        print(f"Auto-tuned proposal mobility: A = {tr.proposal_a:0.4g} "
+              f"(gamma = {tr.gamma:0.3g}, acceptance {tr.acceptance:0.3f} "
+              f"after {tr.sweeps_used} tuning sweeps)")
     state, agg = simulate_ensemble(
         cfg, params, state, w, opts=opts, on_window=on_window,
         acf_mode=args.acf_mode, mesh=mesh,

@@ -92,6 +92,11 @@ class ObservableOptions:
     # (kernels/sweep_pallas whole-sweep kernel; TPU float32, chain count
     # tiling by 128). Single-chain simulate() always uses "xla".
     sampler: str = "xla"
+    # Production proposal mobility override (auto-tuned A, tuning.py).
+    # None -> cfg.proposal_a. The pallas engine routes an override through
+    # the ladder-mode (A, T) data rows so the tuned value never forces a
+    # fresh Mosaic compile (A is a kernel compile-time static otherwise).
+    proposal_a: float | None = None
 
 
 def _gather_step(
@@ -104,8 +109,9 @@ def _gather_step(
 ) -> tuple[ChainState, GatherOut]:
     """gather_lapse sweeps + one observable pass (SMC.c:137-195)."""
     dtype = cfg.jnp_dtype
+    a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a
     state, trace = run_sweeps(
-        state, w, cfg, cfg.proposal_a, gather_lapse,
+        state, w, cfg, a_eff, gather_lapse,
         collect_trace=opts.collect_sweep_trace,
     )
 
@@ -246,10 +252,11 @@ def simulate(
     # is chunk-invariant, but the pallas engine's x/y pre-scale rounds at
     # each call boundary, so chunk sizes must be machine-independent.
     therm_acc = 0.0
+    a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a
     if params.eqsteps:
         therm_step = jax.jit(
             lambda s, k: run_sweeps(
-                s, w, cfg, 2.0 * cfg.proposal_a, k, collect_trace=False
+                s, w, cfg, 2.0 * a_eff, k, collect_trace=False
             )[0],
             static_argnums=1,
         )

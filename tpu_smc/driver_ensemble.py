@@ -52,21 +52,27 @@ def _gather_step_batched(
     shard_map wrapper explicitly; the observables around it still
     auto-partition."""
     dtype = cfg.jnp_dtype
+    a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a
+    # A tuned override goes through the ladder-mode (A, T) data rows on
+    # the pallas engine: the kernel's static `a` stays at its one
+    # ladder-mode compile key instead of recompiling per tuned value.
+    at = (None if opts.proposal_a is None
+          else (opts.proposal_a, float(cfg.temperature)))
     if opts.sampler == "pallas":
         if mesh is not None:
             from .ensemble import ensemble_sweeps_pallas_sharded
 
             state, trace = ensemble_sweeps_pallas_sharded(
-                state, w, cfg, cfg.proposal_a, gather_lapse, seed=None,
-                mesh=mesh,
+                state, w, cfg, a_eff, gather_lapse, seed=None,
+                mesh=mesh, uniform_at=at,
             )
         else:
             state, trace = ensemble_sweeps_pallas(
-                state, w, cfg, cfg.proposal_a, gather_lapse,
+                state, w, cfg, a_eff, gather_lapse, uniform_at=at,
             )
     else:
         state, trace = ensemble_sweeps(
-            state, w, cfg, cfg.proposal_a, gather_lapse,
+            state, w, cfg, a_eff, gather_lapse,
             collect_trace=opts.collect_sweep_trace,
         )
 
@@ -194,6 +200,9 @@ def simulate_ensemble(
     kinetic = 1.5 * cfg.n * cfg.temperature
 
     therm_acc = 0.0
+    a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a
+    at2 = (None if opts.proposal_a is None
+           else (2.0 * opts.proposal_a, float(cfg.temperature)))
     if params.eqsteps:
         # DETERMINISTIC chunks (driver.therm_chunk): the pallas engine's
         # per-call boundary rounding means wall-clock-sized chunks would
@@ -205,16 +214,16 @@ def simulate_ensemble(
                     from .ensemble import ensemble_sweeps_pallas_sharded
 
                     return ensemble_sweeps_pallas_sharded(
-                        s, w, cfg, 2.0 * cfg.proposal_a, k, seed=None,
-                        mesh=mesh,
+                        s, w, cfg, 2.0 * a_eff, k, seed=None,
+                        mesh=mesh, uniform_at=at2,
                     )[0]
                 return ensemble_sweeps_pallas(
-                    s, w, cfg, 2.0 * cfg.proposal_a, k,
+                    s, w, cfg, 2.0 * a_eff, k, uniform_at=at2,
                 )[0]
         else:
             def therm_step(s, k):
                 return ensemble_sweeps(
-                    s, w, cfg, 2.0 * cfg.proposal_a, k, collect_trace=False,
+                    s, w, cfg, 2.0 * a_eff, k, collect_trace=False,
                 )[0]
         therm_step = jax.jit(therm_step, static_argnums=1)
         from .driver import therm_chunk

@@ -177,6 +177,7 @@ def ensemble_sweeps_pallas(
     c_tile: int | None = None,
     a_per_chain: jax.Array | None = None,
     t_per_chain: jax.Array | None = None,
+    uniform_at: tuple | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """n_sweeps sweeps for every chain through the Pallas whole-sweep
     kernel (kernels/sweep_pallas.py): ensemble state resident in VMEM for
@@ -197,10 +198,18 @@ def ensemble_sweeps_pallas(
     a_per_chain/t_per_chain ([C], both or neither): per-chain proposal
     mobility and temperature — runs a whole temperature LADDER through
     one kernel compile (tsweep/pt at kernel speed); `a` is then ignored.
+
+    uniform_at=(A, T): the same ladder-mode routing with one (A, T) for
+    every chain — (A, T) become kernel DATA rows, so a run whose mobility
+    is not a config constant (auto-tuned A, tuning.py) reuses the single
+    ladder-mode Mosaic compile instead of recompiling per value.
     """
     from .kernels import sweep_pallas as sp
 
     c = state.r.shape[0]
+    if uniform_at is not None and a_per_chain is None:
+        a_per_chain = jnp.full((c,), float(uniform_at[0]), jnp.float32)
+        t_per_chain = jnp.full((c,), float(uniform_at[1]), jnp.float32)
     if c_tile is None:
         c_tile = _auto_c_tile(cfg, c)
     c_tile = _check_c_tile(c, c_tile)
@@ -387,6 +396,7 @@ def ensemble_sweeps_pallas_sharded(
     mesh: Mesh,
     axis: str = "chains",
     c_tile: int | None = None,
+    uniform_at: tuple | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Multi-chip Pallas path: the whole-sweep kernel under shard_map.
 
@@ -411,7 +421,8 @@ def ensemble_sweeps_pallas_sharded(
                  + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
                  dev.astype(jnp.int32)])
         return ensemble_sweeps_pallas(
-            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile
+            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile,
+            uniform_at=uniform_at,
         )
 
     specs = ChainState(
