@@ -127,6 +127,65 @@ def test_tune_mobility_pallas_engine():
     assert int(np.asarray(state.sweeps)[0]) == 2 * (len(tr.history) + 1)
 
 
+def test_tune_ladder_per_level():
+    """Every temperature level reaches the target with its OWN mobility;
+    the tuned A differs across levels (hotter levels accept more at a
+    given A, so they need larger moves)."""
+    from tpu_smc.tuning import tune_mobility_ladder
+
+    lt = tune_mobility_ladder(CFG, [0.9, 1.4], jax.random.key(8),
+                              chains_per_t=32, target=0.7, tol=0.03)
+    assert lt.a_per_t.shape == (2,)
+    a_cap = (CFG.box_l / 2.0) ** 2 / 2.0
+    for i in range(2):
+        pinned = lt.a_per_t[i] >= a_cap * 0.999
+        assert abs(lt.acceptance[i] - 0.7) < 0.06 or pinned, \
+            (lt.acceptance, lt.a_per_t)
+    assert lt.a_per_t[0] != lt.a_per_t[1]
+
+
+def test_tsweep_honors_a_per_t():
+    """The ladder driver run with a tuned a_per_t must land each level's
+    production acceptance visibly below the gamma*T default (~0.97 on
+    this system) and no higher than the tuned estimate + drift margin
+    (the short production run starts from a fresher state than the
+    equilibrated tuning ensemble, which inflates acceptance), with sane
+    physics (E rises with T)."""
+    from tpu_smc.tsweep import simulate_temperature_sweep
+    from tpu_smc.tuning import tune_mobility_ladder
+
+    temps = [0.9, 1.4]
+    lt = tune_mobility_ladder(CFG, temps, jax.random.key(9),
+                              chains_per_t=32, target=0.7, tol=0.03)
+    params = RunParams(eqsteps=150, maxsteps=150, numdata=75)
+    _, res = simulate_temperature_sweep(
+        CFG, params, temps, jax.random.key(10), chains_per_t=32,
+        a_per_t=lt.a_per_t)
+    assert res.mean_energy[1] > res.mean_energy[0]
+    for i in range(2):
+        assert res.acceptance[i] < 0.9, res.acceptance
+        assert res.acceptance[i] > lt.acceptance[i] - 0.12, \
+            (res.acceptance, lt.acceptance)
+
+
+def test_pt_honors_a_per_t():
+    from tpu_smc.pt import simulate_parallel_tempering
+    from tpu_smc.tuning import tune_mobility_ladder
+
+    temps = [1.0, 1.2]
+    lt = tune_mobility_ladder(CFG, temps, jax.random.key(11),
+                              chains_per_t=16, target=0.7, tol=0.03)
+    params = RunParams(eqsteps=10, maxsteps=40, numdata=20)
+    _, res = simulate_parallel_tempering(
+        CFG, params, temps, jax.random.key(12), chains_per_t=16,
+        exchange_interval=5, a_per_t=lt.a_per_t)
+    ts = res.tsweep
+    assert np.all(np.isfinite(ts.mean_energy))
+    # default gamma*T would sit ~0.97; the tuned ladder must not
+    assert np.all(ts.acceptance < 0.9)
+    assert int(res.swap_attempts.sum()) > 0
+
+
 def test_cli_target_acceptance(tmp_path, capsys):
     from tpu_smc.cli import main
 

@@ -194,16 +194,27 @@ def main(argv=None) -> int:
     if args.temperatures:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
 
-        if args.target_acceptance:
-            print("Note: --target-acceptance is not supported in "
-                  "--temperatures mode (A follows gamma*T per level); "
-                  "ignored.")
         temps = [float(v) for v in args.temperatures.split(",")]
         ladder_c = len(temps) * args.chains_per_t
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c)
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{args.chains_per_t} chains, one compiled ensemble "
               f"({tsampler} engine)")
+        a_per_t = None
+        if args.target_acceptance:
+            from .tuning import tune_mobility_ladder
+
+            lt = tune_mobility_ladder(
+                cfg, temps, jax.random.fold_in(key, 0x7E0), w=w_np,
+                chains_per_t=args.chains_per_t,
+                target=args.target_acceptance, sampler=tsampler)
+            a_per_t = lt.a_per_t
+            print(f"Auto-tuned per-level mobility "
+                  f"({lt.sweeps_used} tuning sweeps):")
+            for i, t in enumerate(lt.temps):
+                print(f"  T {t:0.3f}: A = {lt.a_per_t[i]:0.4g} "
+                      f"(gamma = {lt.gamma_per_t[i]:0.3g}, "
+                      f"acceptance {lt.acceptance[i]:0.3f})")
         if args.pt_exchange:
             from .pt import simulate_parallel_tempering, write_pt_csv
 
@@ -212,7 +223,7 @@ def main(argv=None) -> int:
             _, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 exchange_interval=args.pt_exchange, w=w_np,
-                sampler=tsampler)
+                sampler=tsampler, a_per_t=a_per_t)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
             print("\n###  Replica-exchange swap acceptance  ###")
@@ -225,7 +236,7 @@ def main(argv=None) -> int:
         else:
             _, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
-                w=w_np, sampler=tsampler)
+                w=w_np, sampler=tsampler, a_per_t=a_per_t)
         path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")

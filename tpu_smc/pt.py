@@ -130,11 +130,12 @@ def _exchange_block(state, betas_t, cfg, chains_per_t, abs_k):
                                    "sampler"))
 def _pt_block(state, w, cfg, temps_c, betas_t, a_scale, chains_per_t,
               interval, n_cycles, cycle0, collect_trace=False,
-              sampler="xla"):
+              sampler="xla", a_c=None):
     """n_cycles x (interval sweeps + one exchange attempt), fully on
     device. cycle0 is the absolute index of the first cycle (parity and
     exchange keys are chunk-invariant). sampler="pallas" runs the sweeps
-    through the whole-sweep kernel with per-chain (A, T) rows."""
+    through the whole-sweep kernel with per-chain (A, T) rows. a_c [C]:
+    per-chain base mobility overriding gamma*T (tuned ladders)."""
     n_t = betas_t.shape[0]
 
     def cycle(carry, k):
@@ -142,15 +143,16 @@ def _pt_block(state, w, cfg, temps_c, betas_t, a_scale, chains_per_t,
         if sampler == "pallas":
             from . import ensemble as ens
 
+            base = cfg.gamma * temps_c if a_c is None else a_c
             st, stats = ens.ensemble_sweeps_pallas(
                 st, w, cfg, 0.0, interval,
-                a_per_chain=a_scale * cfg.gamma * temps_c,
+                a_per_chain=a_scale * base,
                 t_per_chain=temps_c)
             if not collect_trace:
                 stats = None
         else:
             st, stats = _multi_t_sweeps(st, w, cfg, temps_c, a_scale,
-                                        interval, collect_trace)
+                                        interval, collect_trace, a_c=a_c)
         abs_k = cycle0 + k
         ekey = jax.random.fold_in(
             jax.random.fold_in(st.key[0], 0x9C0FFEE), abs_k)
@@ -174,11 +176,15 @@ def simulate_parallel_tempering(
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
     sampler: str = "xla",
+    a_per_t=None,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
     statistics count production attempts only. Per-T statistics follow
-    tsweep's conventions (E includes 3NT/2; cv = var(E)/T^2)."""
+    tsweep's conventions (E includes 3NT/2; cv = var(E)/T^2). a_per_t
+    [n_t]: per-level tuned mobility overriding gamma*T. NOTE the mobility
+    belongs to the temperature SLOT (like T itself), so configurations
+    that swap slots always run under the slot's (A, T) pair."""
     from .driver import therm_chunk
 
     temps = np.asarray(temps, dtype=np.float64)
@@ -188,6 +194,9 @@ def simulate_parallel_tempering(
     state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
+    a_c = (None if a_per_t is None else jnp.asarray(
+        np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
+        cfg.jnp_dtype))
 
     sweep_budget = therm_chunk(cfg, sampler=sampler)  # per device call
 
@@ -225,7 +234,7 @@ def simulate_parallel_tempering(
                 state, a_blk, t_blk, stats = _pt_block(
                     state, w_arr, cfg, temps_c, betas_t, a_scale,
                     chains_per_t, interval, k, cycle0 + done_c,
-                    collect_trace=collect, sampler=sampler)
+                    collect_trace=collect, sampler=sampler, a_c=a_c)
                 acc += np.asarray(a_blk, np.int64)
                 att += np.asarray(t_blk, np.int64)
                 if collect:
@@ -243,7 +252,7 @@ def simulate_parallel_tempering(
                     k = min(sweep_budget, interval - sub)
                     state, stats = _ladder_block(
                         state, w_arr, cfg, temps_c, a_scale, k, sampler,
-                        collect_trace=collect)
+                        collect_trace=collect, a_c=a_c)
                     if collect:
                         take(stats)
                     state = harvest(state)

@@ -42,18 +42,22 @@ class TSweepResults(NamedTuple):
 
 
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
-                    collect_trace):
+                    collect_trace, a_c=None):
     """n_sweeps sweeps with a PER-CHAIN temperature array temps_c [C];
-    shared per-sweep offset like ensemble_sweeps (chunk-invariant)."""
+    shared per-sweep offset like ensemble_sweeps (chunk-invariant).
+    a_c [C]: per-chain base mobility (default gamma*T, main.c:48-51;
+    a tuned ladder passes its own — tuning.tune_mobility_ladder)."""
+    if a_c is None:
+        a_c = cfg.gamma * temps_c
 
     def body(st, _):
         okey = jax.random.fold_in(st.key[0], 0x5EED)
         offset = jax.random.randint(okey, (), 0, cfg.n)
         st, stats = jax.vmap(
-            lambda s, t: sweep_state(
-                s, w, cfg, a_scale * cfg.gamma * t, offset=offset,
+            lambda s, t, a: sweep_state(
+                s, w, cfg, a_scale * a, offset=offset,
                 temperature=t)
-        )(st, temps_c)
+        )(st, temps_c, a_c)
         return st, stats if collect_trace else None
 
     return jax.lax.scan(body, state, None, length=n_sweeps)
@@ -62,27 +66,28 @@ def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
 @partial(jax.jit, static_argnames=("cfg", "n_sweeps", "a_scale",
                                    "collect_trace"))
 def _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
-                   collect_trace=False):
+                   collect_trace=False, a_c=None):
     return _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
-                           collect_trace)
+                           collect_trace, a_c=a_c)
 
 
 def _ladder_block(state, w, cfg, temps_c, a_scale, n_sweeps, sampler,
-                  collect_trace=False):
+                  collect_trace=False, a_c=None):
     """One device block of the ladder through the chosen engine. The
     pallas engine runs the whole ladder via PER-CHAIN (A, T) kernel rows
     (ensemble.ensemble_sweeps_pallas a_per_chain/t_per_chain): one kernel
-    compile covers every temperature and the thermalization doubling."""
+    compile covers every temperature and the thermalization doubling —
+    and equally a per-level TUNED mobility ladder (a_c)."""
     if sampler == "pallas":
         from . import ensemble as ens
 
-        a_c = a_scale * cfg.gamma * temps_c
+        base = cfg.gamma * temps_c if a_c is None else a_c
         state, stats = ens.ensemble_sweeps_pallas(
             state, w, cfg, 0.0, n_sweeps,
-            a_per_chain=a_c, t_per_chain=temps_c)
+            a_per_chain=a_scale * base, t_per_chain=temps_c)
         return state, (stats if collect_trace else None)
     return _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
-                          collect_trace)
+                          collect_trace, a_c=a_c)
 
 
 def simulate_temperature_sweep(
@@ -94,9 +99,13 @@ def simulate_temperature_sweep(
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
     sampler: str = "xla",
+    a_per_t=None,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
-    per-sweep energy traces, pooled per temperature."""
+    per-sweep energy traces, pooled per temperature.
+
+    a_per_t [n_t]: per-level proposal mobility overriding gamma*T (from
+    tuning.tune_mobility_ladder); held fixed through the run."""
     from .driver import therm_chunk
 
     temps = np.asarray(temps, dtype=np.float64)
@@ -104,6 +113,9 @@ def simulate_temperature_sweep(
     c = n_t * chains_per_t
     state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
+    a_c = (None if a_per_t is None else jnp.asarray(
+        np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
+        cfg.jnp_dtype))
 
     # Deterministic watchdog-safe chunks (driver.therm_chunk: sized from
     # the O(N^2) sweep cost, machine-independent — ADVICE r1).
@@ -112,7 +124,7 @@ def simulate_temperature_sweep(
     while done < params.eqsteps:
         k = min(params.eqsteps - done, chunk)
         state, _ = _ladder_block(state, w_arr, cfg, temps_c, 2.0, k,
-                                 sampler)
+                                 sampler, a_c=a_c)
         np.asarray(state.energy[:1])  # sync
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
@@ -130,7 +142,7 @@ def simulate_temperature_sweep(
         k = min(params.maxsteps - done, chunk_g)
         state, stats = _ladder_block(
             state, w_arr, cfg, temps_c, 1.0, k, sampler,
-            collect_trace=True)
+            collect_trace=True, a_c=a_c)
         e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
         prod_moves += np.asarray(state.accepted, np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))

@@ -38,6 +38,14 @@ from .sampler import sweep_state
 from .state import ChainState
 
 
+class LadderTuneResult(NamedTuple):
+    temps: np.ndarray          # [n_t]
+    a_per_t: np.ndarray        # [n_t] tuned mobility per level
+    acceptance: np.ndarray     # [n_t] measured at the returned ladder
+    gamma_per_t: np.ndarray    # [n_t] A_t / T_t
+    sweeps_used: int
+
+
 class TuneResult(NamedTuple):
     proposal_a: float          # tuned mobility
     acceptance: float          # measured at the returned A
@@ -140,5 +148,83 @@ def tune_mobility(
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
     return state, TuneResult(
         proposal_a=a, acceptance=acc, gamma=a / t, history=history,
+        sweeps_used=(blocks + burn_in_blocks) * k,
+    )
+
+
+def tune_mobility_ladder(
+    cfg: SMCConfig,
+    temps,
+    key: jax.Array,
+    w: np.ndarray | None = None,
+    chains_per_t: int = 16,
+    target: float = 0.5,
+    sampler: str = "xla",
+    sweeps_per_block: int = 25,
+    max_blocks: int = 16,
+    tol: float = 0.02,
+    burn_in_blocks: int = 2,
+) -> LadderTuneResult:
+    """Per-TEMPERATURE-LEVEL mobility tuning for the ladder drivers
+    (tsweep/pt): every level gets its own A_t hitting `target`, measured
+    simultaneously on one [n_t x chains_per_t] ensemble (the acceptance
+    of each level is its own chain group's counter — no extra runs).
+    Per-level adaptive multiplicative search, same drift tolerance and
+    sqrt(2A) <= L/2 cap as tune_mobility. Returns the tuned ladder; pass
+    it to simulate_temperature_sweep / simulate_parallel_tempering as
+    `a_per_t` (the production run re-equilibrates from its own state, so
+    tuning here is purely a parameter search)."""
+    if not 0.0 < target < 1.0:
+        raise ValueError(f"target acceptance must be in (0, 1): {target}")
+    from . import ensemble as ens
+    from .state import init_ensemble_state
+    from .tsweep import _multi_t_block
+
+    temps = np.asarray(temps, np.float64)
+    n_t = len(temps)
+    state, w_arr = init_ensemble_state(cfg, key, n_t * chains_per_t, w=w)
+    temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
+    k = sweeps_per_block
+    a_cap = (float(cfg.box_l) / 2.0) ** 2 / 2.0
+
+    def measure(a_t: np.ndarray) -> np.ndarray:
+        nonlocal state
+        state = state._replace(accepted=jnp.zeros_like(state.accepted))
+        a_c = jnp.asarray(np.repeat(a_t, chains_per_t), cfg.jnp_dtype)
+        if sampler == "pallas":
+            state, _ = ens.ensemble_sweeps_pallas(
+                state, w_arr, cfg, 0.0, k,
+                a_per_chain=a_c, t_per_chain=temps_c)
+        else:
+            state = _multi_t_block(state, w_arr, cfg, temps_c, 1.0, k,
+                                   a_c=a_c)[0]
+        moves = np.asarray(state.accepted, np.int64)
+        return moves.reshape(n_t, chains_per_t).mean(axis=1) / (k * cfg.n)
+
+    a_t = np.minimum(cfg.gamma * temps, a_cap)
+    for _ in range(burn_in_blocks):
+        measure(a_t)
+    factors = np.full(n_t, 4.0)
+    prev_up = [None] * n_t
+    blocks = 0
+    acc_t = measure(a_t)
+    blocks += 1
+    while blocks < max_blocks:
+        live = (np.abs(acc_t - target) > tol) \
+            & ~((a_t >= a_cap) & (acc_t > target))   # cap-pinned levels
+        if not live.any():
+            break
+        for i in np.flatnonzero(live):
+            up = acc_t[i] > target
+            if prev_up[i] is not None and up != prev_up[i]:
+                factors[i] = math.sqrt(factors[i])
+            prev_up[i] = up
+            a_t[i] = min(a_t[i] * factors[i], a_cap) if up \
+                else a_t[i] / factors[i]
+        acc_t = measure(a_t)
+        blocks += 1
+    return LadderTuneResult(
+        temps=temps, a_per_t=a_t, acceptance=acc_t,
+        gamma_per_t=a_t / temps,
         sweeps_used=(blocks + burn_in_blocks) * k,
     )
