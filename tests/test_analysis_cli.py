@@ -53,6 +53,8 @@ def test_analysis_renders(run_dir, tmp_path):
     assert len(written) >= 5
     for p in written:
         assert p.exists() and p.stat().st_size > 0
+    # the run accumulated g(r) + z-profile -> structure panel rendered
+    assert any(p.name.startswith("structure_") for p in written)
 
 
 def test_cli_resume_roundtrip(run_dir, tmp_path):

@@ -546,6 +546,36 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     if html is not None:
         written.append(html)
 
+    # g(r) / z-density profile panels when the run accumulated them
+    # (--gr-bins / --z-bins; beyond-reference observables, gr_*.csv and
+    # zprofile_*.csv written by the CLI)
+    def _ranked(stem):
+        p = run.run_dir / f"{stem}_{run.key}_rank0.csv"
+        return p if p.exists() else run.run_dir / f"{stem}_{run.key}.csv"
+
+    gr_file = _ranked("gr")
+    zp_file = _ranked("zprofile")
+    if gr_file.exists() or zp_file.exists():
+        panels = [(p, lab) for p, lab in
+                  ((gr_file, ("r", "g(r)")), (zp_file, ("z", "density")))
+                  if p.exists()]
+        fig, axes = plt.subplots(1, len(panels), figsize=(5 * len(panels), 3.4),
+                                 squeeze=False)
+        for ax, (p, (xl, yl)) in zip(axes[0], panels):
+            data = np.atleast_2d(
+                np.genfromtxt(p, delimiter=",", skip_header=1))
+            ax.plot(data[:, 0], data[:, 1], lw=1)
+            if xl == "r":
+                ax.axhline(1.0, color="gray", lw=0.6, ls=":")
+            ax.set_xlabel(xl)
+            ax.set_ylabel(yl)
+        fig.suptitle(f"structure {run.key}")
+        fig.tight_layout()
+        p = out / f"structure_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     # temperature-sweep curves when the run produced a tsweep CSV
     # (tpu_smc/tsweep.py — a beyond-reference capability)
     ts = run.run_dir / f"tsweep_{run.key}.csv"
