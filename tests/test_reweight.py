@@ -136,7 +136,36 @@ def test_reweight_cli_writes_artifact(tmp_path):
     rw_file = next(p for p in run.iterdir()
                    if p.name.startswith("reweight_"))
     lines = rw_file.read_text().strip().splitlines()
-    assert lines[0] == "T, E_mean, cv, ess, f"
+    assert lines[0] == "T, E_mean, E_err, cv, cv_err, ess, f"
     assert len(lines) == 4
     # first grid point is T=1.0: its f is the reference zero
-    assert float(lines[1].split(",")[4]) == 0.0
+    assert float(lines[1].split(",")[6]) == 0.0
+    assert float(lines[1].split(",")[2]) > 0  # bootstrap error present
+
+
+def test_bootstrap_errors_scale_with_replicas():
+    """Replica-bootstrap errors: present, positive, and shrinking as
+    more independent replicas are pooled (~1/sqrt(R))."""
+    from tpu_smc.tsweep import TSweepResults
+
+    rng = np.random.default_rng(0)
+
+    def fake_ladder(r):
+        g = 200
+        e = np.stack([rng.gamma(1.5, t, (g, r)) for t in [1.0, 1.2]],
+                     axis=1)                      # [g, 2, r]
+        return TSweepResults(
+            temps=np.array([1.0, 1.2]), mean_energy=np.zeros(2),
+            err_energy=np.zeros(2), acceptance=np.zeros(2),
+            cv=np.zeros(2), energy_samples=e)
+
+    small = reweight_from_ladder(fake_ladder(8), SMCConfig(n=2),
+                                 [1.1], n_boot=24, seed=1)
+    big = reweight_from_ladder(fake_ladder(64), SMCConfig(n=2),
+                               [1.1], n_boot=24, seed=2)
+    assert small.err_energy[0] > 0 and big.err_energy[0] > 0
+    assert big.err_energy[0] < small.err_energy[0]
+    assert small.err_cv[0] > 0 and small.err_f[0] >= 0
+    # no-bootstrap call keeps the fields None
+    plain = reweight_from_ladder(fake_ladder(8), SMCConfig(n=2), [1.1])
+    assert plain.err_energy is None

@@ -585,15 +585,27 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         # MBAR reweighting curve, when the run produced one (reweight.py):
         # the continuous E(T)/c_v(T) line the discrete ladder points sit on
         rw_file = run.run_dir / f"reweight_{run.key}.csv"
-        rw = None
+        rw = rw_cols = None
         if rw_file.exists():
+            # header-driven parse: the schema grew E_err/cv_err columns
+            # when the CLI bootstrap was added
+            hdr = [h.strip() for h in
+                   rw_file.open().readline().strip().split(",")]
+            rw_cols = {name: i for i, name in enumerate(hdr)}
             rw = np.atleast_2d(
                 np.genfromtxt(rw_file, delimiter=",", skip_header=1))
         fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
         if rw is not None:
-            axes[0].plot(rw[:, 0], rw[:, 1], lw=1, color="C1",
-                         label="MBAR")
-            axes[1].plot(rw[:, 0], rw[:, 2], lw=1, color="C1")
+            e_err = (rw[:, rw_cols["E_err"]] if "E_err" in rw_cols
+                     else None)
+            axes[0].plot(rw[:, 0], rw[:, rw_cols["E_mean"]], lw=1,
+                         color="C1", label="MBAR")
+            if e_err is not None:
+                axes[0].fill_between(
+                    rw[:, 0], rw[:, rw_cols["E_mean"]] - e_err,
+                    rw[:, rw_cols["E_mean"]] + e_err,
+                    color="C1", alpha=0.25, lw=0)
+            axes[1].plot(rw[:, 0], rw[:, rw_cols["cv"]], lw=1, color="C1")
         axes[0].errorbar(data[:, 0], data[:, 1], yerr=data[:, 2],
                          marker="o", ms=3, lw=0 if rw is not None else 1,
                          ls="none" if rw is not None else "-",

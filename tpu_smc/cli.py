@@ -249,13 +249,15 @@ def main(argv=None) -> int:
             from .reweight import (parse_t_grid, reweight_from_ladder,
                                    write_reweight_csv)
 
-            rw = reweight_from_ladder(res, cfg, parse_t_grid(args.reweight))
+            rw = reweight_from_ladder(res, cfg, parse_t_grid(args.reweight),
+                                      n_boot=16, seed=seed)
             rw_path = write_reweight_csv(d, cfg, rw)
-            print(f"\n###  MBAR reweighting ({rw.iterations} iterations)"
-                  "  ###")
-            print("T        E_mean        cv        ESS       f")
+            print(f"\n###  MBAR reweighting ({rw.iterations} iterations, "
+                  "16 bootstrap draws)  ###")
+            print("T        E_mean     +-err       cv        ESS       f")
             for i, t in enumerate(rw.temps):
                 print(f"{t:0.3f}  {rw.mean_energy[i]:10.4f}  "
+                      f"{rw.err_energy[i]:8.4f}  "
                       f"{rw.cv[i]:8.4f}  {rw.ess[i]:8.1f}  "
                       f"{rw.free_energy[i]:8.4f}")
             print(f"\nWritten to {rw_path}")

@@ -49,6 +49,12 @@ class ReweightResults(NamedTuple):
     free_energy: np.ndarray    # [G] dimensionless f = -ln Z, f(temps[0]) = 0
     ladder_f: np.ndarray       # [K] converged MBAR free energies (f[0] = 0)
     iterations: int            # self-consistent iterations used
+    # replica-bootstrap standard errors (None unless n_boot > 0):
+    # resampling whole ladder REPLICAS keeps within-replica correlation
+    # intact, so these are honest errors for correlated chains
+    err_energy: np.ndarray | None = None   # [G]
+    err_cv: np.ndarray | None = None       # [G]
+    err_f: np.ndarray | None = None        # [G]
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -162,15 +168,40 @@ def reweight_observables(
     )
 
 
-def reweight_from_ladder(res, cfg: SMCConfig, t_grid) -> ReweightResults:
+def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
+                         n_boot: int = 0, seed: int = 0) -> ReweightResults:
     """Reweight from a TSweepResults/PTResults carrying energy_samples
-    ([gathers, n_t, chains_per_t] potential energies)."""
+    ([gathers, n_t, chains_per_t] potential energies).
+
+    n_boot > 0 adds replica-bootstrap standard errors: whole ladder
+    replicas (the chains_per_t independent ladder instances — the unit
+    that is independent even under parallel tempering, where levels of
+    one instance exchange configurations) are resampled with
+    replacement and the full MBAR estimate recomputed per draw.
+    """
     ts = getattr(res, "tsweep", res)
     if ts.energy_samples is None or ts.energy_samples.size == 0:
         raise ValueError("ladder results carry no energy samples")
     e_s = ts.energy_samples  # [gathers, n_t, R]
-    e_k = [e_s[:, k, :].reshape(-1) for k in range(e_s.shape[1])]
-    return reweight_observables(e_k, ts.temps, t_grid, cfg=cfg)
+
+    def estimate(e_arr):
+        e_k = [e_arr[:, k, :].reshape(-1) for k in range(e_arr.shape[1])]
+        return reweight_observables(e_k, ts.temps, t_grid, cfg=cfg)
+
+    out = estimate(e_s)
+    if n_boot <= 0:
+        return out
+    r = e_s.shape[2]
+    rng = np.random.default_rng(seed)
+    draws = []
+    for _ in range(n_boot):
+        idx = rng.integers(0, r, size=r)
+        draws.append(estimate(e_s[:, :, idx]))
+    return out._replace(
+        err_energy=np.std([d.mean_energy for d in draws], axis=0),
+        err_cv=np.std([d.cv for d in draws], axis=0),
+        err_f=np.std([d.free_energy for d in draws], axis=0),
+    )
 
 
 def parse_t_grid(spec: str) -> np.ndarray:
@@ -192,10 +223,18 @@ def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):
     from .io import _fname
 
     p = _fname(d, "reweight", cfg)
+    with_err = res.err_energy is not None
     with open(p, "w") as f:
-        f.write("T, E_mean, cv, ess, f\n")
+        f.write("T, E_mean, E_err, cv, cv_err, ess, f\n" if with_err
+                else "T, E_mean, cv, ess, f\n")
         for i in range(len(res.temps)):
-            f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
-                    f"{res.cv[i]:0.9f}, {res.ess[i]:0.1f}, "
-                    f"{res.free_energy[i]:0.9f}\n")
+            if with_err:
+                f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
+                        f"{res.err_energy[i]:0.9f}, {res.cv[i]:0.9f}, "
+                        f"{res.err_cv[i]:0.9f}, {res.ess[i]:0.1f}, "
+                        f"{res.free_energy[i]:0.9f}\n")
+            else:
+                f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
+                        f"{res.cv[i]:0.9f}, {res.ess[i]:0.1f}, "
+                        f"{res.free_energy[i]:0.9f}\n")
     return p
