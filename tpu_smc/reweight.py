@@ -88,7 +88,7 @@ def _mbar_fixed_point(u_kn, log_n_k, tol, max_iter):
 
 
 def mbar_free_energies(e_k: Sequence[np.ndarray], betas,
-                       tol: float = 1e-7, max_iter: int = 10_000):
+                       tol: float = 2e-6, max_iter: int = 5_000):
     """Solve the MBAR equations for a temperature ladder.
 
     e_k: per-state 1-D arrays of potential-energy samples (lengths may
@@ -96,6 +96,10 @@ def mbar_free_energies(e_k: Sequence[np.ndarray], betas,
     e_pooled, iterations) — everything downstream reweighting needs.
     """
     betas = jnp.asarray(betas, jnp.float32)
+    # everything runs in f32 (TPU-native), so the fixed-point residual
+    # plateaus around the f32 logsumexp noise floor (~1e-6 on the f_k
+    # scale): a tighter tol would just spin to max_iter without gaining
+    # accuracy — the default stops at the plateau
     e_pooled = jnp.concatenate(
         [jnp.asarray(e, jnp.float32).reshape(-1) for e in e_k])
     n_k = np.asarray([np.size(e) for e in e_k], np.int64)
