@@ -47,9 +47,11 @@ for i in range(len(temps) - 1):
     print(f"  swap T {res.pair_t_lo[i]:0.3f} <-> {res.pair_t_hi[i]:0.3f}: "
           f"{res.swap_acceptance[i]:0.3f}")
 
-print("\nMBAR reweighting onto a fine grid...")
-rw = reweight_from_ladder(res, cfg, np.linspace(0.8, 1.5, 29))
-print("T        E_mean        cv        ESS       f")
+print("\nMBAR reweighting onto a fine grid (16 bootstrap draws)...")
+rw = reweight_from_ladder(res, cfg, np.linspace(0.8, 1.5, 29), n_boot=16)
+print("T        E_mean     +-err       cv          P           ESS       f")
 for i in range(0, len(rw.temps), 4):
     print(f"{rw.temps[i]:0.3f}  {rw.mean_energy[i]:10.4f}  "
-          f"{rw.cv[i]:8.4f}  {rw.ess[i]:8.1f}  {rw.free_energy[i]:8.4f}")
+          f"{rw.err_energy[i]:8.4f}  {rw.cv[i]:8.4f}  "
+          f"{rw.pressure[i]:10.6f}  {rw.ess[i]:8.1f}  "
+          f"{rw.free_energy[i]:8.4f}")

@@ -128,11 +128,11 @@ class TestNewObservables:
     def test_gr_ideal_gas(self):
         """g(r) ~ 1 for uniform random positions (bulk, full PBC)."""
         cfg = SMCConfig(
-            dtype="float64", n=4096, use_walls=False, pbc_z=True,
+            dtype="float64", n=2048, use_walls=False, pbc_z=True,
             box_l=20.0, box_lz=20.0, lj_cutoff=10.0,
         )
         rng = np.random.default_rng(1)
-        r = jnp.asarray(rng.uniform(-10.0, 10.0, (4096, 3)))
+        r = jnp.asarray(rng.uniform(-10.0, 10.0, (2048, 3)))
         centers, g = obs.radial_distribution(r, cfg, nbins=32, rmax=8.0)
         g = np.asarray(g)[4:]  # skip tiny-shell noise
         assert np.all(np.abs(g - 1.0) < 0.25)

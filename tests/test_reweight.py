@@ -136,11 +136,51 @@ def test_reweight_cli_writes_artifact(tmp_path):
     rw_file = next(p for p in run.iterdir()
                    if p.name.startswith("reweight_"))
     lines = rw_file.read_text().strip().splitlines()
-    assert lines[0] == "T, E_mean, E_err, cv, cv_err, ess, f"
+    assert lines[0] == "T, E_mean, E_err, cv, cv_err, P, P_err, ess, f"
     assert len(lines) == 4
     # first grid point is T=1.0: its f is the reference zero
-    assert float(lines[1].split(",")[6]) == 0.0
+    assert float(lines[1].split(",")[8]) == 0.0
     assert float(lines[1].split(",")[2]) > 0  # bootstrap error present
+
+
+def test_paired_observable_analytic():
+    """<O>(T) from paired samples: with O = E^2 on the Gamma(3/2, T)
+    model, <E^2> = var + mean^2 = 1.5 T^2 + 2.25 T^2 = 3.75 T^2 —
+    checked at an interpolated temperature."""
+    from tpu_smc.reweight import reweight_paired_observable
+
+    e_k = _gamma_samples(TEMPS, seed=4)
+    o_k = [e * e for e in e_k]
+    got = reweight_paired_observable(e_k, o_k, TEMPS, [0.9, 1.1])
+    np.testing.assert_allclose(got, 3.75 * np.array([0.9, 1.1]) ** 2,
+                               rtol=0.04)
+
+
+def test_ladder_pressure_reweighting():
+    """tsweep collects paired (P, E) call-boundary samples; the
+    reweighted P(T) at the ladder endpoints must agree with the direct
+    per-T pressure sample means (+ ideal rho*T)."""
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=60, maxsteps=200, numdata=100)
+    _, res = simulate_temperature_sweep(
+        cfg, params, [1.0, 1.2], jax.random.key(3), chains_per_t=32)
+    assert res.pressure_samples is not None
+    assert res.pressure_samples.shape == res.energy_at_pressure.shape
+    assert res.pressure_samples.shape[1:] == (2, 32)
+
+    rw = reweight_from_ladder(res, cfg, [1.0, 1.1, 1.2], n_boot=8)
+    assert rw.pressure is not None and rw.err_pressure is not None
+    direct = (res.pressure_samples.mean(axis=(0, 2))
+              + cfg.rho * res.temps)
+    for j, k in ((0, 0), (2, 1)):
+        tol = max(6 * rw.err_pressure[j], 0.2 * abs(direct[k]))
+        assert abs(rw.pressure[j] - direct[k]) < tol, (rw.pressure, direct)
+    # interpolated point sits between the endpoint estimates
+    lo, hi = sorted(direct)
+    assert lo - 3 * rw.err_pressure[1] < rw.pressure[1] \
+        < hi + 3 * rw.err_pressure[1]
 
 
 def test_bootstrap_errors_scale_with_replicas():

@@ -254,11 +254,14 @@ def main(argv=None) -> int:
             rw_path = write_reweight_csv(d, cfg, rw)
             print(f"\n###  MBAR reweighting ({rw.iterations} iterations, "
                   "16 bootstrap draws)  ###")
-            print("T        E_mean     +-err       cv        ESS       f")
+            has_p = rw.pressure is not None
+            print("T        E_mean     +-err       cv   "
+                  + ("      P      " if has_p else "") + "   ESS       f")
             for i, t in enumerate(rw.temps):
+                pcol = f"{rw.pressure[i]:12.6g} " if has_p else ""
                 print(f"{t:0.3f}  {rw.mean_energy[i]:10.4f}  "
                       f"{rw.err_energy[i]:8.4f}  "
-                      f"{rw.cv[i]:8.4f}  {rw.ess[i]:8.1f}  "
+                      f"{rw.cv[i]:8.4f} {pcol} {rw.ess[i]:8.1f}  "
                       f"{rw.free_energy[i]:8.4f}")
             print(f"\nWritten to {rw_path}")
         return 0

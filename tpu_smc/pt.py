@@ -43,7 +43,7 @@ import numpy as np
 
 from .config import RunParams, SMCConfig
 from .state import ChainState, init_ensemble_state
-from .tsweep import TSweepResults, _multi_t_sweeps
+from .tsweep import TSweepResults, _multi_t_sweeps, _pressure_fn
 
 
 def exchange_step(
@@ -212,10 +212,16 @@ def simulate_parallel_tempering(
         att = np.zeros_like(acc)
         moves = np.zeros((c,), np.int64)
         samples = []
+        p_samples, e_at_p = [], []
+        press_fn = _pressure_fn(cfg) if collect else None
 
         def harvest(st):
             nonlocal moves
             moves += np.asarray(st.accepted, np.int64)
+            if collect:
+                # paired (P, E) sample at the call boundary (reweight.py)
+                p_samples.append(np.asarray(press_fn(st.r, w_arr)))
+                e_at_p.append(np.asarray(st.energy))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -262,15 +268,16 @@ def simulate_parallel_tempering(
                     jnp.int32(cycle0 + ci))
                 acc += np.asarray(a_blk, np.int64)
                 att += np.asarray(t_blk, np.int64)
-        return state, acc, att, samples, moves, cycle0 + cycles
+        return (state, acc, att, samples, moves, (p_samples, e_at_p),
+                cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
     # speed equilibration) but are not counted.
-    state, _, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
+    state, _, _, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     lapse = max(1, params.gather_lapse)
-    state, acc, att, samples, prod_moves, _ = run_phase(
+    state, acc, att, samples, prod_moves, (p_s, e_p), _ = run_phase(
         state, params.maxsteps, 1.0, cyc, collect=True, lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
 
@@ -284,10 +291,13 @@ def simulate_parallel_tempering(
                  / (prod_sweeps * cfg.n))
     cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
 
+    shape_t = (-1, n_t, chains_per_t)
     ts = TSweepResults(
         temps=temps, mean_energy=mean_e, err_energy=err_e,
         acceptance=np.asarray(acc_moves), cv=np.asarray(cv),
-        energy_samples=e_t)
+        energy_samples=e_t,
+        pressure_samples=np.stack(p_s).reshape(shape_t) if p_s else None,
+        energy_at_pressure=np.stack(e_p).reshape(shape_t) if e_p else None)
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

@@ -55,6 +55,10 @@ class ReweightResults(NamedTuple):
     err_energy: np.ndarray | None = None   # [G]
     err_cv: np.ndarray | None = None       # [G]
     err_f: np.ndarray | None = None        # [G]
+    # P(T) incl. ideal rho*T, from paired (P, E) samples (None when the
+    # ladder run collected no pressure samples)
+    pressure: np.ndarray | None = None     # [G]
+    err_pressure: np.ndarray | None = None  # [G]
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -172,6 +176,30 @@ def reweight_observables(
     )
 
 
+def reweight_paired_observable(
+    e_k: Sequence[np.ndarray],
+    o_k: Sequence[np.ndarray],
+    temps,
+    t_grid,
+) -> np.ndarray:
+    """<O>(T) on `t_grid` from PAIRED samples: o_k[k][m] was measured on
+    the same configuration as e_k[k][m]. MBAR is solved on the paired
+    set's energies (a subset/coarser cadence than the full energy trace
+    is fine — the estimator only needs the pairs to be equilibrium
+    samples of their states)."""
+    temps = np.asarray(temps, np.float64)
+    t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
+    _, log_denom, e_pooled, _ = mbar_free_energies(e_k, 1.0 / temps)
+    o_pooled = jnp.concatenate(
+        [jnp.asarray(o, jnp.float32).reshape(-1) for o in o_k])
+    out = []
+    for t in t_grid:
+        logw = -jnp.float32(1.0 / t) * e_pooled - log_denom
+        logw = logw - jax.nn.logsumexp(logw)
+        out.append(float(jnp.sum(jnp.exp(logw) * o_pooled)))
+    return np.asarray(out)
+
+
 def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                          n_boot: int = 0, seed: int = 0) -> ReweightResults:
     """Reweight from a TSweepResults/PTResults carrying energy_samples
@@ -187,24 +215,39 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     if ts.energy_samples is None or ts.energy_samples.size == 0:
         raise ValueError("ladder results carry no energy samples")
     e_s = ts.energy_samples  # [gathers, n_t, R]
+    p_s = getattr(ts, "pressure_samples", None)
+    e_p = getattr(ts, "energy_at_pressure", None)
+    have_p = p_s is not None and e_p is not None and p_s.size > 0
+    t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
+    ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
 
-    def estimate(e_arr):
-        e_k = [e_arr[:, k, :].reshape(-1) for k in range(e_arr.shape[1])]
-        return reweight_observables(e_k, ts.temps, t_grid, cfg=cfg)
+    def split(arr, idx=None):
+        a = arr if idx is None else arr[:, :, idx]
+        return [a[:, k, :].reshape(-1) for k in range(a.shape[1])]
 
-    out = estimate(e_s)
+    def estimate(idx=None):
+        out = reweight_observables(split(e_s, idx), ts.temps, t_grid,
+                                   cfg=cfg)
+        if have_p:
+            pv = reweight_paired_observable(
+                split(e_p, idx), split(p_s, idx), ts.temps, t_grid)
+            out = out._replace(pressure=pv + ideal)
+        return out
+
+    out = estimate()
     if n_boot <= 0:
         return out
     r = e_s.shape[2]
     rng = np.random.default_rng(seed)
     draws = []
     for _ in range(n_boot):
-        idx = rng.integers(0, r, size=r)
-        draws.append(estimate(e_s[:, :, idx]))
+        draws.append(estimate(rng.integers(0, r, size=r)))
     return out._replace(
         err_energy=np.std([d.mean_energy for d in draws], axis=0),
         err_cv=np.std([d.cv for d in draws], axis=0),
         err_f=np.std([d.free_energy for d in draws], axis=0),
+        err_pressure=(np.std([d.pressure for d in draws], axis=0)
+                      if have_p else None),
     )
 
 
@@ -227,18 +270,21 @@ def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):
     from .io import _fname
 
     p = _fname(d, "reweight", cfg)
-    with_err = res.err_energy is not None
+    # header-driven schema: optional columns appear when computed
+    cols = [("T", res.temps, "0.4f"), ("E_mean", res.mean_energy, "0.9f")]
+    if res.err_energy is not None:
+        cols.append(("E_err", res.err_energy, "0.9f"))
+    cols.append(("cv", res.cv, "0.9f"))
+    if res.err_cv is not None:
+        cols.append(("cv_err", res.err_cv, "0.9f"))
+    if res.pressure is not None:
+        cols.append(("P", res.pressure, "0.9f"))
+        if res.err_pressure is not None:
+            cols.append(("P_err", res.err_pressure, "0.9f"))
+    cols += [("ess", res.ess, "0.1f"), ("f", res.free_energy, "0.9f")]
     with open(p, "w") as f:
-        f.write("T, E_mean, E_err, cv, cv_err, ess, f\n" if with_err
-                else "T, E_mean, cv, ess, f\n")
+        f.write(", ".join(name for name, _, _ in cols) + "\n")
         for i in range(len(res.temps)):
-            if with_err:
-                f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
-                        f"{res.err_energy[i]:0.9f}, {res.cv[i]:0.9f}, "
-                        f"{res.err_cv[i]:0.9f}, {res.ess[i]:0.1f}, "
-                        f"{res.free_energy[i]:0.9f}\n")
-            else:
-                f.write(f"{res.temps[i]:0.4f}, {res.mean_energy[i]:0.9f}, "
-                        f"{res.cv[i]:0.9f}, {res.ess[i]:0.1f}, "
-                        f"{res.free_energy[i]:0.9f}\n")
+            f.write(", ".join(format(vals[i], fmt)
+                              for _, vals, fmt in cols) + "\n")
     return p

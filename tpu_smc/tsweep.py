@@ -39,6 +39,12 @@ class TSweepResults(NamedTuple):
     # raw per-gather POTENTIAL energies [gathers, T, chains_per_t]
     # (no kinetic offset) — the input MBAR reweighting needs (reweight.py)
     energy_samples: np.ndarray | None = None
+    # paired (virial pressure, energy) samples taken at device-call
+    # boundaries [B, T, chains_per_t]: the coarser cadence is fine — MBAR
+    # needs (E, O) PAIRS, and B x chains is plenty of pairs (reweight.py
+    # turns them into P(T) curves; ideal rho*T added at output)
+    pressure_samples: np.ndarray | None = None
+    energy_at_pressure: np.ndarray | None = None
 
 
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
@@ -136,6 +142,8 @@ def simulate_temperature_sweep(
     lapse = max(1, params.gather_lapse)
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
+    p_samples, e_at_p = [], []
+    press_fn = _pressure_fn(cfg)
     prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
@@ -144,6 +152,10 @@ def simulate_temperature_sweep(
             state, w_arr, cfg, temps_c, 1.0, k, sampler,
             collect_trace=True, a_c=a_c)
         e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
+        # paired (P, E) sample at the call boundary (one O(N^2) pass per
+        # device call — the per-sweep trace stays energy-only)
+        p_samples.append(np.asarray(press_fn(state.r, w_arr)))
+        e_at_p.append(np.asarray(state.energy))
         prod_moves += np.asarray(state.accepted, np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -158,11 +170,28 @@ def simulate_temperature_sweep(
            / (done * cfg.n))
     cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
 
+    shape_t = (-1, n_t, chains_per_t)
     return state, TSweepResults(
         temps=temps, mean_energy=mean_e, err_energy=err_e,
         acceptance=np.asarray(acc), cv=np.asarray(cv),
         energy_samples=e_t,
+        pressure_samples=np.stack(p_samples).reshape(shape_t),
+        energy_at_pressure=np.stack(e_at_p).reshape(shape_t),
     )
+
+
+def _pressure_fn(cfg: SMCConfig):
+    """Jitted per-chain virial pressure (pressure + wallsPressure,
+    SMC.c:140) for ladder-driver call-boundary sampling."""
+    from functools import partial as _partial
+
+    from .potentials import total_pressure
+
+    @_partial(jax.jit, static_argnames=())
+    def fn(r, w):
+        return jax.vmap(lambda ri: total_pressure(ri, w, cfg))(r)
+
+    return fn
 
 
 def write_tsweep_csv(d, cfg: SMCConfig, res: TSweepResults):
