@@ -196,7 +196,22 @@ def main(argv=None) -> int:
 
         temps = [float(v) for v in args.temperatures.split(",")]
         ladder_c = len(temps) * args.chains_per_t
-        tsampler = _resolve_sampler(args.sampler, cfg, ladder_c)
+        # Multi-device hosts: shard the flat ladder-chain axis, exactly
+        # like the ensemble path (XLA engine: GSPMD incl. the PT
+        # exchange collectives; pallas engine: shard_map sweeps).
+        lmesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and ladder_c % n_dev == 0:
+            from .ensemble import make_mesh
+
+            lmesh = make_mesh(n_dev, axis_names=("chains",))
+            print(f"Sharding {ladder_c} ladder chains over "
+                  f"{n_dev} devices")
+        elif n_dev > 1:
+            print(f"Note: {ladder_c} ladder chains do not divide over "
+                  f"{n_dev} devices; running on one device")
+        tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
+                                    n_dev=n_dev if lmesh is not None else 1)
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{args.chains_per_t} chains, one compiled ensemble "
               f"({tsampler} engine)")
@@ -223,7 +238,7 @@ def main(argv=None) -> int:
             _, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 exchange_interval=args.pt_exchange, w=w_np,
-                sampler=tsampler, a_per_t=a_per_t)
+                sampler=tsampler, a_per_t=a_per_t, mesh=lmesh)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
             print("\n###  Replica-exchange swap acceptance  ###")
@@ -236,7 +251,7 @@ def main(argv=None) -> int:
         else:
             _, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
-                w=w_np, sampler=tsampler, a_per_t=a_per_t)
+                w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh)
         path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")

@@ -397,6 +397,8 @@ def ensemble_sweeps_pallas_sharded(
     axis: str = "chains",
     c_tile: int | None = None,
     uniform_at: tuple | None = None,
+    a_per_chain: jax.Array | None = None,
+    t_per_chain: jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Multi-chip Pallas path: the whole-sweep kernel under shard_map.
 
@@ -405,12 +407,17 @@ def ensemble_sweeps_pallas_sharded(
     decorrelated by folding the device index into the seed. seed=None
     derives each shard's stream from its own first chain's key folded
     with the ABSOLUTE sweep counter (distinct across devices, and
-    chunk-invariant like the single-chip engine)."""
+    chunk-invariant like the single-chip engine).
+
+    a_per_chain/t_per_chain ([C] global, sharded over `axis` like the
+    state): per-chain (A, T) ladder rows — multi-chip temperature
+    ladders at kernel speed; each shard's kernel sees its local rows."""
     nd = mesh.shape[axis]
     c = state.r.shape[0]
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
+    per_chain = a_per_chain is not None
 
-    def local(st):
+    def local(st, *rows):
         st = jax.tree.map(lambda x: x, st)
         if seed is None:
             local_seed = None
@@ -420,23 +427,26 @@ def ensemble_sweeps_pallas_sharded(
                 [jnp.int32(seed)
                  + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
                  dev.astype(jnp.int32)])
+        kw = dict(a_per_chain=rows[0], t_per_chain=rows[1]) if per_chain \
+            else dict(uniform_at=uniform_at)
         return ensemble_sweeps_pallas(
-            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile,
-            uniform_at=uniform_at,
+            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile, **kw,
         )
 
     specs = ChainState(
         r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
         accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
     )
+    in_specs = (specs,) + ((P(axis), P(axis)) if per_chain else ())
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(specs,),
+        in_specs=in_specs,
         out_specs=(specs, SweepStats(energy=P(None, axis),
                                      accepted=P(None, axis))),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
-    return fn(state)
+    args = (state,) + ((a_per_chain, t_per_chain) if per_chain else ())
+    return fn(*args)
 
 
 # ----------------------------------------------------------------------

@@ -177,6 +177,7 @@ def simulate_parallel_tempering(
     w: np.ndarray | None = None,
     sampler: str = "xla",
     a_per_t=None,
+    mesh=None,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
@@ -184,7 +185,14 @@ def simulate_parallel_tempering(
     tsweep's conventions (E includes 3NT/2; cv = var(E)/T^2). a_per_t
     [n_t]: per-level tuned mobility overriding gamma*T. NOTE the mobility
     belongs to the temperature SLOT (like T itself), so configurations
-    that swap slots always run under the slot's (A, T) pair."""
+    that swap slots always run under the slot's (A, T) pair.
+
+    mesh: multi-chip PT — the chain axis shards over the mesh's "chains"
+    axis. XLA engine: the whole cycle program (sweeps + exchange) is
+    GSPMD-partitioned; the exchange's cross-shard configuration gathers
+    become collectives (the neighbor-exchange pattern, validated in the
+    driver dryrun). Pallas engine: sweeps run under shard_map and each
+    exchange is its own GSPMD device call."""
     from .driver import therm_chunk
 
     temps = np.asarray(temps, dtype=np.float64)
@@ -197,8 +205,21 @@ def simulate_parallel_tempering(
     a_c = (None if a_per_t is None else jnp.asarray(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
         cfg.jnp_dtype))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert c % mesh.shape["chains"] == 0, (c, dict(mesh.shape))
+        sh = NamedSharding(mesh, P("chains"))
+        state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
+        temps_c = jax.device_put(temps_c, sh)
+        if a_c is not None:
+            a_c = jax.device_put(a_c, sh)
 
     sweep_budget = therm_chunk(cfg, sampler=sampler)  # per device call
+    # A sharded pallas kernel is a shard_map custom call the scanned
+    # cycle program cannot partition: run sweeps through the sharded
+    # ladder wrapper and each exchange as its own (GSPMD) device call.
+    cycle_scan_ok = not (mesh is not None and sampler == "pallas")
 
     def run_phase(state, total_sweeps, a_scale, cycle0, collect=False,
                   lapse=1, sweep0=0):
@@ -231,7 +252,7 @@ def simulate_parallel_tempering(
             samples.append(e_blk[start::lapse])
             sweep0 += e_blk.shape[0]
 
-        if interval <= sweep_budget:
+        if interval <= sweep_budget and cycle_scan_ok:
             # Whole cycles scan on device, several per call.
             chunk_cycles = max(1, sweep_budget // interval)
             done_c = 0
@@ -258,7 +279,7 @@ def simulate_parallel_tempering(
                     k = min(sweep_budget, interval - sub)
                     state, stats = _ladder_block(
                         state, w_arr, cfg, temps_c, a_scale, k, sampler,
-                        collect_trace=collect, a_c=a_c)
+                        collect_trace=collect, a_c=a_c, mesh=mesh)
                     if collect:
                         take(stats)
                     state = harvest(state)

@@ -78,19 +78,29 @@ def _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
 
 
 def _ladder_block(state, w, cfg, temps_c, a_scale, n_sweeps, sampler,
-                  collect_trace=False, a_c=None):
+                  collect_trace=False, a_c=None, mesh=None):
     """One device block of the ladder through the chosen engine. The
     pallas engine runs the whole ladder via PER-CHAIN (A, T) kernel rows
     (ensemble.ensemble_sweeps_pallas a_per_chain/t_per_chain): one kernel
     compile covers every temperature and the thermalization doubling —
-    and equally a per-level TUNED mobility ladder (a_c)."""
+    and equally a per-level TUNED mobility ladder (a_c).
+
+    mesh: chain axis sharded over the mesh. The XLA engine needs nothing
+    special (state/temps arrive sharded; GSPMD partitions the program);
+    the pallas engine goes through the shard_map wrapper with the (A, T)
+    rows sharded alongside the state."""
     if sampler == "pallas":
         from . import ensemble as ens
 
         base = cfg.gamma * temps_c if a_c is None else a_c
-        state, stats = ens.ensemble_sweeps_pallas(
-            state, w, cfg, 0.0, n_sweeps,
-            a_per_chain=a_scale * base, t_per_chain=temps_c)
+        if mesh is not None:
+            state, stats = ens.ensemble_sweeps_pallas_sharded(
+                state, w, cfg, 0.0, n_sweeps, seed=None, mesh=mesh,
+                a_per_chain=a_scale * base, t_per_chain=temps_c)
+        else:
+            state, stats = ens.ensemble_sweeps_pallas(
+                state, w, cfg, 0.0, n_sweeps,
+                a_per_chain=a_scale * base, t_per_chain=temps_c)
         return state, (stats if collect_trace else None)
     return _multi_t_block(state, w, cfg, temps_c, a_scale, n_sweeps,
                           collect_trace, a_c=a_c)
@@ -106,12 +116,17 @@ def simulate_temperature_sweep(
     w: np.ndarray | None = None,
     sampler: str = "xla",
     a_per_t=None,
+    mesh=None,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
 
     a_per_t [n_t]: per-level proposal mobility overriding gamma*T (from
-    tuning.tune_mobility_ladder); held fixed through the run."""
+    tuning.tune_mobility_ladder); held fixed through the run.
+
+    mesh: shard the flat chain axis (temperature-major) over the mesh's
+    "chains" axis — multi-chip ladders. XLA engine: GSPMD partitions the
+    whole program from the input sharding; pallas engine: shard_map."""
     from .driver import therm_chunk
 
     temps = np.asarray(temps, dtype=np.float64)
@@ -122,6 +137,15 @@ def simulate_temperature_sweep(
     a_c = (None if a_per_t is None else jnp.asarray(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
         cfg.jnp_dtype))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert c % mesh.shape["chains"] == 0, (c, dict(mesh.shape))
+        sh = NamedSharding(mesh, P("chains"))
+        state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
+        temps_c = jax.device_put(temps_c, sh)
+        if a_c is not None:
+            a_c = jax.device_put(a_c, sh)
 
     # Deterministic watchdog-safe chunks (driver.therm_chunk: sized from
     # the O(N^2) sweep cost, machine-independent — ADVICE r1).
@@ -130,7 +154,7 @@ def simulate_temperature_sweep(
     while done < params.eqsteps:
         k = min(params.eqsteps - done, chunk)
         state, _ = _ladder_block(state, w_arr, cfg, temps_c, 2.0, k,
-                                 sampler, a_c=a_c)
+                                 sampler, a_c=a_c, mesh=mesh)
         np.asarray(state.energy[:1])  # sync
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
@@ -150,7 +174,7 @@ def simulate_temperature_sweep(
         k = min(params.maxsteps - done, chunk_g)
         state, stats = _ladder_block(
             state, w_arr, cfg, temps_c, 1.0, k, sampler,
-            collect_trace=True, a_c=a_c)
+            collect_trace=True, a_c=a_c, mesh=mesh)
         e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
         # paired (P, E) sample at the call boundary (one O(N^2) pass per
         # device call — the per-sweep trace stays energy-only)
