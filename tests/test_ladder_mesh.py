@@ -96,6 +96,27 @@ def test_pt_pallas_sharded_end_to_end():
     assert np.all((res.swap_acceptance >= 0) & (res.swap_acceptance <= 1))
 
 
+def test_cli_full_ladder_composition(tmp_path, capsys):
+    """Every ladder feature in ONE invocation: sharded ladder + per-level
+    tuning + parallel tempering + MBAR reweighting with bootstrap —
+    the artifacts and tables must all appear."""
+    from tpu_smc.cli import main
+
+    rc = main(["20", "40", "20", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "8",
+               "--pt-exchange", "5", "--target-acceptance", "0.7",
+               "--reweight", "1.0:1.2:3", "--seed", "9",
+               "--platform", "cpu", "--data-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Auto-tuned per-level mobility" in out
+    assert "Replica-exchange swap acceptance" in out
+    assert "MBAR reweighting" in out
+    run = next(tmp_path.iterdir())
+    names = {p.name.split("_N")[0] for p in run.iterdir()}
+    assert {"tsweep", "pt", "reweight", "wall"} <= names
+
+
 def test_cli_ladder_shards_over_virtual_devices(tmp_path, capsys):
     from tpu_smc.cli import main
 
