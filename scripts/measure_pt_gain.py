@@ -41,7 +41,7 @@ def main() -> int:
     import numpy as np
 
     from tpu_smc.config import RunParams, SMCConfig
-    from tpu_smc.observables import autocorrelation
+    from tpu_smc.observables import tau_int
     from tpu_smc.pt import simulate_parallel_tempering
     from tpu_smc.tsweep import simulate_temperature_sweep
 
@@ -53,13 +53,8 @@ def main() -> int:
 
     def tau_cold(samples):
         e = samples[:, 0, :]            # coldest slot [S, R]
-        taus = []
-        for c in range(e.shape[1]):
-            acf = np.asarray(autocorrelation(
-                e[:, c].astype(np.float64), 500, mode="circular"))
-            neg = np.argmax(acf < 0) or len(acf)
-            taus.append(0.5 + acf[1:neg].sum())
-        return float(np.mean(taus))
+        return float(np.mean([tau_int(e[:, c])
+                              for c in range(e.shape[1])]))
 
     print(f"devices = {jax.devices()}", file=sys.stderr)
     _, ts = simulate_temperature_sweep(

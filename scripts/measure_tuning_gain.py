@@ -43,7 +43,7 @@ def main() -> int:
 
     from tpu_smc import ensemble as ens
     from tpu_smc.config import SMCConfig
-    from tpu_smc.observables import autocorrelation
+    from tpu_smc.observables import tau_int
     from tpu_smc.state import init_ensemble_state
     from tpu_smc.tuning import tune_mobility
 
@@ -72,16 +72,11 @@ def main() -> int:
         dt = time.time() - t0
         e_tr = np.concatenate(traces)            # [S, C]
         agg = args.chains * args.sweeps / dt
-        # integrated tau from the pooled per-chain ACFs (circular mode,
-        # first 500 lags; cut at first negative like standard practice)
-        taus = []
-        for c in range(0, args.chains, max(1, args.chains // 64)):
-            acf = np.asarray(autocorrelation(
-                e_tr[:, c].astype(np.float64), 500, mode="circular"))
-            neg = np.argmax(acf < 0) or len(acf)
-            taus.append(0.5 + acf[1:neg].sum())
-        tau = float(np.mean(taus))
-        acc = None
+        # integrated tau averaged over a spread of chains
+        tau = float(np.mean([
+            tau_int(e_tr[:, c])
+            for c in range(0, args.chains, max(1, args.chains // 64))
+        ]))
         eff = agg / max(2.0 * tau, 1.0)
         print(f"{label}: A={a_val:.4g}  agg={agg:,.0f} sweeps/s  "
               f"tau_int={tau:.1f} sweeps  ->  {eff:,.0f} effective "

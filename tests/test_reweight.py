@@ -80,6 +80,11 @@ def test_parse_t_grid():
         parse_t_grid("1.2:0.8:5")
     with pytest.raises(ValueError):
         parse_t_grid("0.8:1.2")
+    # T <= 0 would poison the whole free-energy column (beta = 1/T)
+    with pytest.raises(ValueError):
+        parse_t_grid("0:1.2:4")
+    with pytest.raises(ValueError):
+        parse_t_grid("1.0,-0.5")
 
 
 def test_reweight_from_ladder_end_to_end():

@@ -606,8 +606,10 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
                     rw[:, rw_cols["E_mean"]] + e_err,
                     color="C1", alpha=0.25, lw=0)
             axes[1].plot(rw[:, 0], rw[:, rw_cols["cv"]], lw=1, color="C1")
+        # NB ls="none" (not lw=0) suppresses the connecting line: lw
+        # would propagate to elinewidth and erase the error bars too
         axes[0].errorbar(data[:, 0], data[:, 1], yerr=data[:, 2],
-                         marker="o", ms=3, lw=0 if rw is not None else 1,
+                         marker="o", ms=3,
                          ls="none" if rw is not None else "-",
                          label="ladder" if rw is not None else None)
         if rw is not None:
@@ -615,7 +617,6 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         axes[0].set_xlabel("T")
         axes[0].set_ylabel("E")
         axes[1].plot(data[:, 0], data[:, 4], marker="o", ms=3,
-                     lw=0 if rw is not None else 1,
                      ls="none" if rw is not None else "-")
         axes[1].set_xlabel("T")
         axes[1].set_ylabel("c_v")

@@ -196,6 +196,13 @@ def main(argv=None) -> int:
 
         temps = [float(v) for v in args.temperatures.split(",")]
         ladder_c = len(temps) * args.chains_per_t
+        # Validate the reweight grid BEFORE the (potentially hours-long)
+        # ladder runs — a malformed spec must fail now, not at the end.
+        rw_grid = None
+        if args.reweight:
+            from .reweight import parse_t_grid
+
+            rw_grid = parse_t_grid(args.reweight)
         # Multi-device hosts: shard the flat ladder-chain axis, exactly
         # like the ensemble path (XLA engine: GSPMD incl. the PT
         # exchange collectives; pallas engine: shard_map sweeps).
@@ -260,11 +267,10 @@ def main(argv=None) -> int:
                   f"{res.err_energy[i]:8.4f}  {res.acceptance[i]:0.4f}  "
                   f"{res.cv[i]:8.4f}")
         print(f"\nWritten to {path}")
-        if args.reweight:
-            from .reweight import (parse_t_grid, reweight_from_ladder,
-                                   write_reweight_csv)
+        if rw_grid is not None:
+            from .reweight import reweight_from_ladder, write_reweight_csv
 
-            rw = reweight_from_ladder(res, cfg, parse_t_grid(args.reweight),
+            rw = reweight_from_ladder(res, cfg, rw_grid,
                                       n_boot=16, seed=seed)
             rw_path = write_reweight_csv(d, cfg, rw)
             print(f"\n###  MBAR reweighting ({rw.iterations} iterations, "

@@ -307,6 +307,17 @@ def integrated_autocorrelation_time(acf: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(acf)
 
 
+def tau_int(trace: np.ndarray, k_max: int = 500) -> float:
+    """Standard integrated autocorrelation time in sweeps:
+    0.5 + sum of the normalized ACF up to its first negative lag
+    (initial-positive-sequence cutoff). Shared by the figure-of-merit
+    scripts (measure_tuning_gain / measure_pt_gain)."""
+    acf = np.asarray(autocorrelation(
+        np.asarray(trace, np.float64), k_max, mode="circular"))
+    neg = np.argmax(acf < 0) or len(acf)
+    return float(0.5 + acf[1:neg].sum())
+
+
 def variance_strided(trace: jnp.ndarray, tau: float) -> jnp.ndarray:
     """Variance over tau-strided samples (variance_corr, SMC.c:1128-1142)."""
     tauint = max(1, int(np.floor(tau)))

@@ -260,10 +260,16 @@ def parse_t_grid(spec: str) -> np.ndarray:
             raise ValueError(f"bad T grid spec {spec!r} "
                              "(want tmin:tmax:num or T1,T2,...)")
         lo, hi, num = float(parts[0]), float(parts[1]), int(parts[2])
-        if num < 1 or hi < lo:
-            raise ValueError(f"bad T grid spec {spec!r}")
+        if num < 1 or hi < lo or lo <= 0:
+            raise ValueError(f"bad T grid spec {spec!r} "
+                             "(need 0 < tmin <= tmax, num >= 1)")
         return np.linspace(lo, hi, num)
-    return np.asarray([float(v) for v in spec.split(",")], np.float64)
+    grid = np.asarray([float(v) for v in spec.split(",")], np.float64)
+    if (grid <= 0).any():
+        # beta = 1/T at T <= 0 silently poisons the whole free-energy
+        # column through the f - f[0] normalization
+        raise ValueError(f"temperatures must be positive: {spec!r}")
+    return grid
 
 
 def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):

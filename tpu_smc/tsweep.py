@@ -204,14 +204,17 @@ def simulate_temperature_sweep(
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _pressure_fn(cfg: SMCConfig):
     """Jitted per-chain virial pressure (pressure + wallsPressure,
-    SMC.c:140) for ladder-driver call-boundary sampling."""
-    from functools import partial as _partial
-
+    SMC.c:140) for ladder-driver call-boundary sampling. Cached per cfg
+    so repeated driver invocations reuse one compiled program."""
     from .potentials import total_pressure
 
-    @_partial(jax.jit, static_argnames=())
+    @jax.jit
     def fn(r, w):
         return jax.vmap(lambda ri: total_pressure(ri, w, cfg))(r)
 
