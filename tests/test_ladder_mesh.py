@@ -117,6 +117,48 @@ def test_cli_full_ladder_composition(tmp_path, capsys):
     assert {"tsweep", "pt", "reweight", "wall"} <= names
 
 
+def test_cli_ladder_checkpoint_resume_roundtrip(tmp_path, capsys):
+    """Ladder runs checkpoint their full ensemble state and resume from
+    it (the reference can't checkpoint anything but positions; ladder
+    modes previously couldn't at all)."""
+    from tpu_smc.cli import main
+    from tpu_smc.io import load_checkpoint
+
+    ck = tmp_path / "ladder.npz"
+    rc = main(["10", "20", "10", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "3",
+               "--pt-exchange", "4", "--seed", "5", "--platform", "cpu",
+               "--checkpoint", str(ck),
+               "--data-dir", str(tmp_path / "d1")])
+    assert rc == 0
+    assert "ladder state checkpointed" in capsys.readouterr().out
+    st, cfg = load_checkpoint(ck)
+    assert st.r.shape == (6, 12, 3)
+    assert int(np.asarray(st.sweeps).reshape(-1)[0]) >= 30  # eq + prod
+
+    rc = main(["0", "20", "10", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "3",
+               "--pt-exchange", "4", "--seed", "6", "--platform", "cpu",
+               "--resume", str(ck),
+               "--data-dir", str(tmp_path / "d2")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Resumed ladder state" in out
+    assert "Temperature sweep results" in out
+
+
+def test_ladder_resume_rejects_wrong_shape():
+    from tpu_smc.tsweep import simulate_temperature_sweep
+    from tpu_smc.state import init_ensemble_state
+    import pytest
+
+    state, _ = init_ensemble_state(CFG, jax.random.key(0), 4)
+    with pytest.raises(ValueError, match="resumed ladder state"):
+        simulate_temperature_sweep(
+            CFG, RunParams(eqsteps=0, maxsteps=4, numdata=2),
+            [1.0, 1.2], jax.random.key(1), chains_per_t=8, state0=state)
+
+
 def test_cli_ladder_shards_over_virtual_devices(tmp_path, capsys):
     from tpu_smc.cli import main
 

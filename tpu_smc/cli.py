@@ -237,15 +237,23 @@ def main(argv=None) -> int:
                 print(f"  T {t:0.3f}: A = {lt.a_per_t[i]:0.4g} "
                       f"(gamma = {lt.gamma_per_t[i]:0.3g}, "
                       f"acceptance {lt.acceptance[i]:0.3f})")
+        lstate0 = None
+        if resume_state is not None:
+            lstate0 = resume_state
+            print(f"Resumed ladder state from {args.resume} "
+                  f"({int(np.asarray(resume_state.sweeps).reshape(-1)[0])} "
+                  "sweeps done); chains are thermalized — consider "
+                  "eqsteps 0.")
         if args.pt_exchange:
             from .pt import simulate_parallel_tempering, write_pt_csv
 
             print(f"Parallel tempering: exchange attempts every "
                   f"{args.pt_exchange} sweeps")
-            _, pt_res = simulate_parallel_tempering(
+            lstate, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 exchange_interval=args.pt_exchange, w=w_np,
-                sampler=tsampler, a_per_t=a_per_t, mesh=lmesh)
+                sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
+                state0=lstate0)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
             print("\n###  Replica-exchange swap acceptance  ###")
@@ -256,9 +264,13 @@ def main(argv=None) -> int:
                       f"({pt_res.swap_attempts[i]} attempts)")
             print(f"Written to {pt_path}")
         else:
-            _, res = simulate_temperature_sweep(
+            lstate, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
-                w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh)
+                w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
+                state0=lstate0)
+        if args.checkpoint:
+            ck_path = smcio.save_checkpoint(args.checkpoint, lstate, cfg)
+            print(f"Full ladder state checkpointed to {ck_path}")
         path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")

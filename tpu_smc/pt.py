@@ -178,6 +178,7 @@ def simulate_parallel_tempering(
     sampler: str = "xla",
     a_per_t=None,
     mesh=None,
+    state0: ChainState | None = None,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
@@ -199,7 +200,20 @@ def simulate_parallel_tempering(
     n_t = len(temps)
     interval = max(1, int(exchange_interval))
     c = n_t * chains_per_t
-    state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+    if state0 is not None:
+        # resume a checkpointed ladder (same temperature-major layout;
+        # pass eqsteps=0 — the chains are already thermalized)
+        if state0.r.shape[0] != c:
+            raise ValueError(
+                f"resumed ladder state has {state0.r.shape[0]} chains; "
+                f"this ladder needs {c} (= {n_t} temps x {chains_per_t})")
+        state = state0
+        from .system import build_walls
+
+        w_arr = jnp.asarray(
+            w if w is not None else build_walls(cfg)[0], cfg.jnp_dtype)
+    else:
+        state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
     a_c = (None if a_per_t is None else jnp.asarray(

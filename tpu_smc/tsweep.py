@@ -117,6 +117,7 @@ def simulate_temperature_sweep(
     sampler: str = "xla",
     a_per_t=None,
     mesh=None,
+    state0: ChainState | None = None,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
@@ -126,13 +127,29 @@ def simulate_temperature_sweep(
 
     mesh: shard the flat chain axis (temperature-major) over the mesh's
     "chains" axis — multi-chip ladders. XLA engine: GSPMD partitions the
-    whole program from the input sharding; pallas engine: shard_map."""
+    whole program from the input sharding; pallas engine: shard_map.
+
+    state0: resume from a full ladder ChainState (io.load_checkpoint of
+    a previous ladder run's final state; same temperature-major layout).
+    Callers usually pass eqsteps=0 when resuming — the chains are
+    already thermalized."""
     from .driver import therm_chunk
 
     temps = np.asarray(temps, dtype=np.float64)
     n_t = len(temps)
     c = n_t * chains_per_t
-    state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+    if state0 is not None:
+        if state0.r.shape[0] != c:
+            raise ValueError(
+                f"resumed ladder state has {state0.r.shape[0]} chains; "
+                f"this ladder needs {c} (= {n_t} temps x {chains_per_t})")
+        state = state0
+        from .system import build_walls
+
+        w_arr = jnp.asarray(
+            w if w is not None else build_walls(cfg)[0], cfg.jnp_dtype)
+    else:
+        state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     a_c = (None if a_per_t is None else jnp.asarray(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
