@@ -594,7 +594,10 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             rw_cols = {name: i for i, name in enumerate(hdr)}
             rw = np.atleast_2d(
                 np.genfromtxt(rw_file, delimiter=",", skip_header=1))
-        fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
+        has_p = rw is not None and "P" in rw_cols
+        n_panels = 4 if has_p else 3
+        fig, axes = plt.subplots(1, n_panels,
+                                 figsize=(4 * n_panels, 3.4))
         if rw is not None:
             e_err = (rw[:, rw_cols["E_err"]] if "E_err" in rw_cols
                      else None)
@@ -623,6 +626,16 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         axes[2].plot(data[:, 0], data[:, 3], marker="o", ms=3, lw=1)
         axes[2].set_xlabel("T")
         axes[2].set_ylabel("acceptance")
+        if has_p:
+            # MBAR equation-of-state panel (reweight.py paired samples)
+            pv = rw[:, rw_cols["P"]]
+            axes[3].plot(rw[:, 0], pv, lw=1, color="C1")
+            if "P_err" in rw_cols:
+                pe = rw[:, rw_cols["P_err"]]
+                axes[3].fill_between(rw[:, 0], pv - pe, pv + pe,
+                                     color="C1", alpha=0.25, lw=0)
+            axes[3].set_xlabel("T")
+            axes[3].set_ylabel("P")
         fig.suptitle(f"temperature sweep {run.key}")
         fig.tight_layout()
         p = out / f"tsweep_{run.key}.png"
