@@ -115,15 +115,38 @@ def main() -> int:
           f"({args.dtype}, {args.sampler} sampler) ...", flush=True)
     # Our chains start from the SAME equilibrated configuration the C
     # measurement runs started from (the C equilibration chain's
-    # last_state), with a short re-thermalization to decorrelate chains.
-    # This removes slow-mode (wall adsorption) metastability from the
-    # comparison: both samplers measure the same basin.
+    # last_state). This pins slow-mode (wall adsorption) metastability:
+    # both samplers measure the same basin. CRITICAL SYMMETRY DETAIL:
+    # the chains decorrelate via PRODUCTION-mobility sweeps, NOT the
+    # driver's reference-faithful doubled-A thermalization — the C warm
+    # reps run with eqsteps=0 (no doubled phase), and a doubled-A phase
+    # on our side alone kicks chains out of a metastable shared basin
+    # that the C chain stays in (observed: C three reps stable at
+    # E~171.1 after its equilibration wandered into a minority basin,
+    # ours re-escaped to 173.6 -> a 19-sigma protocol artifact, not a
+    # sampler difference).
     ref_noise = not args.correct_noise
     cfg = SMCConfig(dtype=args.dtype, temperature=t,
                     reference_noise=ref_noise)
-    params = RunParams(min(args.eqsteps, 2000), args.sweeps, args.numdata)
+    params = RunParams(0, args.sweeps, args.numdata)
     state, w = init_ensemble_state(cfg, jax.random.key(int(time.time())),
                                    args.chains, r0=warm0)
+    import jax as _jax
+
+    from tpu_smc.driver import therm_chunk
+    from tpu_smc.ensemble import ensemble_sweeps
+
+    decor = jax.jit(
+        lambda s, k: ensemble_sweeps(s, w, cfg, cfg.proposal_a, k)[0],
+        static_argnums=1)
+    left = min(args.eqsteps, 2000)
+    while left > 0:
+        k = min(left, therm_chunk(cfg))
+        state = decor(state, k)
+        np.asarray(state.energy[:1])
+        left -= k
+    state = state._replace(
+        accepted=_jax.numpy.zeros_like(state.accepted))
     state, agg = simulate_ensemble(
         cfg, params, state, w,
         opts=ObservableOptions(pressure=False, clusters=False,
@@ -147,25 +170,34 @@ def main() -> int:
     c_acc = float(np.mean(c_accs))
     c_e_err = float(np.std(c_es) / max(1, len(c_es) - 1) ** 0.5)
 
-    # Distribution-level comparison (informational): two-sample KS on the
-    # per-gather energy samples, tau-subsampled to decorrelate. Reported
-    # alongside the mean-based contract, not a pass/fail gate (KS is
-    # oversensitive to residual autocorrelation).
+    # Distribution-level comparison: two-sample KS on the per-gather
+    # energy samples. Each side is subsampled by its OWN measured
+    # integrated autocorrelation time (in gather units): a single C
+    # chain carries slow basin modes with tau far beyond the in-basin
+    # energy tau, and striding it by OUR tau leaves correlated samples
+    # that make the KS statistic spuriously large for the effective
+    # sample count (observed: KS 0.088 on a run whose means agreed at
+    # 2 sigma). Per-side tau striding sizes the critical value to what
+    # the data can actually resolve.
     ks_d = float("nan")
     ks_crit = float("nan")
     try:
+        from tpu_smc.observables import tau_int
+
         c_samples = []
         for dcsv in (Path(td) / "Data").glob("*/data_*_rank0.csv"):
             rows = dcsv.read_text().strip().splitlines()[1:]
             c_samples.extend(float(rr.split(",")[0]) for rr in rows)
         c_samples = np.asarray(c_samples)
-        ours_g = np.concatenate(
-            [ch.energy_trace[:: max(1, params.gather_lapse)]
-             for ch in agg.chains[:8]]
-        )
-        stride = max(1, int(abs(agg.chains[0].tau) // params.gather_lapse) + 1)
-        a_s = np.sort(c_samples[::stride])
-        b_s = np.sort(ours_g[::stride])
+        per_chain_g = [ch.energy_trace[:: max(1, params.gather_lapse)]
+                       for ch in agg.chains[:8]]
+        stride_c = max(1, int(np.ceil(2.0 * tau_int(c_samples))))
+        # our tau in gather units, from ONE chain (tau on a
+        # concatenation would be broken by the chain boundaries)
+        stride_j = max(1, int(np.ceil(2.0 * tau_int(per_chain_g[0]))))
+        a_s = np.sort(c_samples[::stride_c])
+        b_s = np.sort(np.concatenate(
+            [g[::stride_j] for g in per_chain_g]))
         grid = np.concatenate([a_s, b_s])
         cdf_a = np.searchsorted(a_s, grid, side="right") / len(a_s)
         cdf_b = np.searchsorted(b_s, grid, side="right") / len(b_s)
