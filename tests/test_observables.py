@@ -207,3 +207,28 @@ def test_nonuniform_z_voxel_binning():
     cfg_u = SMCConfig(ncz=33, box_lz=200.0)
     vu = np.asarray(voxel_index(jax.numpy.asarray(r), cfg_u)) % cfg_u.ncz
     assert not np.array_equal(vu, np.arange(cfg.ncz))
+
+
+class TestTauInt:
+    def test_ar1_known_tau(self):
+        """AR(1) with coefficient r has tau_int = 0.5 + r/(1-r); the
+        adaptive k_max (len//3) must capture it without an explicit
+        cap (ADVICE r2: the old fixed k_max=500 truncated slow modes)."""
+        rho, n = 0.9, 200_000
+        rng = np.random.default_rng(0)
+        x = np.empty(n)
+        x[0] = 0.0
+        eps = rng.standard_normal(n)
+        for i in range(1, n):
+            x[i] = rho * x[i - 1] + eps[i]
+        tau = obs.tau_int(x)
+        expect = 0.5 + rho / (1 - rho)   # 9.5
+        assert abs(tau - expect) < 0.2 * expect
+
+    def test_truncated_acf_warns(self):
+        """A trace whose ACF never crosses zero inside k_max must warn
+        that tau is a truncated lower bound."""
+        n = 900
+        x = np.cumsum(np.ones(n))  # monotone trend: ACF stays positive
+        with pytest.warns(UserWarning, match="negative crossing"):
+            obs.tau_int(x, k_max=50)

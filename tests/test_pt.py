@@ -126,6 +126,22 @@ def test_pt_driver_end_to_end():
     assert ts.mean_energy[-1] > ts.mean_energy[0]
 
 
+def test_pt_driver_zero_production_does_not_crash():
+    """ADVICE r2: maxsteps=0 used to crash in the cv line (reshape -1 on
+    a size-0 array). It must return empty-sample results instead."""
+    import warnings
+
+    params = RunParams(eqsteps=8, maxsteps=0, numdata=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # nanmean of []
+        _, res = simulate_parallel_tempering(
+            CFG, params, [1.0, 1.3], jax.random.key(2), chains_per_t=2,
+            exchange_interval=4)
+    ts = res.tsweep
+    assert ts.energy_samples.shape[0] == 0
+    assert ts.cv.shape == (2,)
+
+
 def test_pt_driver_seeded_reproducibility():
     temps = [1.0, 1.3]
     params = RunParams(eqsteps=8, maxsteps=24, numdata=6)

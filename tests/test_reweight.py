@@ -50,10 +50,33 @@ class TestAnalytic:
 
     def test_ladder_free_energies_match_analytic(self):
         e_k = _gamma_samples(TEMPS, seed=3)
-        f_k, _, _, _ = mbar_free_energies(e_k, 1.0 / TEMPS)
+        f_k, *_ = mbar_free_energies(e_k, 1.0 / TEMPS)
         f_exact = 1.5 * np.log(1.0 / TEMPS)
         np.testing.assert_allclose(
             np.asarray(f_k), f_exact - f_exact[0], atol=0.02)
+
+    def test_large_energy_offset_keeps_precision(self):
+        """ADVICE r2: at |E| ~ 1e4 (N=1024 ladders) f32 rounding of
+        beta*E is ~1e-3; the internal mean-energy shift must cancel a
+        constant offset exactly. Moments, cv and free-energy
+        DIFFERENCES of offset samples must match the unoffset ones to
+        well under that rounding floor, and the offset itself must
+        round-trip through mean_energy."""
+        e_k = _gamma_samples(TEMPS, seed=5)
+        off = 1.0e4
+        grid = np.array([0.85, 1.0, 1.15])
+        base = reweight_observables(e_k, TEMPS, grid)
+        moved = reweight_observables([e + off for e in e_k], TEMPS, grid)
+        np.testing.assert_allclose(
+            moved.mean_energy - off, base.mean_energy, rtol=0, atol=2e-3)
+        np.testing.assert_allclose(moved.cv, base.cv, rtol=1e-3)
+        np.testing.assert_allclose(moved.ess, base.ess, rtol=1e-3)
+        # f(beta) picks up beta*off (physical zero moved); differences
+        # relative to the grid's first point shift by (1/T - 1/T0)*off
+        beta = 1.0 / grid
+        expect = base.free_energy + (beta - beta[0]) * off
+        np.testing.assert_allclose(
+            moved.free_energy, expect, rtol=0, atol=2e-2 * off * 1e-3)
 
     def test_self_consistency_at_ladder_temps(self):
         """Reweighting AT a sampled temperature ~ that state's own mean

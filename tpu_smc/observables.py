@@ -307,14 +307,30 @@ def integrated_autocorrelation_time(acf: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(acf)
 
 
-def tau_int(trace: np.ndarray, k_max: int = 500) -> float:
+def tau_int(trace: np.ndarray, k_max: int | None = None) -> float:
     """Standard integrated autocorrelation time in sweeps:
     0.5 + sum of the normalized ACF up to its first negative lag
     (initial-positive-sequence cutoff). Shared by the figure-of-merit
-    scripts (measure_tuning_gain / measure_pt_gain)."""
-    acf = np.asarray(autocorrelation(
-        np.asarray(trace, np.float64), k_max, mode="circular"))
-    neg = np.argmax(acf < 0) or len(acf)
+    scripts (measure_tuning_gain / measure_pt_gain) and the parity
+    gate's decorrelation stride (scripts/validate_parity.py).
+
+    k_max defaults to len(trace)//3 (capped at 20k lags) so slow modes
+    longer than the old fixed 500-lag window are not silently
+    truncated; if the ACF never crosses zero before k_max the estimate
+    is still a lower bound and a warning says so."""
+    trace = np.asarray(trace, np.float64)
+    if k_max is None:
+        k_max = max(2, min(len(trace) // 3, 20_000))
+    acf = np.asarray(autocorrelation(trace, k_max, mode="circular"))
+    neg = int(np.argmax(acf < 0)) or len(acf)
+    if neg == len(acf):
+        import warnings
+
+        warnings.warn(
+            f"tau_int: ACF has no negative crossing within k_max={k_max} "
+            f"lags (trace length {len(trace)}); the returned tau is a "
+            "truncated lower bound — collect a longer trace for "
+            "decorrelation-stride use", stacklevel=2)
     return float(0.5 + acf[1:neg].sum())
 
 

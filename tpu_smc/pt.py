@@ -324,7 +324,10 @@ def simulate_parallel_tempering(
     err_e = chain_means.std(axis=1) / max(1, chains_per_t - 1) ** 0.5
     acc_moves = (prod_moves.reshape(n_t, chains_per_t).mean(axis=1)
                  / (prod_sweeps * cfg.n))
-    cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
+    # e_t already carries explicit (samples, n_t, chains_per_t) dims; a
+    # reshape(..., -1) here would raise on zero collected samples (numpy
+    # cannot infer -1 for a size-0 array)
+    cv = e_t.var(axis=(0, 2)) / temps ** 2
 
     shape_t = (-1, n_t, chains_per_t)
     ts = TSweepResults(

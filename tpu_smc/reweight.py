@@ -96,26 +96,44 @@ def mbar_free_energies(e_k: Sequence[np.ndarray], betas,
     """Solve the MBAR equations for a temperature ladder.
 
     e_k: per-state 1-D arrays of potential-energy samples (lengths may
-    differ). betas: [K] inverse temperatures. Returns (f_k, log_denom_m,
-    e_pooled, iterations) — everything downstream reweighting needs.
+    differ). betas: [K] inverse temperatures. Returns
+    (f_k, log_denom_m, e_shifted, shift, iterations):
+      f_k        — converged free energies in the UNSHIFTED energy
+                   convention (f[0] = 0), float64;
+      e_shifted  — pooled samples with `shift` subtracted (f32; the form
+                   all weight computations must use);
+      shift      — the pooled f64 mean energy subtracted before forming
+                   u_kn. Subtracting it cancels exactly in every weight
+                   and free-energy difference but restores the mantissa
+                   bits beta*E rounding destroys at |E| ~ 1e4 (N=1024
+                   ladders: f32 rounding of beta*E is ~1e-3, straight
+                   into exp-weight ratios).
     """
+    betas64 = np.asarray(betas, np.float64)
     betas = jnp.asarray(betas, jnp.float32)
     # everything runs in f32 (TPU-native), so the fixed-point residual
     # plateaus around the f32 logsumexp noise floor (~1e-6 on the f_k
     # scale): a tighter tol would just spin to max_iter without gaining
     # accuracy — the default stops at the plateau
-    e_pooled = jnp.concatenate(
-        [jnp.asarray(e, jnp.float32).reshape(-1) for e in e_k])
-    n_k = np.asarray([np.size(e) for e in e_k], np.int64)
+    e_all = [np.asarray(e, np.float64).reshape(-1) for e in e_k]
+    n_k = np.asarray([e.size for e in e_all], np.int64)
     if (n_k <= 0).any():
         raise ValueError("every ladder state needs at least one sample")
+    shift = float(np.mean(np.concatenate(e_all)))
+    e_shifted = jnp.concatenate(
+        [jnp.asarray(e - shift, jnp.float32) for e in e_all])
     log_n_k = jnp.asarray(np.log(n_k), jnp.float32)
-    u_kn = betas[:, None] * e_pooled[None, :]          # [K, M]
-    f_k, iters, _ = _mbar_fixed_point(u_kn, log_n_k, jnp.float32(tol),
+    u_kn = betas[:, None] * e_shifted[None, :]         # [K, M]
+    f_s, iters, _ = _mbar_fixed_point(u_kn, log_n_k, jnp.float32(tol),
                                       max_iter)
     log_denom = jax.nn.logsumexp(
-        log_n_k[:, None] + f_k[:, None] - u_kn, axis=0)  # [M]
-    return f_k, log_denom, e_pooled, int(iters)
+        log_n_k[:, None] + f_s[:, None] - u_kn, axis=0)  # [M]
+    # Z(beta) = exp(-beta*shift) * Z_shifted(beta), so the unshifted
+    # convention (the physical LJ energy zero) is restored exactly by
+    # f_k = f_shifted + (beta_k - beta_0) * shift  (f64 on host)
+    f_k = (np.asarray(f_s, np.float64)
+           + (betas64 - betas64[0]) * shift)
+    return f_k, log_denom, e_shifted, shift, int(iters)
 
 
 @jax.jit
@@ -153,16 +171,19 @@ def reweight_observables(
     e_k = [
         e[:: max(1, -(-len(e) // max_samples_per_state))] for e in e_k
     ]
-    f_k, log_denom, e_pooled, iters = mbar_free_energies(e_k, 1.0 / temps)
+    f_k, log_denom, e_shifted, shift, iters = mbar_free_energies(
+        e_k, 1.0 / temps)
 
     means, cvs, esss, fs = [], [], [], []
     for t in t_grid:
         e_mean, e_var, ess, f = _reweight_one(
-            jnp.float32(1.0 / t), e_pooled, log_denom)
-        means.append(float(e_mean))
+            jnp.float32(1.0 / t), e_shifted, log_denom)
+        # e_mean/f come back in the shifted convention; var/ess/weights
+        # are shift-invariant. Restore the physical zero in f64.
+        means.append(float(e_mean) + shift)
         cvs.append(float(e_var) / t ** 2)
         esss.append(float(ess))
-        fs.append(float(f))
+        fs.append(float(f) + shift / t)
     kinetic = 1.5 * cfg.n * t_grid if cfg is not None else 0.0
     fs = np.asarray(fs)
     return ReweightResults(
@@ -189,12 +210,13 @@ def reweight_paired_observable(
     samples of their states)."""
     temps = np.asarray(temps, np.float64)
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
-    _, log_denom, e_pooled, _ = mbar_free_energies(e_k, 1.0 / temps)
+    # the constant energy shift cancels in the normalized weights
+    _, log_denom, e_shifted, _, _ = mbar_free_energies(e_k, 1.0 / temps)
     o_pooled = jnp.concatenate(
         [jnp.asarray(o, jnp.float32).reshape(-1) for o in o_k])
     out = []
     for t in t_grid:
-        logw = -jnp.float32(1.0 / t) * e_pooled - log_denom
+        logw = -jnp.float32(1.0 / t) * e_shifted - log_denom
         logw = logw - jax.nn.logsumexp(logw)
         out.append(float(jnp.sum(jnp.exp(logw) * o_pooled)))
     return np.asarray(out)
