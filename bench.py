@@ -15,6 +15,7 @@ sweeps at N=108, scaled by the O(N^2) move cost to N=1024 -> 52.9/s).
 import json
 import os
 import re
+import signal
 import subprocess
 import sys
 import time
@@ -73,6 +74,31 @@ def measure_c_baseline() -> tuple[float, str]:
 
 START = time.time()
 
+# The scoreboard JSON is assembled incrementally and emitted exactly once —
+# on normal exit OR on SIGTERM/SIGINT (the driver's timeout). A partially
+# filled record with the primary metric beats an empty capture (VERDICT r2
+# #1: metrics measured but not in the driver's JSON don't count).
+RESULT: dict = {}
+_EMITTED = False
+
+
+def emit_result() -> None:
+    global _EMITTED
+    if _EMITTED or "value" not in RESULT:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    log(f"bench: caught signal {signum}, emitting partial record")
+    emit_result()
+    sys.exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
 
 def main() -> int:
     cache = os.path.join(REPO, ".jax_cache")
@@ -91,6 +117,18 @@ def main() -> int:
     from tpu_smc.state import init_ensemble_state
 
     log(f"bench: devices = {jax.devices()}")
+
+    # The FIRST computation a process sends over the axon tunnel pays a
+    # large, wildly variable setup cost (measured 130-490 s for a trivial
+    # elementwise op with everything cached — it is the backend, not the
+    # kernels). Absorb it here on a tiny op so every later warmup number
+    # reflects actual compile/load work, and time budgets start after it.
+    t0 = time.time()
+    np.asarray(jnp.ones((8, 128)) + 1.0)
+    first_dispatch = time.time() - t0
+    log(f"bench: first-dispatch/tunnel setup {first_dispatch:.1f}s")
+    ready = time.time()
+
     cfg = SMCConfig.for_n(N, dtype="float32")
     state, w = init_ensemble_state(cfg, jax.random.key(0), CHAINS)
 
@@ -99,13 +137,17 @@ def main() -> int:
 
     # Warm up with the SAME static args as the timed phase: `a` is a
     # compile-time constant of the kernel, so a different warmup mobility
-    # would compile the big kernel twice.
+    # would compile the big kernel twice. Every compile here should hit
+    # the committed persistent cache (.jax_cache/) — VERDICT r2 #1: a
+    # single missing cache entry cost 388 s of warmup and nulled the
+    # secondary metrics, so warmup durations are now part of the record.
     t0 = time.time()
     state, _ = ens.ensemble_sweeps_pallas(
         state, w, cfg, cfg.proposal_a, SWEEPS, seed=1
     )
     sync(state)
-    log(f"bench: warmup/compile {time.time() - t0:.1f}s")
+    warmup_primary = time.time() - t0
+    log(f"bench: warmup/compile {warmup_primary:.1f}s")
 
     best = float("inf")
     for rep in range(3):
@@ -121,8 +163,60 @@ def main() -> int:
     acc = float(np.asarray(trace.accepted).mean()) / cfg.n
     log(f"bench: {agg:,.0f} aggregate sweeps/s at N={N}, acceptance {acc:.3f}")
 
-    c_rate, c_src = measure_c_baseline()
-    log(f"bench: C baseline {c_rate:.1f} sweeps/s ({c_src})")
+    # Primary is in hand: make the record emittable from this point on.
+    RESULT.update({
+        "metric": f"aggregate SMC sweeps/s/chip @ N={N} ({CHAINS} chains, pallas)",
+        "value": round(agg, 1),
+        "unit": "sweeps/s",
+        "vs_baseline": round(agg / FALLBACK_C_RATE, 2),
+        "extra": {
+            "acceptance": round(acc, 4),
+            "baseline_sweeps_per_s": FALLBACK_C_RATE,
+            "baseline_source": "fallback (pending live C measurement)",
+            "n_devices": len(jax.devices()),
+            "first_dispatch_s": round(first_dispatch, 1),
+            "warmup_primary_s": round(warmup_primary, 1),
+        },
+    })
+
+    # Secondary: the default molecule-surface system (N=108) — measured
+    # BEFORE the C subprocess baseline so a slow C run can never starve
+    # it (VERDICT r2 #1: BENCH_r02 recorded null here). Warm runs hit
+    # the persistent cache (seconds); the guard only skips when earlier
+    # phases already consumed most of the driver's budget on cold
+    # compiles.
+    agg108 = None
+    warmup_108 = None
+    if time.time() - ready < 520:
+        # 200-sweep blocks, best of 3: a 50-sweep window is ~0.1 s at this
+        # rate and dispatch noise made the quoted number swing +-40%
+        # across rounds (VERDICT r1 #10).
+        cfg2 = SMCConfig(dtype="float32")
+        state2, w2 = init_ensemble_state(cfg2, jax.random.key(0), 2048)
+        t0 = time.time()
+        state2, _ = ens.ensemble_sweeps_pallas(
+            state2, w2, cfg2, cfg2.proposal_a, 200, seed=11
+        )
+        sync(state2)
+        warmup_108 = time.time() - t0
+        log(f"bench: N=108 warmup/compile {warmup_108:.1f}s")
+        best108 = float("inf")
+        for rep in range(3):
+            t0 = time.time()
+            state2, _ = ens.ensemble_sweeps_pallas(
+                state2, w2, cfg2, cfg2.proposal_a, 200, seed=12 + rep
+            )
+            sync(state2)
+            best108 = min(best108, time.time() - t0)
+        agg108 = 2048 * 200 / best108
+        log(f"bench: N=108 secondary: {agg108:,.0f} aggregate sweeps/s")
+        RESULT["extra"].update({
+            "n108_chains2048_sweeps_per_s": round(agg108, 1),
+            "n108_vs_c_core": round(agg108 / 4744.0, 1),
+            "warmup_n108_s": round(warmup_108, 1),
+        })
+    else:
+        log("bench: skipping N=108 secondary (time budget)")
 
     # Multi-chip: when this host sees >1 device, also measure the sharded
     # kernel over the full mesh (chains shard with zero cross-chip
@@ -149,52 +243,18 @@ def main() -> int:
         agg_mesh = c_all * SWEEPS / best_m
         log(f"bench: {agg_mesh:,.0f} aggregate sweeps/s over "
             f"{n_dev} chips ({agg_mesh / agg:.1f}x one chip)")
+        RESULT["extra"]["mesh_aggregate_sweeps_per_s"] = round(agg_mesh, 1)
 
-    # Secondary: the default molecule-surface system (N=108). Skipped when
-    # the wall clock is already deep into the driver's budget (device
-    # attach ~2 min + cold Mosaic compiles are minutes each; the persistent
-    # cache in .jax_cache/ makes warm runs fast).
-    agg108 = None
-    if time.time() - START < 400:
-        # 200-sweep blocks, best of 3: a 50-sweep window is ~0.1 s at this
-        # rate and dispatch noise made the quoted number swing +-40%
-        # across rounds (VERDICT r1 #10).
-        cfg2 = SMCConfig(dtype="float32")
-        state2, w2 = init_ensemble_state(cfg2, jax.random.key(0), 2048)
-        state2, _ = ens.ensemble_sweeps_pallas(
-            state2, w2, cfg2, cfg2.proposal_a, 200, seed=11
-        )
-        sync(state2)
-        best108 = float("inf")
-        for rep in range(3):
-            t0 = time.time()
-            state2, _ = ens.ensemble_sweeps_pallas(
-                state2, w2, cfg2, cfg2.proposal_a, 200, seed=12 + rep
-            )
-            sync(state2)
-            best108 = min(best108, time.time() - t0)
-        agg108 = 2048 * 200 / best108
-        log(f"bench: N=108 secondary: {agg108:,.0f} aggregate sweeps/s")
-    else:
-        log("bench: skipping N=108 secondary (time budget)")
+    # C baseline LAST: it is a subprocess with its own timeout and the
+    # fallback constant is always available, so nothing downstream
+    # depends on it finishing fast.
+    c_rate, c_src = measure_c_baseline()
+    log(f"bench: C baseline {c_rate:.1f} sweeps/s ({c_src})")
+    RESULT["vs_baseline"] = round(agg / c_rate, 2)
+    RESULT["extra"]["baseline_sweeps_per_s"] = round(c_rate, 2)
+    RESULT["extra"]["baseline_source"] = c_src
 
-    print(json.dumps({
-        "metric": f"aggregate SMC sweeps/s/chip @ N={N} ({CHAINS} chains, pallas)",
-        "value": round(agg, 1),
-        "unit": "sweeps/s",
-        "vs_baseline": round(agg / c_rate, 2),
-        "extra": {
-            "acceptance": round(acc, 4),
-            "baseline_sweeps_per_s": round(c_rate, 2),
-            "baseline_source": c_src,
-            "n_devices": n_dev,
-            "mesh_aggregate_sweeps_per_s":
-                round(agg_mesh, 1) if agg_mesh else None,
-            "n108_chains2048_sweeps_per_s":
-                round(agg108, 1) if agg108 else None,
-            "n108_vs_c_core": round(agg108 / 4744.0, 1) if agg108 else None,
-        },
-    }))
+    emit_result()
     return 0
 
 
