@@ -1,0 +1,134 @@
+"""Multi-process execution: the one boundary the reference genuinely
+crossed (one MPI rank per OS process, main.c:4, SMC.c:66-96) exercised
+for real — two OS processes x 4 virtual CPU devices each, a localhost
+jax.distributed coordinator, and the end-of-run allgather pooling.
+
+The contract is stronger than statistical parity: chain key streams use
+GLOBAL chain indices (state.batch_chain_state chain_offset), so the
+2-process ensemble is bitwise the single-process ensemble split in half
+— per-rank CSVs and the pooled data_ensemble CSV must match exactly.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUN_ARGS = ["20", "60", "12", "1.10", "--chains", "8", "--seed", "7",
+            "--platform", "cpu", "--gr-bins", "16", "--z-bins", "16"]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env(n_devices: int) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    # The coordinator handshake must not inherit a TPU backend attempt.
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("TPU_SMC_TEST_TPU", None)
+    return env
+
+
+def _run_single(tmp: Path) -> Path:
+    data = tmp / "single" / "Data"
+    proc = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", *RUN_ARGS, "--data-dir", str(data)],
+        cwd=tmp, env=_env(1), capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return next(data.iterdir())
+
+
+def _run_two_process(tmp: Path) -> tuple[Path, str]:
+    data = tmp / "multi" / "Data"
+    port = _free_port()
+    base = [sys.executable, "-m", "tpu_smc", *RUN_ARGS,
+            "--data-dir", str(data),
+            "--coordinator", f"localhost:{port}", "--num-processes", "2"]
+    procs = [
+        subprocess.Popen(base + ["--process-id", str(i)], cwd=tmp,
+                         env=_env(4), stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    return next(data.iterdir()), outs[0]
+
+
+@pytest.fixture(scope="module")
+def runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist")
+    single = _run_single(tmp)
+    multi, out0 = _run_two_process(tmp)
+    return single, multi, out0
+
+
+def test_two_process_run_completes(runs):
+    single, multi, out0 = runs
+    assert "Multi-process run: process 0/2" in out0
+    assert "Final ensemble results" in out0
+    # Rank 0 wrote its local chains 0-3; rank 1 the global ranks 4-7.
+    for rk in range(8):
+        assert list(multi.glob(f"data_*_rank{rk}.csv")), f"rank {rk} missing"
+
+
+def test_pooled_csv_bitwise_matches_single_process(runs):
+    single, multi, _ = runs
+    name = "data_ensemble"
+    s = next(single.glob(f"{name}_*.csv")).read_text()
+    m = next(multi.glob(f"{name}_*.csv")).read_text()
+    assert s == m
+
+
+def test_per_rank_files_bitwise_match_single_process(runs):
+    single, multi, _ = runs
+    for rk in range(8):
+        for stem in ("data", "autocorrelation"):
+            s = next(single.glob(f"{stem}_*_rank{rk}.csv")).read_text()
+            m = next(multi.glob(f"{stem}_*_rank{rk}.csv")).read_text()
+            assert s == m, f"{stem} rank {rk} differs across process split"
+
+
+def test_pooled_profiles_match(runs):
+    single, multi, _ = runs
+    # last_state is chain 0's exact trajectory endpoint: bitwise.
+    s = next(single.glob("last_state_*.csv")).read_text()
+    m = next(multi.glob("last_state_*.csv")).read_text()
+    assert s == m, "last_state differs"
+    # gr/zprofile pool as mean-over-chains; the multi-process path means
+    # per-process partial means (identical weights), so the float
+    # summation ORDER differs — equality is numerical, not textual.
+    for stem in ("gr", "zprofile"):
+        s = np.genfromtxt(next(single.glob(f"{stem}_*.csv")),
+                          delimiter=",", skip_header=1)
+        m = np.genfromtxt(next(multi.glob(f"{stem}_*.csv")),
+                          delimiter=",", skip_header=1)
+        np.testing.assert_allclose(s, m, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"{stem} differs")
+
+
+def test_coordinator_rejects_bad_usage(tmp_path):
+    # chains must divide over processes; seed is mandatory.
+    env = _env(1)
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", "10", "10", "2", "1.1",
+         "--chains", "3", "--seed", "1", "--platform", "cpu",
+         "--coordinator", f"localhost:{_free_port()}",
+         "--num-processes", "2", "--process-id", "0"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "divide evenly" in (out.stderr + out.stdout)

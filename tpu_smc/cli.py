@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(inclusive linspace, or a comma list T1,T2,...) "
                         "and write reweight_*.csv with E/cv/free-energy "
                         "curves plus the effective sample size per point")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-process mode: jax.distributed coordinator "
+                        "address (the reference's mpirun model done over "
+                        "DCN collectives — one process per host, chains "
+                        "split evenly, pooled stats allgathered; requires "
+                        "--num-processes/--process-id and a fixed --seed)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total processes in the --coordinator job")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index in the --coordinator job")
     p.add_argument("--nonuniform-z", action="store_true",
                    help="non-uniform z voxel binning: layer_depth layers at"
                         " the walls, 3 thick central layers (createZRange,"
@@ -149,6 +159,40 @@ def main(argv=None) -> int:
     if args.x64 or args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    # Multi-process replica mode (SURVEY §5.8: one chain-set per OS
+    # process, zero inter-chain traffic; here jax.distributed supplies
+    # the global runtime and one end-of-run DCN collective replaces the
+    # reference's offline per-rank-file aggregation). Must initialize
+    # BEFORE any backend use.
+    nproc, proc_id = 1, 0
+    if args.coordinator:
+        # All argument validation BEFORE initialize(): the coordinator
+        # handshake blocks until every process connects, so a usage error
+        # must fail fast, not hang the job.
+        if args.num_processes is None or args.process_id is None:
+            sys.exit("--coordinator needs --num-processes and --process-id")
+        if args.temperatures:
+            sys.exit("--coordinator supports the --chains ensemble mode; "
+                     "ladder runs shard over local devices instead")
+        if args.resume:
+            sys.exit("--coordinator with --resume is not supported; resume "
+                     "single-process, then restart the multi-process run "
+                     "from its last_state")
+        if args.chains < args.num_processes or args.chains % args.num_processes:
+            sys.exit(f"--chains {args.chains} must divide evenly over "
+                     f"{args.num_processes} processes")
+        if args.seed is None:
+            sys.exit("--coordinator needs an explicit --seed (all "
+                     "processes must agree on the key stream)")
+        from .ensemble import init_distributed
+
+        proc_id = init_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
+        nproc = jax.process_count()
+        print(f"Multi-process run: process {proc_id}/{nproc}, "
+              f"{args.chains // nproc} of {args.chains} chains locally "
+              f"({len(jax.local_devices())} local devices)")
+
     from . import io as smcio
     from .config import RunParams, SMCConfig
     from .driver import ObservableOptions, simulate
@@ -183,7 +227,8 @@ def main(argv=None) -> int:
 
     d = smcio.run_dir(cfg, args.data_dir)
     w_np, x0, ym = build_walls(cfg)
-    smcio.write_wall_csv(d, cfg, x0, ym)
+    if proc_id == 0:   # shared run dir: one writer for the shared files
+        smcio.write_wall_csv(d, cfg, x0, ym)
 
     seed = args.seed if args.seed is not None else int(time.time())
     key = jax.random.key(seed)
@@ -342,7 +387,8 @@ def main(argv=None) -> int:
           f"A={cfg.proposal_a:0.3f}, for {params.maxsteps} steps...")
 
     if args.chains > 1:
-        return _run_ensemble(args, cfg, params, d, state, w)
+        return _run_ensemble(args, cfg, params, d, state, w,
+                             nproc=nproc, proc_id=proc_id)
 
     tuned_a = None
     if args.target_acceptance:
@@ -461,9 +507,15 @@ def _window_maintenance(args, cfg, widx, st, stopper, w=None):
     return None
 
 
-def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
+def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
+                  nproc=1, proc_id=0) -> int:
     """Multi-chain run: per-chain output files (rank = chain, mirroring the
-    reference's per-MPI-rank naming) + pooled ensemble summary."""
+    reference's per-MPI-rank naming) + pooled ensemble summary.
+
+    nproc > 1: this process owns chains [proc_id*C/P, (proc_id+1)*C/P);
+    key streams use GLOBAL chain indices, so the ensemble is bitwise the
+    single-process one split across processes. Pooled stats cross the
+    process boundary via one allgather at the end."""
     import jax
 
     from . import io as smcio
@@ -475,10 +527,12 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
         state = seed_state
         c = state.r.shape[0]
     else:
-        c = args.chains
-        state = batch_chain_state(seed_state, c)
+        c = args.chains // nproc
+        state = batch_chain_state(seed_state, c, chain_offset=proc_id * c)
+    rank0 = proc_id * c
 
-    pos_writers = [smcio.PositionsWriter(d, cfg, rank=ci) for ci in range(c)]
+    pos_writers = [smcio.PositionsWriter(d, cfg, rank=rank0 + ci)
+                   for ci in range(c)]
     for ci in range(c):
         pos_writers[ci].append(np.asarray(state.r[ci]))
 
@@ -496,23 +550,35 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
     # Decided BEFORE the engine: the pallas gate needs the per-device
     # chain count.
     mesh = None
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices()) if nproc > 1 else len(jax.devices())
     if n_dev > 1 and c % n_dev == 0:
         from .ensemble import make_mesh, shard_ensemble
 
-        mesh = make_mesh(n_dev, axis_names=("chains",))
+        mesh = make_mesh(n_dev, axis_names=("chains",), local=nproc > 1)
         state = shard_ensemble(state, mesh)
-        print(f"Sharding {c} chains over {n_dev} devices")
+        print(f"Sharding {c} chains over {n_dev} "
+              f"{'local ' if nproc > 1 else ''}devices")
     elif n_dev > 1:
         print(f"Note: {c} chains do not divide over {n_dev} devices; "
               "running on one device")
     sampler = _resolve_sampler(args.sampler, cfg, c,
                                n_dev=n_dev if mesh is not None else 1)
     print(f"Ensemble sweep engine: {sampler}")
+    # Seeded runs derive the shared per-sweep streams (cyclic offsets /
+    # kernel sweep seeds) from the run seed, making them invariant to the
+    # process split (XLA engine: bitwise — test_distributed). The pallas
+    # kernel draws per-chain noise from the lane index inside the call,
+    # so multi-process pallas salts the seed per process: replicas stay
+    # independent; equivalence to single-process is statistical there.
+    stream = None
+    if getattr(args, "seed", None) is not None:
+        stream = (int(args.seed) if (sampler != "pallas" or nproc == 1)
+                  else (int(args.seed), proc_id))
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,
         sampler=sampler,
+        stream_seed=stream,
     )
     if getattr(args, "target_acceptance", None):
         import dataclasses
@@ -531,37 +597,87 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False) -> int:
         acf_mode=args.acf_mode, mesh=mesh,
     )
 
-    print(f"\n\nAggregate throughput: {agg.sweeps_per_second:,.0f} sweeps/s "
-          f"across {c} chains")
-    print("\n###  Final ensemble results  ###")
-    print(f"Mean energy: {agg.mean_energy:f} ± {agg.std_energy:f} (chain spread)")
-    print(f"Mean pressure: {agg.mean_pressure:f} ± {agg.std_pressure:f}")
-    print(f"Average acceptance ratio: {agg.acceptance_ratio:f}")
-
-    if agg.gr is not None:
-        from .observables import radial_distribution
-
-        centers = np.asarray(radial_distribution(
-            jax.numpy.asarray(agg.chains[0].r_final, cfg.jnp_dtype), cfg,
-            nbins=args.gr_bins)[0])
-        smcio.write_profile_csv(d, cfg, "gr", centers, agg.gr, "r, g")
-    if agg.zprofile is not None:
-        dz = cfg.box_lz / args.z_bins
-        centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
-        smcio.write_profile_csv(d, cfg, "zprofile", centers, agg.zprofile,
-                                "z, density")
-    smcio.write_ensemble_data_csv(d, cfg, agg.chains, params.gather_lapse)
+    # Per-chain files: every process writes ITS chains under their global
+    # rank (exactly the reference's per-MPI-rank file model, SMC.c:66-96).
     for ci, res in enumerate(agg.chains):
+        rk = rank0 + ci
         smcio.write_data_csv(d, cfg, res.energy_trace_full, res.pressure_trace,
-                             res.accept_trace, params.gather_lapse, rank=ci)
-        smcio.LocalWriter(d, cfg, "local", rank=ci).append(res.density, res.mobility)
-        smcio.write_total_clusters_csv(d, cfg, res.l1, res.l2, res.l3, rank=ci)
-        smcio.write_autocorrelation_csv(d, cfg, res.acf, rank=ci)
-    smcio.write_info_csv(d, cfg, params, agg.chains[0])
-    smcio.write_last_state(d, cfg, agg.chains[0].r_final)
+                             res.accept_trace, params.gather_lapse, rank=rk)
+        smcio.LocalWriter(d, cfg, "local", rank=rk).append(res.density, res.mobility)
+        smcio.write_total_clusters_csv(d, cfg, res.l1, res.l2, res.l3, rank=rk)
+        smcio.write_autocorrelation_csv(d, cfg, res.acf, rank=rk)
+
+    pooled_chains = agg.chains
+    g_gr, g_zp = agg.gr, agg.zprofile
+    mean_e, std_e = agg.mean_energy, agg.std_energy
+    mean_p, std_p = agg.mean_pressure, agg.std_pressure
+    acc_mean = agg.acceptance_ratio
+    sps = agg.sweeps_per_second
+    if nproc > 1:
+        # ONE cross-process collective pools what the reference's users
+        # aggregated offline from per-rank CSVs.
+        from types import SimpleNamespace
+
+        from .ensemble import allgather_chain_axis
+
+        summ = np.asarray([[r.mean_energy, r.mean_pressure,
+                            r.acceptance_ratio, r.sweeps_per_second]
+                           for r in agg.chains], np.float64)
+        g_summ = allgather_chain_axis(summ)               # [C_total, 4]
+        mean_e = float(g_summ[:, 0].mean())
+        std_e = float(g_summ[:, 0].std())
+        mean_p = float(g_summ[:, 1].mean())
+        std_p = float(g_summ[:, 1].std())
+        acc_mean = float(g_summ[:, 2].mean())
+        sps = float(g_summ[:, 3].sum())
+        if agg.chains[0].energy_trace_full.size:
+            g_e = allgather_chain_axis(
+                np.stack([r.energy_trace_full for r in agg.chains]))
+            g_a = allgather_chain_axis(
+                np.stack([r.accept_trace for r in agg.chains]))
+            g_p = allgather_chain_axis(
+                np.stack([r.pressure_trace for r in agg.chains]))
+            pooled_chains = [SimpleNamespace(energy_trace_full=g_e[i],
+                                             accept_trace=g_a[i],
+                                             pressure_trace=g_p[i])
+                             for i in range(g_e.shape[0])]
+        if g_gr is not None:
+            g_gr = allgather_chain_axis(g_gr[None]).mean(axis=0)
+        if g_zp is not None:
+            g_zp = allgather_chain_axis(g_zp[None]).mean(axis=0)
+
+    print(f"\n\nAggregate throughput: {sps:,.0f} sweeps/s "
+          f"across {c * nproc} chains"
+          + (f" on {nproc} processes" if nproc > 1 else ""))
+    print("\n###  Final ensemble results  ###")
+    print(f"Mean energy: {mean_e:f} ± {std_e:f} (chain spread)")
+    print(f"Mean pressure: {mean_p:f} ± {std_p:f}")
+    print(f"Average acceptance ratio: {acc_mean:f}")
+
+    if proc_id == 0:
+        if g_gr is not None:
+            from .observables import radial_distribution
+
+            centers = np.asarray(radial_distribution(
+                jax.numpy.asarray(agg.chains[0].r_final, cfg.jnp_dtype), cfg,
+                nbins=args.gr_bins)[0])
+            smcio.write_profile_csv(d, cfg, "gr", centers, g_gr, "r, g")
+        if g_zp is not None:
+            dz = cfg.box_lz / args.z_bins
+            centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+            smcio.write_profile_csv(d, cfg, "zprofile", centers, g_zp,
+                                    "z, density")
+        smcio.write_ensemble_data_csv(d, cfg, pooled_chains,
+                                      params.gather_lapse)
+        smcio.write_info_csv(d, cfg, params, agg.chains[0])
+        smcio.write_last_state(d, cfg, agg.chains[0].r_final)
 
     if args.checkpoint:
-        ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
+        ck = args.checkpoint
+        if nproc > 1:
+            root, dot, ext = ck.rpartition(".")
+            ck = f"{root}.p{proc_id}{dot}{ext}" if dot else f"{ck}.p{proc_id}"
+        ck_path = smcio.save_checkpoint(ck, state, cfg)
         print(f"Full ensemble state checkpointed to {ck_path}")
     return 0
 

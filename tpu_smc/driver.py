@@ -97,6 +97,12 @@ class ObservableOptions:
     # the ladder-mode (A, T) data rows so the tuned value never forces a
     # fresh Mosaic compile (A is a kernel compile-time static otherwise).
     proposal_a: float | None = None
+    # Shared per-sweep stream seed (cyclic offsets / pallas sweep seeds).
+    # None -> legacy derivation from local chain 0's key. An explicit run
+    # seed makes the streams invariant to how the chain batch is split
+    # across processes — required for multi-process (--coordinator) runs
+    # to be bitwise identical to the single-process ensemble.
+    stream_seed: int | None = None
 
 
 def _gather_step(

@@ -63,17 +63,19 @@ def _gather_step_batched(
             from .ensemble import ensemble_sweeps_pallas_sharded
 
             state, trace = ensemble_sweeps_pallas_sharded(
-                state, w, cfg, a_eff, gather_lapse, seed=None,
+                state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
                 mesh=mesh, uniform_at=at,
             )
         else:
             state, trace = ensemble_sweeps_pallas(
-                state, w, cfg, a_eff, gather_lapse, uniform_at=at,
+                state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
+                uniform_at=at,
             )
     else:
         state, trace = ensemble_sweeps(
             state, w, cfg, a_eff, gather_lapse,
             collect_trace=opts.collect_sweep_trace,
+            stream_seed=opts.stream_seed,
         )
 
     if cfg.recompute_every:
@@ -214,16 +216,18 @@ def simulate_ensemble(
                     from .ensemble import ensemble_sweeps_pallas_sharded
 
                     return ensemble_sweeps_pallas_sharded(
-                        s, w, cfg, 2.0 * a_eff, k, seed=None,
+                        s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
                         mesh=mesh, uniform_at=at2,
                     )[0]
                 return ensemble_sweeps_pallas(
-                    s, w, cfg, 2.0 * a_eff, k, uniform_at=at2,
+                    s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
+                    uniform_at=at2,
                 )[0]
         else:
             def therm_step(s, k):
                 return ensemble_sweeps(
                     s, w, cfg, 2.0 * a_eff, k, collect_trace=False,
+                    stream_seed=opts.stream_seed,
                 )[0]
         therm_step = jax.jit(therm_step, static_argnums=1)
         from .driver import therm_chunk

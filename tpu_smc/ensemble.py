@@ -38,10 +38,14 @@ from .state import ChainState
 
 def make_mesh(
     n_devices: int | None = None, axis_names: Tuple[str, ...] = ("chains",),
-    shape: Tuple[int, ...] | None = None,
+    shape: Tuple[int, ...] | None = None, local: bool = False,
 ) -> Mesh:
-    """A device mesh over the first n_devices devices."""
-    devs = jax.devices()
+    """A device mesh over the first n_devices devices.
+
+    `local=True` restricts to this process's devices — the multi-process
+    replica mode runs each process's chains on its own chips (zero
+    cross-process traffic during sweeps, like one MPI rank's chain)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     devs = np.asarray(devs[:n_devices])
@@ -65,6 +69,7 @@ def ensemble_sweeps(
     a: float,
     n_sweeps: int,
     collect_trace: bool = False,
+    stream_seed: int | None = None,
 ) -> Tuple[ChainState, SweepStats | None]:
     """n_sweeps sweeps of every chain: scan over sweeps, vmap over chains.
 
@@ -75,13 +80,25 @@ def ensemble_sweeps(
 
     # One offset stream shared by all chains (see sampler.sweep: turns the
     # per-move row access into a dynamic slice instead of a batched gather).
-    # The offset is derived from chain 0's CURRENT key each sweep — the
-    # key chain evolves once per sweep regardless of how a run is split
-    # into device calls, so seeded trajectories are bitwise independent of
-    # chunk boundaries (ADVICE r1: reproducibility).
+    # Two derivations:
+    #   * stream_seed=None (legacy): from chain 0's CURRENT key each sweep
+    #     — the key chain evolves once per sweep regardless of how a run
+    #     is split into device calls, so seeded trajectories are bitwise
+    #     independent of chunk boundaries (ADVICE r1), but they DO depend
+    #     on which chain sits at local index 0.
+    #   * stream_seed given: from the run seed + the ABSOLUTE sweep index
+    #     — additionally invariant to how the chain batch is split across
+    #     processes (chain 0 of a process's local batch may be any global
+    #     chain), which is what makes a multi-process replica run bitwise
+    #     identical to the single-process ensemble (test_distributed).
+    skey = (None if stream_seed is None
+            else jax.random.fold_in(jax.random.key(stream_seed), 0x5EED))
 
     def body(st, _):
-        okey = jax.random.fold_in(st.key[0], 0x5EED)
+        if skey is None:
+            okey = jax.random.fold_in(st.key[0], 0x5EED)
+        else:
+            okey = jax.random.fold_in(skey, st.sweeps.reshape(-1)[0])
         offset = jax.random.randint(okey, (), 0, cfg.n)
         st, stats = jax.vmap(
             lambda s: sweep_state(s, w, cfg, a, offset=offset)
@@ -521,8 +538,28 @@ def init_distributed(coordinator: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        pass  # single host or already initialized
+        # Auto-detection mode tolerates single-host setups; an EXPLICIT
+        # coordinator that fails to connect is a real error the caller
+        # asked for.
+        if coordinator is not None:
+            raise
     return jax.process_index()
+
+
+def allgather_chain_axis(x) -> np.ndarray:
+    """Concatenate per-process host arrays along the leading (chain) axis
+    across every jax.distributed process.
+
+    This is the DCN-collective replacement for the reference's offline
+    per-rank-file aggregation (SMC.c:66-96 writes `*_rank%d.csv`, pooled
+    by hand afterwards): each process contributes its local chains' rows
+    and every process receives the full [C_total, ...] array. Equal local
+    shapes are required (chains split evenly across processes)."""
+    from jax.experimental import multihost_utils
+
+    x = np.asarray(x)
+    g = multihost_utils.process_allgather(jnp.asarray(x))   # [P, C_local, ...]
+    return np.asarray(g).reshape((-1,) + x.shape[1:])
 
 
 # ----------------------------------------------------------------------

@@ -71,12 +71,18 @@ def init_chain_state(
     return state, w
 
 
-def batch_chain_state(state: ChainState, n_chains: int) -> ChainState:
+def batch_chain_state(state: ChainState, n_chains: int,
+                      chain_offset: int = 0) -> ChainState:
     """Broadcast a single-chain state to [C, ...] with per-chain keys
     folded from the seed chain's key (replaces the per-process seeding of
-    SMC.c:40)."""
+    SMC.c:40).
+
+    `chain_offset` shifts the fold indices: process p of a multi-process
+    replica run batches its local chains with offset p*C_local, so the
+    global key streams are IDENTICAL to a single-process run over the
+    full ensemble — the process boundary cannot change trajectories."""
     keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
-        jnp.arange(n_chains)
+        jnp.arange(chain_offset, chain_offset + n_chains)
     )
 
     def rep(x):
