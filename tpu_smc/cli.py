@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the full-state checkpoint every W storage "
                         "windows (failure recovery); also written on "
                         "SIGINT/SIGTERM before a clean stop")
+    p.add_argument("--fault-retries", type=int, default=2, metavar="K",
+                   help="elastic recovery: tolerate K consecutive device "
+                        "faults per storage window, replaying the window "
+                        "from an in-memory host snapshot (bitwise "
+                        "continuation; 0 disables)")
     p.add_argument("--health-checks", action="store_true",
                    help="per-window device health pass (finite positions, "
                         "bounds, energy drift); warns like boundsCheck")
@@ -428,7 +433,8 @@ def main(argv=None) -> int:
         proposal_a=tuned_a,
     )
     state, res = simulate(cfg, params, state, w, opts=opts,
-                          on_window=on_window, acf_mode=args.acf_mode)
+                          on_window=on_window, acf_mode=args.acf_mode,
+                          max_fault_retries=args.fault_retries)
 
     print(f"\n\nTime-equivalent throughput: {res.sweeps_per_second:,.0f} sweeps/s "
           f"({1e6 / max(res.sweeps_per_second, 1e-9):0.1f} s per million)")
@@ -595,6 +601,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     state, agg = simulate_ensemble(
         cfg, params, state, w, opts=opts, on_window=on_window,
         acf_mode=args.acf_mode, mesh=mesh,
+        max_fault_retries=getattr(args, "fault_retries", 2),
     )
 
     # Per-chain files: every process writes ITS chains under their global

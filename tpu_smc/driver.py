@@ -68,6 +68,45 @@ def _sync(state: ChainState) -> ChainState:
     return state
 
 
+# ----------------------------------------------------------------------
+# Elastic recovery (SURVEY §5.3) — the reference has nothing here; the
+# TPU-realistic failure is the runtime watchdog killing a long device
+# program ("UNAVAILABLE: ... kernel fault" over the axon tunnel). The
+# drivers snapshot the full state to HOST memory at each window boundary
+# and, on a device fault, re-upload and replay the window: seeding is
+# absolute (keys live in the state; per-sweep streams fold the absolute
+# sweep index), so a replayed window is bitwise the uninterrupted one.
+# ----------------------------------------------------------------------
+
+def is_device_fault(exc: BaseException) -> bool:
+    """Runtime faults worth retrying, as opposed to trace/shape errors
+    that would just recur (those re-raise after the retry budget)."""
+    if not isinstance(exc, jax.errors.JaxRuntimeError):
+        return False
+    s = str(exc)
+    return any(m in s for m in ("UNAVAILABLE", "DATA_LOSS", "ABORTED",
+                                "INTERNAL", "kernel fault"))
+
+
+def snapshot_to_host(state: ChainState) -> ChainState:
+    """Full numpy copy of the state. Device buffers can be poisoned after
+    a runtime fault, so recovery must restart from host memory — the
+    in-memory analog of an --auto-checkpoint file, refreshed per window."""
+    return ChainState(
+        key=np.asarray(jax.random.key_data(state.key)),
+        **{f: np.asarray(getattr(state, f))
+           for f in ChainState._fields if f != "key"},
+    )
+
+
+def restore_from_host(snap: ChainState) -> ChainState:
+    return ChainState(
+        key=jax.random.wrap_key_data(jnp.asarray(snap.key)),
+        **{f: jnp.asarray(getattr(snap, f))
+           for f in ChainState._fields if f != "key"},
+    )
+
+
 class GatherOut(NamedTuple):
     """Per-gather scan outputs (one gather = gather_lapse sweeps)."""
 
@@ -240,12 +279,17 @@ def simulate(
     opts: ObservableOptions = ObservableOptions(),
     on_window=None,
     acf_mode: str = "reference",
+    max_fault_retries: int = 2,
 ) -> tuple[ChainState, SimResults]:
     """Full single-chain run: thermalization, windowed main loop,
     post-processing. The equivalent of sMC (SMC.c:21-267).
 
     `on_window(window_index, state, GatherOut)` is the host I/O hook,
     called once per storage window with stacked per-gather data.
+
+    `max_fault_retries`: consecutive device faults tolerated per window —
+    each retry re-uploads the window-start host snapshot and replays the
+    window (bitwise-identical by absolute seeding). 0 disables snapshots.
     """
     lapse = params.gather_lapse
     gather_steps = params.gather_steps
@@ -295,22 +339,41 @@ def simulate(
     done = 0
     t1 = time.perf_counter()
     widx = 0
+    snap = snapshot_to_host(state) if max_fault_retries else None
+    faults = 0
     while done < gather_steps:
         g = min(cfg.storage_time, gather_steps - done)
         # Split the window into device calls bounded by the runtime
         # watchdog (config.max_gathers_per_call); I/O cadence unchanged.
-        chunks = []
-        sub_done = 0
-        while sub_done < g:
-            sub = min(cfg.max_gathers_per_call, g - sub_done)
-            state, part = simulate_window(
-                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
-            )
-            state = _sync(state)
-            prod_moves += int(state.accepted)
-            state = state._replace(accepted=jnp.zeros_like(state.accepted))
-            chunks.append(part)
-            sub_done += sub
+        # The window is TRANSACTIONAL: a device fault mid-window discards
+        # its partial chunks, restores the window-start snapshot, and
+        # replays; prod_moves only commits on window success.
+        try:
+            chunks = []
+            moves_w = 0
+            sub_done = 0
+            while sub_done < g:
+                sub = min(cfg.max_gathers_per_call, g - sub_done)
+                state, part = simulate_window(
+                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
+                )
+                state = _sync(state)
+                moves_w += int(state.accepted)
+                state = state._replace(accepted=jnp.zeros_like(state.accepted))
+                chunks.append(part)
+                sub_done += sub
+        except Exception as exc:  # noqa: BLE001
+            if snap is None or faults >= max_fault_retries \
+                    or not is_device_fault(exc):
+                raise
+            faults += 1
+            print(f"\n[elastic] device fault in window {widx} "
+                  f"(retry {faults}/{max_fault_retries}): "
+                  f"{str(exc).splitlines()[0][:120]}", flush=True)
+            state = restore_from_host(snap)
+            continue
+        faults = 0
+        prod_moves += moves_w
         out = (chunks[0] if len(chunks) == 1
                else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
         out = jax.tree.map(np.asarray, out)
@@ -318,6 +381,8 @@ def simulate(
         windows.append(out)
         done += g
         widx += 1
+        if snap is not None:
+            snap = snapshot_to_host(state)
         if verdict == "stop":  # graceful early stop (signal/failure hook)
             gather_steps = done
             break

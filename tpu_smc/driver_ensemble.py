@@ -187,13 +187,17 @@ def simulate_ensemble(
     on_window=None,
     acf_mode: str = "reference",
     mesh=None,
+    max_fault_retries: int = 2,
 ) -> tuple[ChainState, EnsembleResults]:
     """Ensemble run: thermalization + windowed main loop + per-chain and
     pooled post-processing. `state` must carry a leading chain axis.
 
     `mesh`: chains sharded over the mesh's "chains" axis (state should be
     placed with ensemble.shard_ensemble first); zero cross-device traffic
-    during sweeps, exactly the reference's replica model over ICI."""
+    during sweeps, exactly the reference's replica model over ICI.
+
+    `max_fault_retries`: per-window device-fault retries from a host
+    snapshot (driver.snapshot_to_host semantics); 0 disables."""
     import time as _time
 
     lapse = params.gather_lapse
@@ -257,23 +261,53 @@ def simulate_ensemble(
     done = 0
     widx = 0
     t1 = _time.perf_counter()
+    from .driver import is_device_fault, restore_from_host, snapshot_to_host
+
+    # mesh runs: the snapshot restore below re-uploads with default
+    # placement; re-shard so replayed windows keep the same layout.
+    def _restore(s):
+        s = restore_from_host(s)
+        if mesh is not None:
+            from .ensemble import shard_ensemble
+
+            s = shard_ensemble(s, mesh)
+        return s
+
+    snap = snapshot_to_host(state) if max_fault_retries else None
+    faults = 0
     while done < gather_steps:
         g = min(cfg.storage_time, gather_steps - done)
         # Split the window into device calls bounded by the runtime
         # watchdog (config.max_gathers_per_call); I/O cadence unchanged.
-        chunks = []
-        sub_done = 0
-        while sub_done < g:
-            sub = min(cfg.max_gathers_per_call, g - sub_done)
-            state, part = simulate_window_batched(
-                state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts,
-                mesh=mesh,
-            )
-            state = _sync(state)
-            prod_moves += np.asarray(state.accepted, np.int64)
-            state = state._replace(accepted=jnp.zeros_like(state.accepted))
-            chunks.append(part)
-            sub_done += sub
+        # Transactional per window: a device fault discards the partial
+        # window, restores the host snapshot, and replays (see driver).
+        try:
+            chunks = []
+            moves_w = np.zeros_like(prod_moves)
+            sub_done = 0
+            while sub_done < g:
+                sub = min(cfg.max_gathers_per_call, g - sub_done)
+                state, part = simulate_window_batched(
+                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts,
+                    mesh=mesh,
+                )
+                state = _sync(state)
+                moves_w += np.asarray(state.accepted, np.int64)
+                state = state._replace(accepted=jnp.zeros_like(state.accepted))
+                chunks.append(part)
+                sub_done += sub
+        except Exception as exc:  # noqa: BLE001
+            if snap is None or faults >= max_fault_retries \
+                    or not is_device_fault(exc):
+                raise
+            faults += 1
+            print(f"\n[elastic] device fault in window {widx} "
+                  f"(retry {faults}/{max_fault_retries}): "
+                  f"{str(exc).splitlines()[0][:120]}", flush=True)
+            state = _restore(snap)
+            continue
+        faults = 0
+        prod_moves += moves_w
         out = (chunks[0] if len(chunks) == 1
                else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
         out = jax.tree.map(np.asarray, out)
@@ -281,6 +315,8 @@ def simulate_ensemble(
         windows.append(out)
         done += g
         widx += 1
+        if snap is not None:
+            snap = snapshot_to_host(state)
         if verdict == "stop":  # graceful early stop (signal/failure hook)
             gather_steps = done
             break
