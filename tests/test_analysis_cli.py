@@ -104,12 +104,13 @@ def test_tsweep_cli_and_plot(tmp_path):
     rc = cli_main([
         "20", "80", "8", "1.1", "--dtype", "float32", "--seed", "9",
         "--temperatures", "0.9,1.3", "--chains-per-t", "3",
-        "--reweight", "0.9:1.3:5",
+        "--reweight", "0.9:1.3:5", "--z-bins", "6",
         "--data-dir", str(tmp_path / "Data"),
     ])
     assert rc == 0
     run_dir = next((tmp_path / "Data").iterdir())
-    assert len(list(run_dir.glob("reweight_*.csv"))) == 1
+    assert len(list(run_dir.glob("reweight_*.csv"))) == 2  # + zprofile
+    assert len(list(run_dir.glob("reweight_zprofile_*.csv"))) == 1
     ts = list(run_dir.glob("tsweep_*.csv"))
     assert len(ts) == 1
     lines = ts[0].read_text().strip().splitlines()
@@ -130,6 +131,7 @@ def test_tsweep_cli_and_plot(tmp_path):
     run = load_run(run_dir)
     written = render_all(run, tmp_path / "plots")
     assert any(p.name.startswith("tsweep_") for p in written)
+    assert any(p.name.startswith("reweight_zprofile_") for p in written)
 
 
 def test_volume_html_viewer(run_dir, tmp_path):

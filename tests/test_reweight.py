@@ -237,3 +237,83 @@ def test_bootstrap_errors_scale_with_replicas():
     # no-bootstrap call keeps the fields None
     plain = reweight_from_ladder(fake_ladder(8), SMCConfig(n=2), [1.1])
     assert plain.err_energy is None
+
+
+def test_paired_field_analytic():
+    """Vector observables reweight bin-by-bin exactly like scalars:
+    a 2-column field [E, E^2] must reproduce the scalar paired results
+    (<E> = 1.5 T, <E^2> = 3.75 T^2) at interpolated temperatures."""
+    from tpu_smc.reweight import reweight_paired_field
+
+    e_k = _gamma_samples(TEMPS, seed=6)
+    f_k = [np.stack([e, e * e], axis=1) for e in e_k]
+    got = reweight_paired_field(e_k, f_k, TEMPS, [0.9, 1.1])
+    assert got.shape == (2, 2)
+    t = np.array([0.9, 1.1])
+    np.testing.assert_allclose(got[:, 0], 1.5 * t, rtol=0.04)
+    np.testing.assert_allclose(got[:, 1], 3.75 * t ** 2, rtol=0.04)
+
+
+def test_paired_field_single_state_is_plain_mean():
+    """K=1 ladder at its own temperature: MBAR weights are exactly
+    uniform, so the reweighted field is the plain sample mean."""
+    from tpu_smc.reweight import reweight_paired_field
+
+    rng = np.random.default_rng(7)
+    e = rng.gamma(1.5, 1.1, 500)
+    f = rng.uniform(size=(500, 6))
+    got = reweight_paired_field([e], [f], [1.1], [1.1])
+    np.testing.assert_allclose(got[0], f.mean(axis=0), rtol=2e-5)
+
+
+def test_ladder_density_field_reweighting():
+    """rho(z; T) / g(r; T) through the full driver: mass conservation is
+    EXACT at every target T (each per-configuration histogram integrates
+    to N, so any convex reweighting does too), and the reweighted
+    profile at a ladder endpoint tracks that level's own mean profile."""
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=100, maxsteps=300, numdata=100)
+    _, res = simulate_temperature_sweep(
+        cfg, params, [1.0, 1.2], jax.random.key(4), chains_per_t=32,
+        z_bins=12, gr_bins=8)
+    assert res.zprofile_samples is not None
+    assert res.zprofile_samples.shape[1:] == (2, 32, 12)
+    assert res.gr_samples.shape[1:] == (2, 32, 8)
+
+    rw = reweight_from_ladder(res, cfg, [1.0, 1.1, 1.2], n_boot=4)
+    assert rw.zprofile.shape == (3, 12) and rw.gr.shape == (3, 8)
+    assert rw.err_zprofile is not None and rw.err_gr is not None
+
+    dz = cfg.box_lz / 12
+    mass = rw.zprofile.sum(axis=1) * dz * cfg.box_l ** 2
+    np.testing.assert_allclose(mass, cfg.n, rtol=1e-5)
+
+    # endpoint self-consistency: compare against the level's own mean,
+    # tolerance from the cross-replica spread of the level means
+    level = res.zprofile_samples[:, 0].reshape(-1, 12)
+    spread = level.mean(axis=0).std() + level.std(axis=0).max()
+    assert np.abs(rw.zprofile[0] - level.mean(axis=0)).max() < spread
+
+
+def test_reweight_cli_writes_profile_artifacts(tmp_path):
+    from tpu_smc.cli import main
+
+    rc = main(["30", "60", "30", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "4",
+               "--reweight", "1.0:1.2:3", "--seed", "5", "--z-bins", "8",
+               "--gr-bins", "6", "--platform", "cpu",
+               "--data-dir", str(tmp_path)])
+    assert rc == 0
+    run = next(tmp_path.iterdir())
+    zp = next(p for p in run.iterdir()
+              if p.name.startswith("reweight_zprofile"))
+    lines = zp.read_text().strip().splitlines()
+    assert lines[0] == "T, z, value, err"
+    assert len(lines) == 1 + 3 * 8   # 3 grid temperatures x 8 z bins
+    gr = next(p for p in run.iterdir()
+              if p.name.startswith("reweight_gr"))
+    glines = gr.read_text().strip().splitlines()
+    assert glines[0] == "T, r, value, err"
+    assert len(glines) == 1 + 3 * 6

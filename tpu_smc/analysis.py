@@ -643,6 +643,39 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Reweighted density fields rho(z; T) / g(r; T) (reweight.py paired
+    # field samples) — the continuous-T version of the density maps the
+    # reference could only draw at the simulated T (plotting.jl:123-201)
+    for stem, xl, yl in (("reweight_zprofile", "z", "rho(z)"),
+                         ("reweight_gr", "r", "g(r)")):
+        f = run.run_dir / f"{stem}_{run.key}.csv"
+        if not f.exists():
+            continue
+        rows = np.atleast_2d(np.genfromtxt(f, delimiter=",", skip_header=1))
+        temps = np.unique(rows[:, 0])
+        fig, ax = plt.subplots(figsize=(6, 4))
+        cmap = plt.get_cmap("coolwarm")
+        tlo, thi = temps.min(), temps.max()
+        for t in temps:
+            sel = rows[rows[:, 0] == t]
+            frac = 0.5 if thi == tlo else (t - tlo) / (thi - tlo)
+            ax.plot(sel[:, 1], sel[:, 2], lw=1, color=cmap(frac),
+                    label=f"T={t:0.3f}")
+            if sel.shape[1] > 3:
+                ax.fill_between(sel[:, 1], sel[:, 2] - sel[:, 3],
+                                sel[:, 2] + sel[:, 3],
+                                color=cmap(frac), alpha=0.2, lw=0)
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        if len(temps) <= 10:
+            ax.legend(fontsize=7)
+        fig.suptitle(f"{yl} vs T (MBAR) {run.key}")
+        fig.tight_layout()
+        p = out / f"{stem}_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     return written
 
 

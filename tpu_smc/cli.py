@@ -303,7 +303,8 @@ def main(argv=None) -> int:
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 exchange_interval=args.pt_exchange, w=w_np,
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
-                state0=lstate0)
+                state0=lstate0,
+                gr_bins=args.gr_bins, z_bins=args.z_bins)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
             print("\n###  Replica-exchange swap acceptance  ###")
@@ -317,7 +318,8 @@ def main(argv=None) -> int:
             lstate, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
-                state0=lstate0)
+                state0=lstate0,
+                gr_bins=args.gr_bins, z_bins=args.z_bins)
         if args.checkpoint:
             ck_path = smcio.save_checkpoint(args.checkpoint, lstate, cfg)
             print(f"Full ladder state checkpointed to {ck_path}")
@@ -347,6 +349,27 @@ def main(argv=None) -> int:
                       f"{rw.cv[i]:8.4f} {pcol} {rw.ess[i]:8.1f}  "
                       f"{rw.free_energy[i]:8.4f}")
             print(f"\nWritten to {rw_path}")
+            # Reweighted density FIELDS on the continuous T grid —
+            # rho(z; T) / g(r; T), which the reference's workflow can
+            # only produce at the simulated T (plotting.jl:123-201).
+            from .reweight import write_reweight_profile_csv
+
+            if rw.zprofile is not None:
+                dz = cfg.box_lz / args.z_bins
+                zc = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+                zp_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_zprofile", "z", zc, rw,
+                    rw.zprofile, rw.err_zprofile)
+                print(f"rho(z; T) surface written to {zp_path}")
+            if rw.gr is not None:
+                from .observables import radial_distribution
+
+                rc = np.asarray(radial_distribution(
+                    jax.numpy.asarray(lstate.r[0], cfg.jnp_dtype), cfg,
+                    nbins=args.gr_bins)[0])
+                gr_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_gr", "r", rc, rw, rw.gr, rw.err_gr)
+                print(f"g(r; T) surface written to {gr_path}")
         return 0
 
     if resume_state is not None:

@@ -43,7 +43,7 @@ import numpy as np
 
 from .config import RunParams, SMCConfig
 from .state import ChainState, init_ensemble_state
-from .tsweep import TSweepResults, _multi_t_sweeps, _pressure_fn
+from .tsweep import TSweepResults, _fields_fn, _multi_t_sweeps, _pressure_fn
 
 
 def exchange_step(
@@ -179,6 +179,8 @@ def simulate_parallel_tempering(
     a_per_t=None,
     mesh=None,
     state0: ChainState | None = None,
+    gr_bins: int = 0,
+    z_bins: int = 0,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
@@ -248,7 +250,10 @@ def simulate_parallel_tempering(
         moves = np.zeros((c,), np.int64)
         samples = []
         p_samples, e_at_p = [], []
+        gr_s, zp_s = [], []
         press_fn = _pressure_fn(cfg) if collect else None
+        fields_fn = (_fields_fn(cfg, gr_bins, z_bins)
+                     if collect and (gr_bins or z_bins) else None)
 
         def harvest(st):
             nonlocal moves
@@ -257,6 +262,12 @@ def simulate_parallel_tempering(
                 # paired (P, E) sample at the call boundary (reweight.py)
                 p_samples.append(np.asarray(press_fn(st.r, w_arr)))
                 e_at_p.append(np.asarray(st.energy))
+                if fields_fn is not None:
+                    gr_b, zp_b = fields_fn(st.r)
+                    if gr_b is not None:
+                        gr_s.append(np.asarray(gr_b))
+                    if zp_b is not None:
+                        zp_s.append(np.asarray(zp_b))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -303,8 +314,8 @@ def simulate_parallel_tempering(
                     jnp.int32(cycle0 + ci))
                 acc += np.asarray(a_blk, np.int64)
                 att += np.asarray(t_blk, np.int64)
-        return (state, acc, att, samples, moves, (p_samples, e_at_p),
-                cycle0 + cycles)
+        return (state, acc, att, samples, moves,
+                (p_samples, e_at_p, gr_s, zp_s), cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
     # speed equilibration) but are not counted.
@@ -312,8 +323,9 @@ def simulate_parallel_tempering(
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     lapse = max(1, params.gather_lapse)
-    state, acc, att, samples, prod_moves, (p_s, e_p), _ = run_phase(
-        state, params.maxsteps, 1.0, cyc, collect=True, lapse=lapse)
+    state, acc, att, samples, prod_moves, (p_s, e_p, gr_s, zp_s), _ = \
+        run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
+                  lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
 
     e_tr = np.concatenate(samples) if samples else np.zeros((0, c))
@@ -335,7 +347,12 @@ def simulate_parallel_tempering(
         acceptance=np.asarray(acc_moves), cv=np.asarray(cv),
         energy_samples=e_t,
         pressure_samples=np.stack(p_s).reshape(shape_t) if p_s else None,
-        energy_at_pressure=np.stack(e_p).reshape(shape_t) if e_p else None)
+        energy_at_pressure=np.stack(e_p).reshape(shape_t) if e_p else None,
+        gr_samples=(np.stack(gr_s).reshape(-1, n_t, chains_per_t, gr_bins)
+                    if gr_s else None),
+        zprofile_samples=(np.stack(zp_s).reshape(-1, n_t, chains_per_t,
+                                                 z_bins)
+                          if zp_s else None))
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

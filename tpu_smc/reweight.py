@@ -37,7 +37,8 @@ from .config import SMCConfig
 
 __all__ = [
     "ReweightResults", "mbar_free_energies", "reweight_observables",
-    "reweight_from_ladder", "write_reweight_csv", "parse_t_grid",
+    "reweight_paired_field", "reweight_from_ladder", "write_reweight_csv",
+    "write_reweight_profile_csv", "parse_t_grid",
 ]
 
 
@@ -59,6 +60,14 @@ class ReweightResults(NamedTuple):
     # ladder run collected no pressure samples)
     pressure: np.ndarray | None = None     # [G]
     err_pressure: np.ndarray | None = None  # [G]
+    # continuous density FIELDS from paired per-configuration histograms
+    # (None unless the ladder run sampled them: gr_bins/z_bins > 0).
+    # rho(z; T) completes the observable set the reference can only
+    # produce at the simulated T (plotting.jl:123-201 density maps).
+    gr: np.ndarray | None = None           # [G, gr_bins]
+    zprofile: np.ndarray | None = None     # [G, z_bins]
+    err_gr: np.ndarray | None = None       # [G, gr_bins]
+    err_zprofile: np.ndarray | None = None  # [G, z_bins]
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -222,6 +231,29 @@ def reweight_paired_observable(
     return np.asarray(out)
 
 
+def reweight_paired_field(
+    e_k: Sequence[np.ndarray],
+    f_k: Sequence[np.ndarray],
+    temps,
+    t_grid,
+) -> np.ndarray:
+    """<F(x)>(T) on `t_grid` for a VECTOR observable: f_k[k] is
+    [M_k, B] with row m the per-configuration field (e.g. a rho(z) or
+    g(r) histogram) paired with energy sample e_k[k][m]. Returns
+    [G, B] — the same MBAR weights as the scalar case applied to every
+    bin at once (one [G, M] x [M, B] matmul; MXU work, not a loop)."""
+    temps = np.asarray(temps, np.float64)
+    t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
+    _, log_denom, e_shifted, _, _ = mbar_free_energies(e_k, 1.0 / temps)
+    f_pooled = jnp.concatenate(
+        [jnp.asarray(f, jnp.float32).reshape(-1, np.shape(f)[-1])
+         for f in f_k])                                   # [M, B]
+    betas = jnp.asarray(1.0 / t_grid, jnp.float32)        # [G]
+    logw = -betas[:, None] * e_shifted[None, :] - log_denom[None, :]
+    logw = logw - jax.nn.logsumexp(logw, axis=1, keepdims=True)
+    return np.asarray(jnp.exp(logw) @ f_pooled, np.float64)  # [G, B]
+
+
 def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                          n_boot: int = 0, seed: int = 0) -> ReweightResults:
     """Reweight from a TSweepResults/PTResults carrying energy_samples
@@ -240,12 +272,17 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     p_s = getattr(ts, "pressure_samples", None)
     e_p = getattr(ts, "energy_at_pressure", None)
     have_p = p_s is not None and e_p is not None and p_s.size > 0
+    gr_s = getattr(ts, "gr_samples", None)
+    zp_s = getattr(ts, "zprofile_samples", None)
+    have_gr = gr_s is not None and e_p is not None and gr_s.size > 0
+    have_zp = zp_s is not None and e_p is not None and zp_s.size > 0
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
     ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
 
     def split(arr, idx=None):
         a = arr if idx is None else arr[:, :, idx]
-        return [a[:, k, :].reshape(-1) for k in range(a.shape[1])]
+        tail = a.shape[3:]   # field samples carry a trailing [bins] axis
+        return [a[:, k].reshape((-1,) + tail) for k in range(a.shape[1])]
 
     def estimate(idx=None):
         out = reweight_observables(split(e_s, idx), ts.temps, t_grid,
@@ -254,6 +291,12 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
             pv = reweight_paired_observable(
                 split(e_p, idx), split(p_s, idx), ts.temps, t_grid)
             out = out._replace(pressure=pv + ideal)
+        if have_gr:
+            out = out._replace(gr=reweight_paired_field(
+                split(e_p, idx), split(gr_s, idx), ts.temps, t_grid))
+        if have_zp:
+            out = out._replace(zprofile=reweight_paired_field(
+                split(e_p, idx), split(zp_s, idx), ts.temps, t_grid))
         return out
 
     out = estimate()
@@ -270,6 +313,10 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
         err_f=np.std([d.free_energy for d in draws], axis=0),
         err_pressure=(np.std([d.pressure for d in draws], axis=0)
                       if have_p else None),
+        err_gr=(np.std([d.gr for d in draws], axis=0)
+                if have_gr else None),
+        err_zprofile=(np.std([d.zprofile for d in draws], axis=0)
+                      if have_zp else None),
     )
 
 
@@ -292,6 +339,28 @@ def parse_t_grid(spec: str) -> np.ndarray:
         # column through the f - f[0] normalization
         raise ValueError(f"temperatures must be positive: {spec!r}")
     return grid
+
+
+def write_reweight_profile_csv(d, cfg: SMCConfig, stem: str,
+                               axis_name: str, centers, res: ReweightResults,
+                               field: np.ndarray, err: np.ndarray | None):
+    """Long-format reweighted field: one row per (target T, bin).
+    Header `T, <axis>, value[, err]` — e.g. reweight_zprofile_*.csv with
+    `T, z, density`: the rho(z; T) surface on the continuous T grid."""
+    from .io import _fname
+
+    p = _fname(d, stem, cfg)
+    with open(p, "w") as f:
+        f.write(f"T, {axis_name}, value" + (", err" if err is not None
+                                            else "") + "\n")
+        for g in range(len(res.temps)):
+            for b in range(field.shape[1]):
+                row = f"{res.temps[g]:0.4f}, {centers[b]:0.6f}, " \
+                      f"{field[g, b]:0.9f}"
+                if err is not None:
+                    row += f", {err[g, b]:0.9f}"
+                f.write(row + "\n")
+    return p
 
 
 def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):

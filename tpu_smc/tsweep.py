@@ -45,6 +45,13 @@ class TSweepResults(NamedTuple):
     # turns them into P(T) curves; ideal rho*T added at output)
     pressure_samples: np.ndarray | None = None
     energy_at_pressure: np.ndarray | None = None
+    # paired FIELD samples at the same boundaries (gr_bins/z_bins > 0):
+    # per-configuration g(r) and rho(z) histograms, [B, T, chains_per_t,
+    # bins] — reweight.py turns them into continuous g(r; T) / rho(z; T)
+    # fields (the reference's density maps, plotting.jl:123-201, exist
+    # only at the simulated T)
+    gr_samples: np.ndarray | None = None
+    zprofile_samples: np.ndarray | None = None
 
 
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
@@ -118,6 +125,8 @@ def simulate_temperature_sweep(
     a_per_t=None,
     mesh=None,
     state0: ChainState | None = None,
+    gr_bins: int = 0,
+    z_bins: int = 0,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
@@ -184,7 +193,10 @@ def simulate_temperature_sweep(
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
     p_samples, e_at_p = [], []
+    gr_s, zp_s = [], []
     press_fn = _pressure_fn(cfg)
+    fields_fn = _fields_fn(cfg, gr_bins, z_bins) if (gr_bins or z_bins) \
+        else None
     prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
@@ -197,6 +209,12 @@ def simulate_temperature_sweep(
         # device call — the per-sweep trace stays energy-only)
         p_samples.append(np.asarray(press_fn(state.r, w_arr)))
         e_at_p.append(np.asarray(state.energy))
+        if fields_fn is not None:
+            gr_b, zp_b = fields_fn(state.r)
+            if gr_b is not None:
+                gr_s.append(np.asarray(gr_b))
+            if zp_b is not None:
+                zp_s.append(np.asarray(zp_b))
         prod_moves += np.asarray(state.accepted, np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -212,16 +230,41 @@ def simulate_temperature_sweep(
     cv = e_t.reshape(len(e_tr), n_t, -1).var(axis=(0, 2)) / temps ** 2
 
     shape_t = (-1, n_t, chains_per_t)
+    shape_f = (-1, n_t, chains_per_t)
     return state, TSweepResults(
         temps=temps, mean_energy=mean_e, err_energy=err_e,
         acceptance=np.asarray(acc), cv=np.asarray(cv),
         energy_samples=e_t,
         pressure_samples=np.stack(p_samples).reshape(shape_t),
         energy_at_pressure=np.stack(e_at_p).reshape(shape_t),
+        gr_samples=(np.stack(gr_s).reshape(*shape_f, gr_bins)
+                    if gr_s else None),
+        zprofile_samples=(np.stack(zp_s).reshape(*shape_f, z_bins)
+                          if zp_s else None),
     )
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int):
+    """Jitted per-chain field sampler: per-configuration g(r) and/or
+    rho(z) histograms for paired-sample reweighting (reweight.py).
+    Returns fn(r) -> (gr [C, gr_bins] | None, zp [C, z_bins] | None)."""
+    from .observables import radial_distribution, z_density_profile
+
+    @jax.jit
+    def fn(r):
+        gr = (jax.vmap(
+            lambda ri: radial_distribution(ri, cfg, nbins=gr_bins)[1])(r)
+            if gr_bins else None)
+        zp = (jax.vmap(
+            lambda ri: z_density_profile(ri, cfg, nbins=z_bins)[1])(r)
+            if z_bins else None)
+        return gr, zp
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
