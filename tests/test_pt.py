@@ -215,3 +215,58 @@ def test_resolve_sampler_accounts_for_sharding():
     # the gate arithmetic itself (independent of backend)
     assert 256 // 8 % 128 != 0          # the r2 finding: sub-lane shards
     assert 1024 // 8 % 128 == 0
+
+
+def test_choose_exchange_interval_calibration():
+    """The rule must land inside the measured-optimal band on the
+    recorded v5e profile (6 levels 0.8-1.5, swap acceptances 0.58-0.92,
+    measured optimum interval 10 — docs/ARCHITECTURE.md)."""
+    from tpu_smc.pt import choose_exchange_interval
+
+    measured = [0.58, 0.72, 0.81, 0.88, 0.92]
+    got = choose_exchange_interval(measured)
+    assert got == 10, got            # reproduces the measured optimum
+    # monotone in the bottleneck acceptance; menu-quantized; clipped
+    low = choose_exchange_interval([0.10, 0.9])
+    high = choose_exchange_interval([0.95, 0.99])
+    assert low <= got <= high
+    assert low == 2                  # 0.10/0.06 = 1.7 -> clip lo=2
+    assert high in (10, 20)
+    for p in ([0.3], [0.6, 0.4], [0.99]):
+        assert choose_exchange_interval(p) in (2, 5, 10, 20, 50)
+    assert choose_exchange_interval([]) == 50  # no pairs
+
+
+def test_pt_auto_interval_end_to_end():
+    temps = [0.9, 1.1]
+    params = RunParams(eqsteps=10, maxsteps=40, numdata=8)
+    _, res = simulate_parallel_tempering(
+        CFG, params, temps, jax.random.key(2), chains_per_t=4,
+        exchange_interval="auto")
+    assert res.probe_acceptance is not None
+    assert res.probe_acceptance.shape == (1,)
+    assert 0.0 <= res.probe_acceptance[0] <= 1.0
+    assert res.exchange_interval in (2, 5, 10, 20, 50)
+    ts = res.tsweep
+    assert np.all(np.isfinite(ts.mean_energy))
+    assert ts.mean_energy[-1] > ts.mean_energy[0]
+
+
+def test_pt_exchange_cli_arg_parses_auto():
+    from tpu_smc.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["1", "2", "1", "1.0", "--pt-exchange", "auto"])
+    assert args.pt_exchange == "auto"
+    args = build_parser().parse_args(
+        ["1", "2", "1", "1.0", "--pt-exchange", "7"])
+    assert args.pt_exchange == 7
+
+
+def test_pt_rejects_bad_interval_spec():
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        simulate_parallel_tempering(
+            CFG, RunParams(2, 4, 2), [0.9, 1.1], jax.random.key(0),
+            chains_per_t=2, exchange_interval="fastest")

@@ -85,11 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "positional T names the run directory")
     p.add_argument("--chains-per-t", type=int, default=16,
                    help="replicas per temperature in --temperatures mode")
-    p.add_argument("--pt-exchange", type=int, default=None, metavar="K",
+    p.add_argument("--pt-exchange", type=_exchange_arg, default=None,
+                   metavar="K|auto",
                    help="with --temperatures: parallel tempering — attempt "
                         "replica exchanges between adjacent temperatures "
                         "every K sweeps (on-device swaps; writes pt_*.csv "
-                        "with per-pair swap acceptance)")
+                        "with per-pair swap acceptance). 'auto' measures "
+                        "the swap acceptance on a short post-"
+                        "thermalization probe and picks the interval "
+                        "(pt.choose_exchange_interval)")
     p.add_argument("--target-acceptance", type=float, default=None,
                    metavar="ACC",
                    help="auto-tune the proposal mobility A before the run "
@@ -118,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " the walls, 3 thick central layers (createZRange,"
                         " SMC.c:1153-1169)")
     return p
+
+
+def _exchange_arg(v: str):
+    """--pt-exchange accepts an integer interval or 'auto'."""
+    if v == "auto":
+        return v
+    return int(v)
 
 
 def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1) -> str:
@@ -297,8 +308,12 @@ def main(argv=None) -> int:
         if args.pt_exchange:
             from .pt import simulate_parallel_tempering, write_pt_csv
 
-            print(f"Parallel tempering: exchange attempts every "
-                  f"{args.pt_exchange} sweeps")
+            if args.pt_exchange == "auto":
+                print("Parallel tempering: auto exchange interval "
+                      "(choosing from a post-thermalization probe)")
+            else:
+                print(f"Parallel tempering: exchange attempts every "
+                      f"{args.pt_exchange} sweeps")
             lstate, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=args.chains_per_t,
                 exchange_interval=args.pt_exchange, w=w_np,
@@ -307,6 +322,12 @@ def main(argv=None) -> int:
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
             res = pt_res.tsweep
             pt_path = write_pt_csv(d, cfg, pt_res)
+            if args.pt_exchange == "auto":
+                pa = ", ".join(f"{v:0.3f}"
+                               for v in pt_res.probe_acceptance)
+                print(f"Auto-chosen exchange interval: "
+                      f"{pt_res.exchange_interval} sweeps "
+                      f"(probe swap acceptance [{pa}])")
             print("\n###  Replica-exchange swap acceptance  ###")
             for i in range(len(pt_res.pair_t_lo)):
                 print(f"T {pt_res.pair_t_lo[i]:0.3f} <-> "

@@ -111,7 +111,42 @@ class PTResults(NamedTuple):
     pair_t_hi: np.ndarray           # [n_t-1]
     swap_acceptance: np.ndarray     # [n_t-1] accepted / attempted
     swap_attempts: np.ndarray       # [n_t-1] production attempts per pair
-    exchange_interval: int
+    exchange_interval: int          # the interval actually used ("auto":
+                                    # the chosen one)
+    # "auto" interval selection: per-pair swap acceptance measured on the
+    # post-thermalization probe block (None for a fixed interval)
+    probe_acceptance: np.ndarray | None = None
+
+
+def choose_exchange_interval(pair_acceptance, target_rate: float = 0.06,
+                             lo: int = 2, hi: int = 50) -> int:
+    """Exchange interval from measured swap acceptance.
+
+    Rule: hold the ACCEPTED-swap rate per pair per sweep at
+    ~`target_rate` for the weakest pair — ladder round trips are driven
+    by accepted swaps at the bottleneck pair, and attempts are nearly
+    free on device (an energy-only Metropolis pass), so low acceptance
+    is compensated with more frequent attempts:
+
+        interval = clip(round(min(p) / target_rate), lo, hi)
+
+    quantized to the menu {2, 5, 10, 20, 50} (log-nearest). The
+    quantization bounds compile diversity: the pallas cycle program's
+    sweep count is a Mosaic compile-time static, so a continuum of
+    intervals would mean a cold multi-minute kernel compile per run —
+    five menu values stay warm in the persistent cache.
+
+    Calibration: the measured v5e optimum (docs/ARCHITECTURE.md — 1.54x
+    tau_int gain, 6 levels 0.8-1.5, interval 10, acceptances 0.58-0.92)
+    has min(p)/interval = 0.058; target_rate = 0.06 reproduces interval
+    10 on that profile."""
+    p = np.asarray(pair_acceptance, np.float64)
+    if p.size == 0:       # single-level "ladder": no pairs to exchange
+        return hi
+    raw = np.clip(float(p.min()) / target_rate, lo, hi)
+    menu = np.asarray([2, 5, 10, 20, 50], np.float64)
+    menu = menu[(menu >= lo) & (menu <= hi)]
+    return int(menu[np.argmin(np.abs(np.log(menu) - np.log(raw)))])
 
 
 @partial(jax.jit, static_argnames=("cfg", "chains_per_t"))
@@ -172,7 +207,7 @@ def simulate_parallel_tempering(
     temps,
     key: jax.Array,
     chains_per_t: int = 16,
-    exchange_interval: int = 10,
+    exchange_interval: int | str = 10,
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
     sampler: str = "xla",
@@ -183,7 +218,11 @@ def simulate_parallel_tempering(
     z_bins: int = 0,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
-    sweeps. eqsteps/maxsteps round UP to whole exchange cycles; swap
+    sweeps ("auto": measure the swap acceptance on a short
+    post-thermalization probe and pick the interval with
+    choose_exchange_interval; the choice and the probe's per-pair
+    acceptance are reported in PTResults).
+    eqsteps/maxsteps round UP to whole exchange cycles; swap
     statistics count production attempts only. Per-T statistics follow
     tsweep's conventions (E includes 3NT/2; cv = var(E)/T^2). a_per_t
     [n_t]: per-level tuned mobility overriding gamma*T. NOTE the mobility
@@ -200,7 +239,15 @@ def simulate_parallel_tempering(
 
     temps = np.asarray(temps, dtype=np.float64)
     n_t = len(temps)
-    interval = max(1, int(exchange_interval))
+    # "auto": probe at the measured-optimal default (10), then choose
+    # from the probe's swap acceptance (choose_exchange_interval). The
+    # probe runs AFTER thermalization — pre-equilibrium energy gaps
+    # would bias the acceptance the choice is based on.
+    auto = exchange_interval == "auto"
+    if isinstance(exchange_interval, str) and not auto:
+        raise ValueError(f"exchange_interval must be an int or 'auto', "
+                         f"got {exchange_interval!r}")
+    interval = 10 if auto else max(1, int(exchange_interval))
     c = n_t * chains_per_t
     if state0 is not None:
         # resume a checkpointed ladder (same temperature-major layout;
@@ -322,6 +369,20 @@ def simulate_parallel_tempering(
     state, _, _, _, _, _, cyc = run_phase(state, params.eqsteps, 2.0, 0)
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
+    probe_acc = None
+    if auto:
+        # Short production-mobility probe: ~40 cycles is enough for a
+        # few-percent acceptance estimate per pair (chains_per_t
+        # attempts per cycle per pair). NB run_phase reads `interval`
+        # from this scope at call time — the probe runs at the probe
+        # interval, the rebind below switches production to the choice.
+        probe_cycles = 40
+        state, acc_p, att_p, _, _, _, cyc = run_phase(
+            state, probe_cycles * interval, 1.0, cyc)
+        probe_acc = acc_p / np.maximum(att_p, 1)
+        interval = choose_exchange_interval(probe_acc)
+        state = state._replace(accepted=jnp.zeros_like(state.accepted))
+
     lapse = max(1, params.gather_lapse)
     state, acc, att, samples, prod_moves, (p_s, e_p, gr_s, zp_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
@@ -360,6 +421,7 @@ def simulate_parallel_tempering(
         swap_acceptance=acc / np.maximum(att, 1),
         swap_attempts=att,
         exchange_interval=interval,
+        probe_acceptance=probe_acc,
     )
 
 
