@@ -39,9 +39,31 @@ def pytest_configure(config):
         "markers", "c_reference: needs the compiled C reference (skipped if absent)"
     )
     config.addinivalue_line("markers", "slow: long-running statistical test")
+    config.addinivalue_line(
+        "markers",
+        "quick: fast subset (`pytest -m quick`, <3 min) — unit physics, "
+        "io, kernels in interpret mode; statistical end-to-end excluded")
+
+
+# `pytest -m quick`: the <3-minute inner loop. Whole modules of unit
+# tests, minus the few >12 s statistical outliers inside them. The full
+# suite (~17 min) stays the merge gate; this is the edit-test loop.
+QUICK_MODULES = {
+    "test_potentials", "test_mathlib", "test_native", "test_observables",
+    "test_io", "test_sampler", "test_pallas",
+}
+QUICK_EXCLUDE = {
+    "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
+    "test_float32_statistics_match_float64",                   # ~14 s
+}
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rpartition(".")[-1]
+        if mod in QUICK_MODULES and \
+                item.name.split("[")[0] not in QUICK_EXCLUDE:
+            item.add_marker(pytest.mark.quick)
     if reference_available():
         return
     skip = pytest.mark.skip(reason="C reference not available at /root/reference")

@@ -1,0 +1,175 @@
+"""Smoke-test the interactive volume viewer template (VERDICT r2 weak #6):
+the ~100 lines of JS embedded in analysis._VOLUME_HTML previously shipped
+with no validation beyond "a file was written". There is no JS engine in
+this image, so the checks are structural but real: HTML well-formedness
+with every control element the script addresses, the embedded data
+constants parse as JSON, no unexpanded template placeholders survive,
+and the script's bracket structure balances outside strings/comments —
+a truncated or brace-mangled template edit fails here, not in a user's
+browser.
+"""
+
+import json
+import re
+from html.parser import HTMLParser
+
+import numpy as np
+import pytest
+
+import tpu_smc.analysis as analysis
+
+VOID = {"meta", "input", "br", "img", "hr", "link"}
+
+
+class _Checker(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.stack = []
+        self.ids = set()
+        self.scripts = []
+        self._in_script = False
+        self.errors = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in VOID:
+            self.stack.append(tag)
+        self.ids.update(v for k, v in attrs if k == "id")
+        if tag == "script":
+            self._in_script = True
+            self.scripts.append("")
+
+    def handle_endtag(self, tag):
+        if tag == "script":
+            self._in_script = False
+        if tag in VOID:
+            return
+        if not self.stack or self.stack[-1] != tag:
+            self.errors.append(f"mismatched </{tag}> (stack {self.stack})")
+        else:
+            self.stack.pop()
+
+    def handle_data(self, data):
+        if self._in_script:
+            self.scripts[-1] += data
+
+
+def _js_brackets_balanced(src: str) -> bool:
+    """Bracket balance outside '…'/"…"/`…` strings and //, /* comments.
+    Not a parser — but it catches truncation and brace mangling, the
+    realistic template-editing failure modes."""
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+        elif c == "/" and i + 1 < n and src[i + 1] == "/":
+            i = src.find("\n", i)
+            i = n if i < 0 else i
+        elif c == "/" and i + 1 < n and src[i + 1] == "*":
+            i = src.find("*/", i)
+            i = n if i < 0 else i + 1
+        elif c in "([{":
+            stack.append(c)
+        elif c in ")]}":
+            if not stack or stack[-1] != pairs[c]:
+                return False
+            stack.pop()
+        i += 1
+    return not stack
+
+
+def _fake_run(local, dims):
+    """Duck-typed RunData carrying only what render_volume_html reads."""
+    class R:
+        key = "N12_M3_r0.0001_T1.10"
+        local_dims = dims
+
+    r = R()
+    r.local = local
+    return r
+
+
+@pytest.fixture()
+def viewer_html(tmp_path, monkeypatch):
+    """Render the real viewer from a tiny synthetic run (with time
+    windows so the play/time controls are exercised too)."""
+    rng = np.random.default_rng(0)
+    dims = (4, 4, 6)
+    local = np.zeros(dims + (2,))
+    local[..., 0] = rng.integers(0, 9, dims)
+    win = rng.integers(0, 5, (3,) + dims + (2,)).astype(float)
+    monkeypatch.setattr(analysis, "load_local_windows",
+                        lambda run, rank=0: win)
+    p = analysis.render_volume_html(_fake_run(local, dims), tmp_path)
+    assert p is not None and p.exists()
+    return p.read_text()
+
+
+def test_html_structure_and_controls(viewer_html):
+    c = _Checker()
+    c.feed(viewer_html)
+    assert not c.errors, c.errors
+    assert not c.stack, f"unclosed tags: {c.stack}"
+    for el in ("cv", "axis", "mode", "slice", "sliceval", "timerow",
+               "time", "timeval", "play", "info"):
+        assert el in c.ids, f"missing #{el}"
+    assert len(c.scripts) == 1 and len(c.scripts[0]) > 500
+
+
+def test_script_data_constants_parse_as_json(viewer_html):
+    c = _Checker()
+    c.feed(viewer_html)
+    js = c.scripts[0]
+    consts = dict(re.findall(r"const (DIMS|CUM|WINDOWS|NW) = (.+?);", js))
+    assert set(consts) == {"DIMS", "CUM", "WINDOWS", "NW"}
+    dims = json.loads(consts["DIMS"])
+    cum = json.loads(consts["CUM"])
+    windows = json.loads(consts["WINDOWS"])
+    nw = json.loads(consts["NW"])
+    assert len(cum) == int(np.prod(dims))
+    assert nw == 3 and len(windows) == nw * len(cum)
+    # every JS index computed by at() stays in bounds by construction
+    assert all(isinstance(v, (int, float)) for v in cum[:16])
+
+
+def test_no_unexpanded_placeholders(viewer_html):
+    for ph in ("{key}", "{dims}", "{cum}", "{windows}", "{n_windows}"):
+        assert ph not in viewer_html
+    # double-brace CSS/JS escapes must all have been collapsed
+    assert "{{" not in viewer_html and "}}" not in viewer_html
+
+
+def test_script_brackets_balance(viewer_html):
+    c = _Checker()
+    c.feed(viewer_html)
+    assert _js_brackets_balanced(c.scripts[0])
+
+
+def test_checker_detects_broken_template(monkeypatch, tmp_path):
+    """A mangled template must FAIL these checks (guards the guards)."""
+    assert not _js_brackets_balanced("function f() { if (x) { }")
+    assert not _js_brackets_balanced("const a = [1, 2;")
+    assert _js_brackets_balanced("const s = '}; not a brace'; f();")
+    # truncated template -> renderer output fails the structure pass
+    monkeypatch.setattr(
+        analysis, "_VOLUME_HTML",
+        analysis._VOLUME_HTML[: len(analysis._VOLUME_HTML) // 2]
+        + "</html>\n")
+    monkeypatch.setattr(analysis, "load_local_windows",
+                        lambda run, rank=0: np.zeros((0, 2, 2, 2, 2)))
+    run = _fake_run(np.ones((2, 2, 2, 2)), (2, 2, 2))
+    try:
+        p = analysis.render_volume_html(run, tmp_path)
+    except (KeyError, ValueError, IndexError):
+        return  # format() itself rejects the mangled template: fine
+    html = p.read_text()
+    c = _Checker()
+    c.feed(html)
+    broken = (c.errors or c.stack or not c.scripts
+              or not _js_brackets_balanced(c.scripts[0]))
+    assert broken
