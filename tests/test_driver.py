@@ -31,6 +31,58 @@ def test_window_split_invariance():
     )
 
 
+def test_xla_engine_invariant_to_call_chunking_general_box():
+    """VERDICT r2 weak #4, XLA half: at GENERAL box L (33 — the f32
+    x*(1/L)*L round trip is inexact) the XLA ensemble engine must give
+    bitwise identical trajectories when the run is split into different
+    device-call sizes (max_gathers_per_call 2 vs 5): its sampler carries
+    no per-call state at all."""
+    import dataclasses
+
+    params = RunParams(eqsteps=6, maxsteps=40, numdata=20)
+    results = []
+    for mg in (2, 5):
+        cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32",
+                        storage_time=4, max_gathers_per_call=mg)
+        state, w = init_ensemble_state(cfg, jax.random.key(5), 3)
+        state, agg = simulate_ensemble(
+            cfg, params, state, w,
+            opts=ObservableOptions(clusters=False))
+        results.append((np.asarray(state.r),
+                        np.stack([c.energy_trace for c in agg.chains])))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
+def test_pallas_engine_full_driver_reproducible_general_box():
+    """VERDICT r2 weak #4, pallas half — the A6 guarantee ACTUALLY made
+    (docs/DEVIATIONS.md): at general L the kernel's x/y pre-scale rounds
+    once per call boundary, so the contract is NOT cross-chunking
+    invariance but determinism of the layout itself — chunk sizes are a
+    pure function of (cfg, params) via driver.therm_chunk /
+    cfg.max_gathers_per_call, never wall-clock. Two full driver runs
+    with identical seed+config must agree BITWISE end-to-end (interpret
+    kernel, L=12 where the round trip is inexact)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = RunParams(eqsteps=4, maxsteps=12, numdata=6)
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32",
+                    storage_time=3, max_gathers_per_call=2)
+    runs = []
+    for _ in range(2):
+        state, w = init_ensemble_state(cfg, jax.random.key(9), 128)
+        with pltpu.force_tpu_interpret_mode():
+            state, agg = simulate_ensemble(
+                cfg, params, state, w,
+                opts=ObservableOptions(clusters=False, pressure=False,
+                                       sampler="pallas"))
+        runs.append((np.asarray(state.r), np.asarray(state.energy),
+                     np.stack([c.energy_trace for c in agg.chains])))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    np.testing.assert_array_equal(runs[0][2], runs[1][2])
+
+
 def test_single_chain_matches_ensemble_of_one_statistics():
     """A 1-chain ensemble and the single-chain driver sample the same
     distribution (different RNG plumbing, so statistical agreement)."""
