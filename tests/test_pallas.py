@@ -142,6 +142,53 @@ def test_ensemble_driver_with_pallas_sampler():
     assert agg.chains[0].energy_trace.shape[0] == 4
 
 
+def test_ensemble_driver_with_zsorted_sampler():
+    """simulate_ensemble end-to-end with the zsorted engine (interpret):
+    runs, carries exact energies, and freezes the mobility accumulator
+    (the per-chunk z-sort permutes particle labels, so cell-change
+    counts would be spurious) while density keeps accumulating."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32",
+                    storage_time=2)
+    state, w = _dense_state(128)
+    params = RunParams(eqsteps=1, maxsteps=4, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        state, agg = simulate_ensemble(
+            cfg, params, state, w,
+            opts=ObservableOptions(pressure=False, clusters=False,
+                                   sampler="zsorted"),
+        )
+    assert np.isfinite(agg.mean_energy)
+    assert 0.0 < agg.acceptance_ratio <= 1.0
+    assert agg.chains[0].energy_trace.shape[0] == 4
+    assert np.asarray(state.mobility).sum() == 0   # frozen
+    assert np.asarray(state.density).sum() > 0     # still accumulating
+
+
+def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
+    """auto picks zsorted exactly when its constraints hold: N>=4096,
+    one device, confined, untuned, not a ladder."""
+    import jax as _jax
+
+    from tpu_smc.cli import _resolve_sampler
+    from tpu_smc.config import SMCConfig as C
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    big = C.for_n(4096, dtype="float32")
+    assert _resolve_sampler("auto", big, 256) == "zsorted"
+    assert _resolve_sampler("auto", C.for_n(1024, dtype="float32"),
+                            256) == "pallas"
+    assert _resolve_sampler("auto", big, 256, n_dev=2) == "pallas"
+    assert _resolve_sampler("auto", big, 256, tuned=True) == "pallas"
+    assert _resolve_sampler("auto", big, 256, ladder=True) == "pallas"
+    assert _resolve_sampler("auto", C.bulk(n=4096, dtype="float32"),
+                            256) == "pallas"   # pbc_z
+    assert _resolve_sampler("zsorted", big, 256) == "zsorted"  # explicit
+
+
 def test_banded_kernel_exact_bookkeeping():
     """Experimental z-banded random-scan kernel: energy bookkeeping must be
     exact whether moves take the window path or the full-pass fallback."""

@@ -70,10 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "bounds, energy drift); warns like boundsCheck")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace here")
-    p.add_argument("--sampler", choices=("xla", "pallas", "auto"),
+    p.add_argument("--sampler", choices=("xla", "pallas", "zsorted", "auto"),
                    default="auto",
                    help="ensemble sweep engine (pallas needs TPU + float32 "
-                        "+ chains %% 128 == 0); single-chain runs use xla")
+                        "+ chains %% 128 == 0; zsorted = pallas with exact "
+                        "z-block skipping — faster at N>=4096, "
+                        "single-device, confined systems, fixed A); "
+                        "single-chain runs use xla")
     p.add_argument("--platform", default=None,
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
@@ -131,21 +134,30 @@ def _exchange_arg(v: str):
     return int(v)
 
 
-def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1) -> str:
+def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
+                     tuned: bool = False, ladder: bool = False) -> str:
     """--sampler auto: the pallas engine needs TPU + float32 and a
     PER-DEVICE chain count that fills the 128-lane width — after
     sharding, each device's kernel sees chains/n_dev chains, so the
-    gate must look at the local count, not the global one."""
+    gate must look at the local count, not the global one.
+
+    At N >= 4096 auto upgrades to the zsorted engine (measured 24%
+    faster than dense there, docs/PERF_NOTES.md) when its constraints
+    hold: single device, confined (no pbc_z), untuned mobility (A is a
+    Mosaic compile-time static in that kernel)."""
     if requested != "auto":
         return requested
     import jax
 
     local = chains // n_dev if (n_dev > 1 and chains % n_dev == 0) \
         else chains
-    return ("pallas"
-            if (jax.default_backend() == "tpu" and cfg.dtype == "float32"
-                and local % 128 == 0)
-            else "xla")
+    if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
+            and local % 128 == 0):
+        return "xla"
+    if cfg.n >= 4096 and n_dev == 1 and not cfg.pbc_z and not tuned \
+            and not ladder:
+        return "zsorted"
+    return "pallas"
 
 
 def _prompt_missing(args) -> None:
@@ -279,7 +291,12 @@ def main(argv=None) -> int:
             print(f"Note: {ladder_c} ladder chains do not divide over "
                   f"{n_dev} devices; running on one device")
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
-                                    n_dev=n_dev if lmesh is not None else 1)
+                                    n_dev=n_dev if lmesh is not None else 1,
+                                    ladder=True)
+        if tsampler == "zsorted":
+            sys.exit("--sampler zsorted does not support --temperatures "
+                     "(the ladder needs per-chain (A, T) kernel rows); "
+                     "use --sampler pallas")
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{args.chains_per_t} chains, one compiled ensemble "
               f"({tsampler} engine)")
@@ -612,7 +629,21 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         print(f"Note: {c} chains do not divide over {n_dev} devices; "
               "running on one device")
     sampler = _resolve_sampler(args.sampler, cfg, c,
-                               n_dev=n_dev if mesh is not None else 1)
+                               n_dev=n_dev if mesh is not None else 1,
+                               tuned=bool(getattr(args, "target_acceptance",
+                                                  None)))
+    if sampler == "zsorted":
+        if mesh is not None:
+            sys.exit("--sampler zsorted is single-device (no sharded "
+                     "variant); use --sampler pallas")
+        if cfg.pbc_z:
+            sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
+                     "runs need --sampler pallas)")
+        if getattr(args, "target_acceptance", None):
+            sys.exit("--sampler zsorted holds A as a kernel compile-time "
+                     "static; --target-acceptance needs --sampler pallas")
+        print("Note: zsorted engine — mobility column frozen (the z-sort "
+              "permutes particle labels); density/E/P unaffected")
     print(f"Ensemble sweep engine: {sampler}")
     # Seeded runs derive the shared per-sweep streams (cyclic offsets /
     # kernel sweep seeds) from the run seed, making them invariant to the

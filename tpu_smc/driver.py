@@ -54,7 +54,7 @@ def therm_chunk(cfg: SMCConfig, sampler: str = "xla") -> int:
     trajectories on different machines through the pallas engine's
     per-call boundary rounding (ADVICE r1). Sized from the O(N^2) sweep
     cost to stay far under the ~100 s device watchdog on v5e."""
-    budget = 5e8 if sampler == "pallas" else 1e8
+    budget = 5e8 if sampler in ("pallas", "zsorted") else 1e8
     return max(50, min(2000, int(budget / (cfg.n * cfg.n))))
 
 
@@ -127,9 +127,11 @@ class ObservableOptions:
     gr_bins: int = 0          # 0 disables g(r)
     z_bins: int = 0           # 0 disables the z profile
     collect_sweep_trace: bool = True  # full-resolution E/jj traces
-    # Ensemble sweep engine: "xla" (sampler.sweep under vmap) or "pallas"
+    # Ensemble sweep engine: "xla" (sampler.sweep under vmap), "pallas"
     # (kernels/sweep_pallas whole-sweep kernel; TPU float32, chain count
-    # tiling by 128). Single-chain simulate() always uses "xla".
+    # tiling by 128), or "zsorted" (the same kernel with exact z-block
+    # skipping — faster at N>=4096, single-device, fixed A, mobility
+    # column frozen; PERF_NOTES.md). Single-chain simulate() is "xla".
     sampler: str = "xla"
     # Production proposal mobility override (auto-tuned A, tuning.py).
     # None -> cfg.proposal_a. The pallas engine routes an override through

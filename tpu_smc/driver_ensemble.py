@@ -58,7 +58,19 @@ def _gather_step_batched(
     # ladder-mode compile key instead of recompiling per tuned value.
     at = (None if opts.proposal_a is None
           else (opts.proposal_a, float(cfg.temperature)))
-    if opts.sampler == "pallas":
+    if opts.sampler == "zsorted":
+        # Large-N fast path (N>=4096 measured faster than dense —
+        # docs/PERF_NOTES.md): exact z-block skipping, single device,
+        # c_tile 128 (the 256-lane tile dilutes the per-block z
+        # envelope). Static A only: a tuned override would recompile
+        # Mosaic per run, so the CLI falls back to dense for tuned runs.
+        from .ensemble import ensemble_sweeps_zsorted
+
+        state, trace = ensemble_sweeps_zsorted(
+            state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
+            c_tile=128,
+        )
+    elif opts.sampler == "pallas":
         if mesh is not None:
             from .ensemble import ensemble_sweeps_pallas_sharded
 
@@ -97,6 +109,12 @@ def _gather_step_batched(
     rbin, density, mobility = jax.vmap(
         lambda r, b, d, m: density_mobility_update(r, b, d, m, cfg)
     )(state.r, state.rbin, state.density, state.mobility)
+    if opts.sampler == "zsorted":
+        # The per-chunk z-sort permutes particle LABELS, so cell-change
+        # counts would read as spurious mobility; density (a pure
+        # position histogram) is unaffected. Freeze the mobility
+        # accumulator rather than emit garbage.
+        mobility = state.mobility
     state = state._replace(rbin=rbin, density=density, mobility=mobility)
 
     c = state.r.shape[0]
@@ -214,7 +232,15 @@ def simulate_ensemble(
         # per-call boundary rounding means wall-clock-sized chunks would
         # make seeded runs host-speed-dependent (ADVICE r1); each chunk
         # stays far under the TPU runtime watchdog by construction.
-        if opts.sampler == "pallas":
+        if opts.sampler == "zsorted":
+            def therm_step(s, k):
+                from .ensemble import ensemble_sweeps_zsorted
+
+                return ensemble_sweeps_zsorted(
+                    s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
+                    c_tile=128,
+                )[0]
+        elif opts.sampler == "pallas":
             def therm_step(s, k):
                 if mesh is not None:
                     from .ensemble import ensemble_sweeps_pallas_sharded
