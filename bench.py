@@ -218,6 +218,37 @@ def main() -> int:
     else:
         log("bench: skipping N=108 secondary (time budget)")
 
+    # Tertiary: the large-N config (N=4096, zsorted engine — the z-block
+    # skipping kernel that beats dense at this size, PERF_NOTES.md).
+    # Throughput only (cold lattice start): the kernel statics match the
+    # cached evidence-run variant (per-sort 1-sweep blocks).
+    if time.time() - ready < 560:
+        cfg3 = SMCConfig.for_n(4096, dtype="float32")
+        state3, w3 = init_ensemble_state(cfg3, jax.random.key(0), 256)
+        t0 = time.time()
+        state3, _ = ens.ensemble_sweeps_zsorted(
+            state3, w3, cfg3, cfg3.proposal_a, 200, seed=31, c_tile=128)
+        sync(state3)
+        warmup_4096 = time.time() - t0
+        log(f"bench: N=4096 warmup/compile {warmup_4096:.1f}s")
+        best4096 = float("inf")
+        for rep in range(2):
+            t0 = time.time()
+            state3, _ = ens.ensemble_sweeps_zsorted(
+                state3, w3, cfg3, cfg3.proposal_a, 200, seed=32 + rep,
+                c_tile=128)
+            sync(state3)
+            best4096 = min(best4096, time.time() - t0)
+        agg4096 = 256 * 200 / best4096
+        log(f"bench: N=4096 tertiary (zsorted): {agg4096:,.0f} "
+            "aggregate sweeps/s")
+        RESULT["extra"].update({
+            "n4096_zsorted_sweeps_per_s": round(agg4096, 1),
+            "warmup_n4096_s": round(warmup_4096, 1),
+        })
+    else:
+        log("bench: skipping N=4096 tertiary (time budget)")
+
     # Multi-chip: when this host sees >1 device, also measure the sharded
     # kernel over the full mesh (chains shard with zero cross-chip
     # traffic, so aggregate ~ n_devices x single chip — the BASELINE.json

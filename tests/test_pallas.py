@@ -121,6 +121,24 @@ def test_sharded_pallas_sweep_on_virtual_mesh():
     assert int(np.asarray(st2.sweeps)[0]) == 1
 
 
+def test_sharded_zsorted_sweep_on_virtual_mesh():
+    """z-block-skipping kernel under shard_map across the 8 virtual
+    devices (interpret mode): the per-chain sort shards trivially and
+    sweep counters/energies stay coherent."""
+    from tpu_smc import ensemble as ens
+
+    mesh = ens.make_mesh(8, axis_names=("chains",))
+    state, w = init_ensemble_state(CFG, jax.random.key(3), 8 * 128)
+    state = ens.shard_ensemble(state, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        st2, tr = ens.ensemble_sweeps_zsorted_sharded(
+            state, w, CFG, CFG.proposal_a, 1, seed=4, mesh=mesh,
+            c_tile=128)
+    assert bool(np.all(np.isfinite(np.asarray(st2.energy))))
+    assert np.asarray(tr.accepted).shape == (1, 1024)
+    assert int(np.asarray(st2.sweeps)[0]) == 1
+
+
 def test_ensemble_driver_with_pallas_sampler():
     """simulate_ensemble end-to-end with the pallas engine (interpret)."""
     from tpu_smc.config import RunParams
@@ -181,7 +199,8 @@ def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
     assert _resolve_sampler("auto", big, 256) == "zsorted"
     assert _resolve_sampler("auto", C.for_n(1024, dtype="float32"),
                             256) == "pallas"
-    assert _resolve_sampler("auto", big, 256, n_dev=2) == "pallas"
+    assert _resolve_sampler("auto", big, 256, n_dev=2) == "zsorted"
+    assert _resolve_sampler("auto", big, 255, n_dev=2) == "xla"
     assert _resolve_sampler("auto", big, 256, tuned=True) == "pallas"
     assert _resolve_sampler("auto", big, 256, ladder=True) == "pallas"
     assert _resolve_sampler("auto", C.bulk(n=4096, dtype="float32"),

@@ -74,9 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="ensemble sweep engine (pallas needs TPU + float32 "
                         "+ chains %% 128 == 0; zsorted = pallas with exact "
-                        "z-block skipping — faster at N>=4096, "
-                        "single-device, confined systems, fixed A); "
-                        "single-chain runs use xla")
+                        "z-block skipping — faster at N>=4096, confined "
+                        "systems, fixed A); single-chain runs use xla")
     p.add_argument("--platform", default=None,
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
@@ -143,8 +142,9 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
 
     At N >= 4096 auto upgrades to the zsorted engine (measured 24%
     faster than dense there, docs/PERF_NOTES.md) when its constraints
-    hold: single device, confined (no pbc_z), untuned mobility (A is a
-    Mosaic compile-time static in that kernel)."""
+    hold: confined (no pbc_z) and untuned mobility (A is a Mosaic
+    compile-time static in that kernel). Multi-device runs use the
+    shard_map wrapper like the dense engine."""
     if requested != "auto":
         return requested
     import jax
@@ -154,8 +154,7 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
             and local % 128 == 0):
         return "xla"
-    if cfg.n >= 4096 and n_dev == 1 and not cfg.pbc_z and not tuned \
-            and not ladder:
+    if cfg.n >= 4096 and not cfg.pbc_z and not tuned and not ladder:
         return "zsorted"
     return "pallas"
 
@@ -633,9 +632,6 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
                                tuned=bool(getattr(args, "target_acceptance",
                                                   None)))
     if sampler == "zsorted":
-        if mesh is not None:
-            sys.exit("--sampler zsorted is single-device (no sharded "
-                     "variant); use --sampler pallas")
         if cfg.pbc_z:
             sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
                      "runs need --sampler pallas)")

@@ -466,6 +466,56 @@ def ensemble_sweeps_pallas_sharded(
     return fn(*args)
 
 
+def ensemble_sweeps_zsorted_sharded(
+    state: ChainState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    a: float,
+    n_sweeps: int,
+    seed: int | None,
+    mesh: Mesh,
+    axis: str = "chains",
+    c_tile: int | None = None,
+    row_block_rows: int = 128,
+) -> Tuple[ChainState, SweepStats]:
+    """Multi-chip zsorted path: the z-block-skipping kernel under
+    shard_map — each device z-sorts and sweeps its local chain shard
+    (the sort is per chain, so sharding the chain axis changes nothing),
+    zero cross-chip traffic. Per-device PRNG streams decorrelate by
+    folding the device index into the seed, exactly like
+    ensemble_sweeps_pallas_sharded."""
+    nd = mesh.shape[axis]
+    c = state.r.shape[0]
+    assert c % nd == 0, f"chains {c} must divide over {nd} devices"
+
+    def local(st):
+        if seed is None:
+            local_seed = None
+        else:
+            dev = jax.lax.axis_index(axis)
+            local_seed = jnp.stack(
+                [jnp.int32(seed)
+                 + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
+                 dev.astype(jnp.int32)])
+        return ensemble_sweeps_zsorted(
+            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile,
+            row_block_rows=row_block_rows,
+        )
+
+    specs = ChainState(
+        r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
+        accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
+    )
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, SweepStats(energy=P(None, axis),
+                                     accepted=P(None, axis))),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    return fn(state)
+
+
 # ----------------------------------------------------------------------
 # Particle-axis sharding (the "tensor/sequence parallel" analog, §5.7/§2)
 # ----------------------------------------------------------------------
