@@ -101,6 +101,16 @@ signal.signal(signal.SIGINT, _on_term)
 
 
 def main() -> int:
+    # The record must survive ANY failure past the primary measurement
+    # (a secondary-phase kernel fault would otherwise swallow the whole
+    # scoreboard line — the exact VERDICT r2 #1 failure mode).
+    try:
+        return _main()
+    finally:
+        emit_result()
+
+
+def _main() -> int:
     cache = os.path.join(REPO, ".jax_cache")
     os.makedirs(cache, exist_ok=True)
 

@@ -132,3 +132,14 @@ def test_coordinator_rejects_bad_usage(tmp_path):
     )
     assert out.returncode != 0
     assert "divide evenly" in (out.stderr + out.stdout)
+
+
+def test_ck_suffix_insertion():
+    """Every rank of a multi-process run writes its OWN checkpoint
+    (auto-checkpoint included — code-review r3 finding)."""
+    from tpu_smc.cli import _ck_with_suffix
+
+    assert _ck_with_suffix("autosave.npz", ".p1") == "autosave.p1.npz"
+    assert _ck_with_suffix("ck", ".p0") == "ck.p0"
+    assert _ck_with_suffix("a.b.npz", ".p2") == "a.b.p2.npz"
+    assert _ck_with_suffix("autosave.npz", "") == "autosave.npz"

@@ -139,6 +139,47 @@ def test_sharded_zsorted_sweep_on_virtual_mesh():
     assert int(np.asarray(st2.sweeps)[0]) == 1
 
 
+def test_sharded_wrappers_accept_two_word_seeds():
+    """The multi-process CLI passes (seed, proc_id) tuples; both sharded
+    wrappers must fold the salt word per device instead of crashing in
+    jnp.stack (code-review r3 finding)."""
+    from tpu_smc import ensemble as ens
+
+    mesh = ens.make_mesh(2, axis_names=("chains",))
+    state, w = init_ensemble_state(CFG, jax.random.key(5), 2 * 128)
+    state = ens.shard_ensemble(state, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        s1, _ = ens.ensemble_sweeps_pallas_sharded(
+            state, w, CFG, CFG.proposal_a, 1, seed=(5, 1), mesh=mesh,
+            c_tile=128)
+        s2, _ = ens.ensemble_sweeps_zsorted_sharded(
+            state, w, CFG, CFG.proposal_a, 1, seed=(5, 1), mesh=mesh,
+            c_tile=128)
+        # a different salt word must change the streams
+        s3, _ = ens.ensemble_sweeps_pallas_sharded(
+            state, w, CFG, CFG.proposal_a, 1, seed=(5, 2), mesh=mesh,
+            c_tile=128)
+    assert np.all(np.isfinite(np.asarray(s1.energy)))
+    assert np.all(np.isfinite(np.asarray(s2.energy)))
+    assert not np.array_equal(np.asarray(s1.r), np.asarray(s3.r))
+
+
+def test_zsorted_rejects_proposal_a_override():
+    """A tuned mobility is a Mosaic compile-time static in the zsorted
+    kernel — the driver must refuse it, not silently cold-compile."""
+    import pytest
+
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+
+    state, w = _dense_state(128)
+    with pytest.raises(ValueError, match="zsorted"):
+        simulate_ensemble(
+            CFG, RunParams(0, 4, 4), state, w,
+            opts=ObservableOptions(sampler="zsorted", proposal_a=0.5))
+
+
 def test_ensemble_driver_with_pallas_sampler():
     """simulate_ensemble end-to-end with the pallas engine (interpret)."""
     from tpu_smc.config import RunParams

@@ -554,12 +554,24 @@ def _install_signal_stop():
     return flag
 
 
-def _window_maintenance(args, cfg, widx, st, stopper, w=None):
+def _ck_with_suffix(ck: str, suffix: str) -> str:
+    """Insert a per-process suffix before the extension — every rank of
+    a multi-process run must write its OWN checkpoint (each holds only
+    its local chains; a shared path would be clobbered down to one
+    rank's half-ensemble)."""
+    if not suffix:
+        return ck
+    root, dot, ext = ck.rpartition(".")
+    return f"{root}{suffix}{dot}{ext}" if dot else ck + suffix
+
+
+def _window_maintenance(args, cfg, widx, st, stopper, w=None, ck_suffix=""):
     """Auto-checkpoint, health checks, graceful stop. Returns "stop" to
     end the run at this window boundary."""
     from . import io as smcio
 
-    ck = getattr(args, "checkpoint", None) or "autosave.npz"
+    ck = _ck_with_suffix(
+        getattr(args, "checkpoint", None) or "autosave.npz", ck_suffix)
     if args.auto_checkpoint and (widx + 1) % args.auto_checkpoint == 0:
         smcio.save_checkpoint(ck, st, cfg)
     if getattr(args, "health_checks", False) and w is not None:
@@ -604,12 +616,15 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
 
     stopper = _install_signal_stop()
 
+    ck_suffix = f".p{proc_id}" if nproc > 1 else ""
+
     def on_window(widx, st, out):
         r = np.asarray(st.r)
         for ci in range(c):
             pos_writers[ci].append(r[ci])
         print(f"\rWindow {widx + 1} done...", end="")
-        return _window_maintenance(args, cfg, widx, st, stopper, w)
+        return _window_maintenance(args, cfg, widx, st, stopper, w,
+                                   ck_suffix=ck_suffix)
 
     # Multi-device hosts: shard the chain axis over every visible device
     # (zero cross-device traffic — the reference's replica model on ICI).
@@ -643,13 +658,15 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     print(f"Ensemble sweep engine: {sampler}")
     # Seeded runs derive the shared per-sweep streams (cyclic offsets /
     # kernel sweep seeds) from the run seed, making them invariant to the
-    # process split (XLA engine: bitwise — test_distributed). The pallas
-    # kernel draws per-chain noise from the lane index inside the call,
-    # so multi-process pallas salts the seed per process: replicas stay
-    # independent; equivalence to single-process is statistical there.
+    # process split (XLA engine: bitwise — test_distributed). The KERNEL
+    # engines (pallas AND zsorted) draw per-chain noise from the lane
+    # index inside the call, so multi-process kernel runs salt the seed
+    # per process — without it every process would generate bitwise the
+    # same chains (silent replica duplication). Equivalence to
+    # single-process is statistical there.
     stream = None
     if getattr(args, "seed", None) is not None:
-        stream = (int(args.seed) if (sampler != "pallas" or nproc == 1)
+        stream = (int(args.seed) if (sampler == "xla" or nproc == 1)
                   else (int(args.seed), proc_id))
     opts = ObservableOptions(
         gr_bins=args.gr_bins, z_bins=args.z_bins,
@@ -708,13 +725,23 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         std_p = float(g_summ[:, 1].std())
         acc_mean = float(g_summ[:, 2].mean())
         sps = float(g_summ[:, 3].sum())
-        if agg.chains[0].energy_trace_full.size:
+        # Agree on trace lengths FIRST: a graceful stop (signal) can
+        # reach ranks at different windows, and an allgather over
+        # unequal shapes errors on one rank while the others block
+        # forever in the collective. Truncate everyone to the global
+        # minimum; zero on any rank skips the trace pooling everywhere.
+        lens = allgather_chain_axis(np.asarray(
+            [[len(agg.chains[0].energy_trace_full),
+              len(agg.chains[0].accept_trace),
+              len(agg.chains[0].pressure_trace)]], np.int64))   # [P, 3]
+        se, sa, sp_ = (int(v) for v in lens.min(axis=0))
+        if se > 0:
             g_e = allgather_chain_axis(
-                np.stack([r.energy_trace_full for r in agg.chains]))
+                np.stack([r.energy_trace_full[:se] for r in agg.chains]))
             g_a = allgather_chain_axis(
-                np.stack([r.accept_trace for r in agg.chains]))
+                np.stack([r.accept_trace[:sa] for r in agg.chains]))
             g_p = allgather_chain_axis(
-                np.stack([r.pressure_trace for r in agg.chains]))
+                np.stack([r.pressure_trace[:sp_] for r in agg.chains]))
             pooled_chains = [SimpleNamespace(energy_trace_full=g_e[i],
                                              accept_trace=g_a[i],
                                              pressure_trace=g_p[i])
@@ -751,11 +778,8 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         smcio.write_last_state(d, cfg, agg.chains[0].r_final)
 
     if args.checkpoint:
-        ck = args.checkpoint
-        if nproc > 1:
-            root, dot, ext = ck.rpartition(".")
-            ck = f"{root}.p{proc_id}{dot}{ext}" if dot else f"{ck}.p{proc_id}"
-        ck_path = smcio.save_checkpoint(ck, state, cfg)
+        ck_path = smcio.save_checkpoint(
+            _ck_with_suffix(args.checkpoint, ck_suffix), state, cfg)
         print(f"Full ensemble state checkpointed to {ck_path}")
     return 0
 

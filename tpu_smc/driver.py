@@ -364,6 +364,12 @@ def simulate(
                 state = state._replace(accepted=jnp.zeros_like(state.accepted))
                 chunks.append(part)
                 sub_done += sub
+            # The trace readback is device work too (concat + D2H): a
+            # fault surfacing here must retry like one in the sweeps.
+            out = (chunks[0] if len(chunks) == 1
+                   else jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                     *chunks))
+            out = jax.tree.map(np.asarray, out)
         except Exception as exc:  # noqa: BLE001
             if snap is None or faults >= max_fault_retries \
                     or not is_device_fault(exc):
@@ -376,9 +382,6 @@ def simulate(
             continue
         faults = 0
         prod_moves += moves_w
-        out = (chunks[0] if len(chunks) == 1
-               else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
-        out = jax.tree.map(np.asarray, out)
         verdict = on_window(widx, state, out) if on_window is not None else None
         windows.append(out)
         done += g

@@ -226,6 +226,16 @@ def simulate_ensemble(
     snapshot (driver.snapshot_to_host semantics); 0 disables."""
     import time as _time
 
+    if opts.sampler == "zsorted" and opts.proposal_a is not None:
+        # CLAUDE.md invariant: a RUN-VARYING mobility must ride the
+        # ladder-mode (A, T) data rows, never the kernel's static `a` —
+        # the zsorted kernel has no data-row path, so a tuned override
+        # would cold-compile Mosaic per tuned value (minutes each).
+        raise ValueError(
+            "zsorted engine cannot take a proposal_a override (A is a "
+            "Mosaic compile-time static there); use sampler='pallas', "
+            "which routes tuned mobilities through (A, T) data rows")
+
     lapse = params.gather_lapse
     gather_steps = params.gather_steps
     n_chains = state.r.shape[0]
@@ -337,6 +347,11 @@ def simulate_ensemble(
                 state = state._replace(accepted=jnp.zeros_like(state.accepted))
                 chunks.append(part)
                 sub_done += sub
+            # Trace readback is device work too — retryable (see driver).
+            out = (chunks[0] if len(chunks) == 1
+                   else jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                     *chunks))
+            out = jax.tree.map(np.asarray, out)
         except Exception as exc:  # noqa: BLE001
             if snap is None or faults >= max_fault_retries \
                     or not is_device_fault(exc):
@@ -349,9 +364,6 @@ def simulate_ensemble(
             continue
         faults = 0
         prod_moves += moves_w
-        out = (chunks[0] if len(chunks) == 1
-               else jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks))
-        out = jax.tree.map(np.asarray, out)
         verdict = on_window(widx, state, out) if on_window is not None else None
         windows.append(out)
         done += g

@@ -403,6 +403,23 @@ def ensemble_sweeps_banded(
                                  accepted=a_tr), fb_frac
 
 
+def _device_salted_seed(seed, axis: str):
+    """Per-device PRNG seed inside a shard_map body: fold the device's
+    mesh index into EVERY provided seed word so shards decorrelate.
+    Accepts None (caller derives from local chain keys — already
+    distinct per shard), a scalar seed, or a 2-word (seed, salt) vector
+    (the multi-process CLI salts per process; without folding the salt
+    word here, two processes' devices would repeat streams)."""
+    if seed is None:
+        return None
+    dev = jax.lax.axis_index(axis).astype(jnp.int32)
+    seed_vec = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    w0 = seed_vec[0] + dev * jnp.int32(0x9E3779)
+    w1 = dev if seed_vec.shape[0] == 1 \
+        else seed_vec[1] * jnp.int32(1000003) + dev
+    return jnp.stack([w0, w1])
+
+
 def ensemble_sweeps_pallas_sharded(
     state: ChainState,
     w: jax.Array,
@@ -436,18 +453,11 @@ def ensemble_sweeps_pallas_sharded(
 
     def local(st, *rows):
         st = jax.tree.map(lambda x: x, st)
-        if seed is None:
-            local_seed = None
-        else:
-            dev = jax.lax.axis_index(axis)
-            local_seed = jnp.stack(
-                [jnp.int32(seed)
-                 + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
-                 dev.astype(jnp.int32)])
         kw = dict(a_per_chain=rows[0], t_per_chain=rows[1]) if per_chain \
             else dict(uniform_at=uniform_at)
         return ensemble_sweeps_pallas(
-            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile, **kw,
+            st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
+            c_tile=c_tile, **kw,
         )
 
     specs = ChainState(
@@ -489,17 +499,9 @@ def ensemble_sweeps_zsorted_sharded(
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
 
     def local(st):
-        if seed is None:
-            local_seed = None
-        else:
-            dev = jax.lax.axis_index(axis)
-            local_seed = jnp.stack(
-                [jnp.int32(seed)
-                 + dev.astype(jnp.int32) * jnp.int32(0x9E3779),
-                 dev.astype(jnp.int32)])
         return ensemble_sweeps_zsorted(
-            st, w, cfg, a, n_sweeps, seed=local_seed, c_tile=c_tile,
-            row_block_rows=row_block_rows,
+            st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
+            c_tile=c_tile, row_block_rows=row_block_rows,
         )
 
     specs = ChainState(
