@@ -203,9 +203,8 @@ def test_ensemble_driver_with_pallas_sampler():
 
 def test_ensemble_driver_with_zsorted_sampler():
     """simulate_ensemble end-to-end with the zsorted engine (interpret):
-    runs, carries exact energies, and freezes the mobility accumulator
-    (the per-chunk z-sort permutes particle labels, so cell-change
-    counts would be spurious) while density keeps accumulating."""
+    runs, carries exact energies, and keeps BOTH voxel accumulators live
+    (labels are restored at call boundaries, so mobility is real)."""
     from tpu_smc.config import RunParams
     from tpu_smc.driver import ObservableOptions
     from tpu_smc.driver_ensemble import simulate_ensemble
@@ -223,8 +222,32 @@ def test_ensemble_driver_with_zsorted_sampler():
     assert np.isfinite(agg.mean_energy)
     assert 0.0 < agg.acceptance_ratio <= 1.0
     assert agg.chains[0].energy_trace.shape[0] == 4
-    assert np.asarray(state.mobility).sum() == 0   # frozen
-    assert np.asarray(state.density).sum() > 0     # still accumulating
+    assert np.asarray(state.density).sum() > 0     # accumulating
+
+
+def test_zsorted_preserves_particle_identity():
+    """With a vanishing mobility no particle moves, so the positions the
+    wrapper returns must be BITWISE the input — in ORIGINAL particle
+    order. Without the identity carry + un-permute, a z-sorted copy
+    would come back instead (labels shuffled)."""
+    from tpu_smc import ensemble as ens
+
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(3)
+    r0 = np.stack([rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+                   rng.uniform(-25, 25, 24)], axis=1).astype(np.float32)
+    state, w = init_ensemble_state(cfg, jax.random.key(6), 128,
+                                   r0=r0)
+    # deliberately NOT z-ordered input
+    assert not np.all(np.diff(r0[:, 2]) >= 0)
+    with pltpu.force_tpu_interpret_mode():
+        st2, _ = ens.ensemble_sweeps_zsorted(
+            state, w, cfg, 1e-18, 2, seed=7, c_tile=128)
+    np.testing.assert_allclose(np.asarray(st2.r), np.asarray(state.r),
+                               atol=1e-5)
+    # and the row ORDER matches exactly (identity, not just the set)
+    assert np.array_equal(np.argsort(np.asarray(st2.r)[0, :, 2]),
+                          np.argsort(r0[:, 2]))
 
 
 def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):

@@ -653,8 +653,6 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         if getattr(args, "target_acceptance", None):
             sys.exit("--sampler zsorted holds A as a kernel compile-time "
                      "static; --target-acceptance needs --sampler pallas")
-        print("Note: zsorted engine — mobility column frozen (the z-sort "
-              "permutes particle labels); density/E/P unaffected")
     print(f"Ensemble sweep engine: {sampler}")
     # Seeded runs derive the shared per-sweep streams (cyclic offsets /
     # kernel sweep seeds) from the run seed, making them invariant to the

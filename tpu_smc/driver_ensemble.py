@@ -117,12 +117,6 @@ def _gather_step_batched(
     rbin, density, mobility = jax.vmap(
         lambda r, b, d, m: density_mobility_update(r, b, d, m, cfg)
     )(state.r, state.rbin, state.density, state.mobility)
-    if opts.sampler == "zsorted":
-        # The per-chunk z-sort permutes particle LABELS, so cell-change
-        # counts would read as spurious mobility; density (a pure
-        # position histogram) is unaffected. Freeze the mobility
-        # accumulator rather than emit garbage.
-        mobility = state.mobility
     state = state._replace(rbin=rbin, density=density, mobility=mobility)
 
     c = state.r.shape[0]

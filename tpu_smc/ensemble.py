@@ -286,9 +286,11 @@ def ensemble_sweeps_zsorted(
     identical to the same kernel with skipping disabled (tested), and
     the sampled chain is the standard one.
 
-    Caveat (same as the banded experiment): the per-chunk sort permutes
-    particle LABELS, so Rbin mobility bookkeeping loses particle
-    identity; density/g(r)/E/pressure are unaffected.
+    Particle labels are PRESERVED across the call: the wrapper carries
+    an identity row through the per-chunk sorts and scatters positions
+    back to original order at the boundary, so Rbin mobility and
+    positions-CSV identity work exactly like the dense engine (the
+    archived banded experiment lacked this).
     """
     from .kernels import sweep_pallas as sp
 
@@ -314,14 +316,23 @@ def ensemble_sweeps_zsorted(
     x, y, z = sp.to_planes(state.r, cfg)
     wa, wb = sp.wall_coeff_rows(w, cfg)
     e = state.energy.reshape(1, c).astype(jnp.float32)
+    # Particle identity carried THROUGH the sorts: idx[j, c] = original
+    # particle id of the row currently at position j in chain c. The
+    # kernel only moves particles in place (row order is stable inside a
+    # call), so composing idx with each chunk's permutation lets the
+    # wrapper hand positions back in ORIGINAL particle order — label-
+    # dependent bookkeeping (Rbin mobility, positions CSV identity)
+    # survives, unlike the archived banded experiment.
+    idx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (1, c))
 
     def chunk(carry, k):
-        x, y, z, e = carry
+        x, y, z, e, idx = carry
         # z-sort the real rows per chain (pads stay parked at the tail)
         perm = jnp.argsort(z[:n], axis=0)
         x = x.at[:n].set(jnp.take_along_axis(x[:n], perm, axis=0))
         y = y.at[:n].set(jnp.take_along_axis(y[:n], perm, axis=0))
         z = z.at[:n].set(jnp.take_along_axis(z[:n], perm, axis=0))
+        idx = jnp.take_along_axis(idx, perm, axis=0)
         k0 = (k * sweeps_per_sort).astype(jnp.int32)
         off = jax.lax.dynamic_slice(offsets, (k0,), (sweeps_per_sort,))
         sws = jax.lax.dynamic_slice(
@@ -330,15 +341,22 @@ def ensemble_sweeps_zsorted(
             x, y, z, e, wa, wb, off, sws, cfg, sweeps_per_sort, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
         )
-        return (x, y, z, e), (etr, atr)
+        return (x, y, z, e, idx), (etr, atr)
 
-    (x, y, z, e), (etr, atr) = jax.lax.scan(
-        chunk, (x, y, z, e), jnp.arange(n_chunks, dtype=jnp.int32))
+    (x, y, z, e, idx), (etr, atr) = jax.lax.scan(
+        chunk, (x, y, z, e, idx), jnp.arange(n_chunks, dtype=jnp.int32))
     e_trace = etr.reshape(n_sweeps, c)
     a_trace = atr.reshape(n_sweeps, c)
 
+    # Un-permute: row j holds particle idx[j] -> scatter rows back so
+    # r_out[i] is particle i again (one scatter per call boundary).
+    r_sorted = sp.from_planes(x, y, z, cfg, dtype=cfg.jnp_dtype)  # [C, n, 3]
+    r_out = jax.vmap(
+        lambda rs, ids: jnp.zeros_like(rs).at[ids].set(rs)
+    )(r_sorted, idx.T)
+
     new_state = state._replace(
-        r=sp.from_planes(x, y, z, cfg, dtype=cfg.jnp_dtype),
+        r=r_out,
         energy=e.reshape(c).astype(cfg.jnp_dtype),
         sweeps=state.sweeps + n_sweeps,
         accepted=state.accepted + jnp.sum(a_trace, axis=0, dtype=jnp.int32),
