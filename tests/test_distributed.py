@@ -143,3 +143,63 @@ def test_ck_suffix_insertion():
     assert _ck_with_suffix("ck", ".p0") == "ck.p0"
     assert _ck_with_suffix("a.b.npz", ".p2") == "a.b.p2.npz"
     assert _ck_with_suffix("autosave.npz", "") == "autosave.npz"
+
+
+def test_two_process_ladder_pools_replicas(tmp_path):
+    """Multi-process --temperatures: each process runs complete replica
+    ladders; the pooled tsweep statistics must agree with a
+    single-process run of the same TOTAL replica count (statistical —
+    per-process streams are salted)."""
+    common = ["20", "60", "12", "1.10", "--n", "12", "--seed", "7",
+              "--platform", "cpu", "--temperatures", "1.0,1.3",
+              "--chains-per-t", "4", "--reweight", "1.0:1.3:3"]
+
+    sdata = tmp_path / "s" / "Data"
+    sp = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+         str(sdata)],
+        cwd=tmp_path, env=_env(1), capture_output=True, text=True,
+        timeout=600)
+    assert sp.returncode == 0, sp.stderr[-2000:]
+
+    mdata = tmp_path / "m" / "Data"
+    port = _free_port()
+    base = [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+            str(mdata), "--coordinator", f"localhost:{port}",
+            "--num-processes", "2"]
+    procs = [subprocess.Popen(base + ["--process-id", str(i)],
+                              cwd=tmp_path, env=_env(1),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "2 of 4 replica ladders" in outs[0]
+
+    srun, mrun = next(sdata.iterdir()), next(mdata.iterdir())
+    s = np.genfromtxt(next(srun.glob("tsweep_*.csv")), delimiter=",",
+                      skip_header=1)
+    m = np.genfromtxt(next(mrun.glob("tsweep_*.csv")), delimiter=",",
+                      skip_header=1)
+    assert s.shape == m.shape == (2, 5)
+    # pooled multi-process stats within statistical agreement of the
+    # equal-size single-process ladder (different streams)
+    for row in range(2):
+        tol = 6 * (s[row, 2] ** 2 + m[row, 2] ** 2) ** 0.5 + 0.3
+        assert abs(s[row, 1] - m[row, 1]) < tol
+    # reweight ran on the POOLED samples (rank 0 only)
+    assert list(mrun.glob("reweight_*.csv"))
+
+
+def test_ladder_coordinator_rejects_auto_interval(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", "4", "8", "2", "1.1",
+         "--temperatures", "1.0,1.2", "--chains-per-t", "4", "--seed",
+         "1", "--platform", "cpu", "--pt-exchange", "auto",
+         "--coordinator", f"localhost:{_free_port()}",
+         "--num-processes", "2", "--process-id", "0"],
+        cwd=tmp_path, env=_env(1), capture_output=True, text=True,
+        timeout=120)
+    assert out.returncode != 0
+    assert "fixed" in (out.stderr + out.stdout)

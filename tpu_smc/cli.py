@@ -198,14 +198,26 @@ def main(argv=None) -> int:
         # must fail fast, not hang the job.
         if args.num_processes is None or args.process_id is None:
             sys.exit("--coordinator needs --num-processes and --process-id")
-        if args.temperatures:
-            sys.exit("--coordinator supports the --chains ensemble mode; "
-                     "ladder runs shard over local devices instead")
         if args.resume:
             sys.exit("--coordinator with --resume is not supported; resume "
                      "single-process, then restart the multi-process run "
                      "from its last_state")
-        if args.chains < args.num_processes or args.chains % args.num_processes:
+        if args.temperatures:
+            # Multi-process ladders: each process runs COMPLETE replica
+            # ladders (all temperatures), exchanges stay process-local,
+            # and the replica axis pools at the end.
+            if args.pt_exchange == "auto":
+                sys.exit("--coordinator ladders need a fixed "
+                         "--pt-exchange interval (per-process probes "
+                         "could choose different intervals); probe "
+                         "single-process first, then pass the value")
+            if args.chains_per_t < args.num_processes \
+                    or args.chains_per_t % args.num_processes:
+                sys.exit(f"--chains-per-t {args.chains_per_t} must "
+                         f"divide evenly over {args.num_processes} "
+                         "processes")
+        elif args.chains < args.num_processes \
+                or args.chains % args.num_processes:
             sys.exit(f"--chains {args.chains} must divide evenly over "
                      f"{args.num_processes} processes")
         if args.seed is None:
@@ -216,8 +228,12 @@ def main(argv=None) -> int:
         proc_id = init_distributed(args.coordinator, args.num_processes,
                                    args.process_id)
         nproc = jax.process_count()
+        local_desc = (
+            f"{args.chains_per_t // nproc} of {args.chains_per_t} "
+            "replica ladders" if args.temperatures
+            else f"{args.chains // nproc} of {args.chains} chains")
         print(f"Multi-process run: process {proc_id}/{nproc}, "
-              f"{args.chains // nproc} of {args.chains} chains locally "
+              f"{local_desc} locally "
               f"({len(jax.local_devices())} local devices)")
 
     from . import io as smcio
@@ -267,7 +283,13 @@ def main(argv=None) -> int:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
 
         temps = [float(v) for v in args.temperatures.split(",")]
-        ladder_c = len(temps) * args.chains_per_t
+        cpt = args.chains_per_t
+        if nproc > 1:
+            cpt //= nproc
+            # distinct per-process replica streams (ladders are
+            # independent; statistical pooling at the end)
+            key = jax.random.fold_in(key, 0xD150 + proc_id)
+        ladder_c = len(temps) * cpt
         # Validate the reweight grid BEFORE the (potentially hours-long)
         # ladder runs — a malformed spec must fail now, not at the end.
         rw_grid = None
@@ -279,13 +301,14 @@ def main(argv=None) -> int:
         # like the ensemble path (XLA engine: GSPMD incl. the PT
         # exchange collectives; pallas engine: shard_map sweeps).
         lmesh = None
-        n_dev = len(jax.devices())
+        n_dev = len(jax.local_devices()) if nproc > 1 else len(jax.devices())
         if n_dev > 1 and ladder_c % n_dev == 0:
             from .ensemble import make_mesh
 
-            lmesh = make_mesh(n_dev, axis_names=("chains",))
+            lmesh = make_mesh(n_dev, axis_names=("chains",),
+                              local=nproc > 1)
             print(f"Sharding {ladder_c} ladder chains over "
-                  f"{n_dev} devices")
+                  f"{n_dev} {'local ' if nproc > 1 else ''}devices")
         elif n_dev > 1:
             print(f"Note: {ladder_c} ladder chains do not divide over "
                   f"{n_dev} devices; running on one device")
@@ -297,7 +320,7 @@ def main(argv=None) -> int:
                      "(the ladder needs per-chain (A, T) kernel rows); "
                      "use --sampler pallas")
         print(f"Temperature sweep: {len(temps)} temperatures x "
-              f"{args.chains_per_t} chains, one compiled ensemble "
+              f"{cpt} chains, one compiled ensemble "
               f"({tsampler} engine)")
         a_per_t = None
         if args.target_acceptance:
@@ -305,7 +328,7 @@ def main(argv=None) -> int:
 
             lt = tune_mobility_ladder(
                 cfg, temps, jax.random.fold_in(key, 0x7E0), w=w_np,
-                chains_per_t=args.chains_per_t,
+                chains_per_t=cpt,
                 target=args.target_acceptance, sampler=tsampler)
             a_per_t = lt.a_per_t
             print(f"Auto-tuned per-level mobility "
@@ -331,13 +354,18 @@ def main(argv=None) -> int:
                 print(f"Parallel tempering: exchange attempts every "
                       f"{args.pt_exchange} sweeps")
             lstate, pt_res = simulate_parallel_tempering(
-                cfg, params, temps, key, chains_per_t=args.chains_per_t,
+                cfg, params, temps, key, chains_per_t=cpt,
                 exchange_interval=args.pt_exchange, w=w_np,
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
+            if nproc > 1:
+                from .pt import pool_pt_across_processes
+
+                pt_res = pool_pt_across_processes(pt_res, cfg)
             res = pt_res.tsweep
-            pt_path = write_pt_csv(d, cfg, pt_res)
+            if proc_id == 0:
+                pt_path = write_pt_csv(d, cfg, pt_res)
             if args.pt_exchange == "auto":
                 pa = ", ".join(f"{v:0.3f}"
                                for v in pt_res.probe_acceptance)
@@ -350,25 +378,39 @@ def main(argv=None) -> int:
                       f"{pt_res.pair_t_hi[i]:0.3f}: "
                       f"{pt_res.swap_acceptance[i]:0.3f} "
                       f"({pt_res.swap_attempts[i]} attempts)")
-            print(f"Written to {pt_path}")
+            if proc_id == 0:
+                print(f"Written to {pt_path}")
         else:
             lstate, res = simulate_temperature_sweep(
-                cfg, params, temps, key, chains_per_t=args.chains_per_t,
+                cfg, params, temps, key, chains_per_t=cpt,
                 w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
+            if nproc > 1:
+                # pooled replica axis: every process gets the full-R
+                # statistics (reweighting below then sees P x samples)
+                from .tsweep import pool_tsweep_across_processes
+
+                res = pool_tsweep_across_processes(res, cfg)
         if args.checkpoint:
-            ck_path = smcio.save_checkpoint(args.checkpoint, lstate, cfg)
+            ck_path = smcio.save_checkpoint(
+                _ck_with_suffix(args.checkpoint,
+                                f".p{proc_id}" if nproc > 1 else ""),
+                lstate, cfg)
             print(f"Full ladder state checkpointed to {ck_path}")
-        path = write_tsweep_csv(d, cfg, res)
+        if proc_id == 0:
+            path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")
         for i, t in enumerate(res.temps):
             print(f"{t:0.3f}  {res.mean_energy[i]:10.4f}  "
                   f"{res.err_energy[i]:8.4f}  {res.acceptance[i]:0.4f}  "
                   f"{res.cv[i]:8.4f}")
-        print(f"\nWritten to {path}")
-        if rw_grid is not None:
+        if proc_id == 0:
+            print(f"\nWritten to {path}")
+        if rw_grid is not None and proc_id != 0:
+            pass   # reweighting is pure post-processing: rank 0 only
+        elif rw_grid is not None:
             from .reweight import reweight_from_ladder, write_reweight_csv
 
             rw = reweight_from_ladder(res, cfg, rw_grid,

@@ -425,6 +425,28 @@ def simulate_parallel_tempering(
     )
 
 
+def pool_pt_across_processes(res: PTResults, cfg: SMCConfig) -> PTResults:
+    """Pool per-process PT results over jax.distributed: replica axis
+    concatenated (tsweep.pool_tsweep_across_processes) and the per-pair
+    swap counters summed — exchanges are process-local by construction
+    (each process owns complete ladder instances)."""
+    from .ensemble import allgather_chain_axis
+    from .tsweep import pool_tsweep_across_processes
+
+    ts = pool_tsweep_across_processes(res.tsweep, cfg)
+    att = allgather_chain_axis(
+        np.asarray(res.swap_attempts, np.int64)[None])      # [P, n_t-1]
+    acc = allgather_chain_axis(
+        (np.asarray(res.swap_acceptance)
+         * np.asarray(res.swap_attempts))[None])
+    att_sum = att.sum(axis=0)
+    return res._replace(
+        tsweep=ts,
+        swap_acceptance=acc.sum(axis=0) / np.maximum(att_sum, 1),
+        swap_attempts=att_sum,
+    )
+
+
 def write_pt_csv(d, cfg: SMCConfig, res: PTResults):
     from .io import _fname
 

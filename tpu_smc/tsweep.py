@@ -281,6 +281,43 @@ def _pressure_fn(cfg: SMCConfig):
     return fn
 
 
+def pool_tsweep_across_processes(res: TSweepResults,
+                                 cfg: SMCConfig) -> TSweepResults:
+    """Pool per-process ladder results over jax.distributed.
+
+    Multi-process ladders run R/P complete replica ladders per process
+    (every process simulates EVERY temperature — exchanges stay local);
+    pooling concatenates the replica axis and recomputes the per-T
+    statistics from the full sample set, so reweighting downstream sees
+    P× the samples. Symmetric: every process gets the pooled result."""
+    from .ensemble import allgather_chain_axis
+
+    def cat_replicas(a):
+        if a is None or a.size == 0:
+            return a
+        moved = np.moveaxis(np.asarray(a), 2, 0)   # [R_local, G, n_t, ...]
+        return np.moveaxis(allgather_chain_axis(moved), 0, 2)
+
+    e_t = cat_replicas(res.energy_samples)          # [G, n_t, R_total]
+    kinetic = 1.5 * cfg.n * res.temps
+    chain_means = e_t.mean(axis=0)                  # [n_t, R_total]
+    r_tot = chain_means.shape[1]
+    acc = allgather_chain_axis(
+        np.asarray(res.acceptance)[None]).mean(axis=0)
+    return TSweepResults(
+        temps=res.temps,
+        mean_energy=chain_means.mean(axis=1) + kinetic,
+        err_energy=chain_means.std(axis=1) / max(1, r_tot - 1) ** 0.5,
+        acceptance=acc,
+        cv=e_t.var(axis=(0, 2)) / res.temps ** 2,
+        energy_samples=e_t,
+        pressure_samples=cat_replicas(res.pressure_samples),
+        energy_at_pressure=cat_replicas(res.energy_at_pressure),
+        gr_samples=cat_replicas(res.gr_samples),
+        zprofile_samples=cat_replicas(res.zprofile_samples),
+    )
+
+
 def write_tsweep_csv(d, cfg: SMCConfig, res: TSweepResults):
     from .io import _fname
 
