@@ -237,7 +237,8 @@ def _main() -> int:
         state3, w3 = init_ensemble_state(cfg3, jax.random.key(0), 256)
         t0 = time.time()
         state3, _ = ens.ensemble_sweeps_zsorted(
-            state3, w3, cfg3, cfg3.proposal_a, 200, seed=31, c_tile=128)
+            state3, w3, cfg3, cfg3.proposal_a, 200, seed=31, c_tile=128,
+            sweeps_per_sort=4)
         sync(state3)
         warmup_4096 = time.time() - t0
         log(f"bench: N=4096 warmup/compile {warmup_4096:.1f}s")
@@ -246,7 +247,7 @@ def _main() -> int:
             t0 = time.time()
             state3, _ = ens.ensemble_sweeps_zsorted(
                 state3, w3, cfg3, cfg3.proposal_a, 200, seed=32 + rep,
-                c_tile=128)
+                c_tile=128, sweeps_per_sort=4)
             sync(state3)
             best4096 = min(best4096, time.time() - t0)
         agg4096 = 256 * 200 / best4096

@@ -546,3 +546,14 @@ def test_pt_pallas_engine_end_to_end():
     assert np.all(np.isfinite(res.tsweep.mean_energy))
     assert np.all((res.swap_acceptance >= 0) & (res.swap_acceptance <= 1))
     assert int(res.swap_attempts.sum()) > 0
+
+
+def test_zsort_cadence_divisibility():
+    from tpu_smc.ensemble import zsort_cadence
+
+    assert zsort_cadence(200) == 4
+    assert zsort_cadence(50) == 2
+    assert zsort_cadence(5) == 1
+    assert zsort_cadence(1) == 1
+    for n in (1, 2, 3, 4, 5, 7, 8, 12, 50, 200):
+        assert n % zsort_cadence(n) == 0

@@ -64,19 +64,22 @@ def _gather_step_batched(
         # 256-lane tile dilutes the per-block z envelope). Static A
         # only: a tuned override would recompile Mosaic per run, so the
         # CLI falls back to dense for tuned runs.
+        from .ensemble import zsort_cadence
+
+        sps = zsort_cadence(gather_lapse)
         if mesh is not None:
             from .ensemble import ensemble_sweeps_zsorted_sharded
 
             state, trace = ensemble_sweeps_zsorted_sharded(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                mesh=mesh, c_tile=128,
+                mesh=mesh, c_tile=128, sweeps_per_sort=sps,
             )
         else:
             from .ensemble import ensemble_sweeps_zsorted
 
             state, trace = ensemble_sweeps_zsorted(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                c_tile=128,
+                c_tile=128, sweeps_per_sort=sps,
             )
     elif opts.sampler == "pallas":
         if mesh is not None:
@@ -246,18 +249,21 @@ def simulate_ensemble(
         # stays far under the TPU runtime watchdog by construction.
         if opts.sampler == "zsorted":
             def therm_step(s, k):
+                from .ensemble import zsort_cadence
+
+                sps = zsort_cadence(k)
                 if mesh is not None:
                     from .ensemble import ensemble_sweeps_zsorted_sharded
 
                     return ensemble_sweeps_zsorted_sharded(
                         s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                        mesh=mesh, c_tile=128,
+                        mesh=mesh, c_tile=128, sweeps_per_sort=sps,
                     )[0]
                 from .ensemble import ensemble_sweeps_zsorted
 
                 return ensemble_sweeps_zsorted(
                     s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                    c_tile=128,
+                    c_tile=128, sweeps_per_sort=sps,
                 )[0]
         elif opts.sampler == "pallas":
             def therm_step(s, k):
