@@ -255,6 +255,8 @@ def _main() -> int:
             "aggregate sweeps/s")
         RESULT["extra"].update({
             "n4096_zsorted_sweeps_per_s": round(agg4096, 1),
+            # C core extrapolated O(N^2): 4744 * (108/4096)^2 = 3.30/s
+            "n4096_vs_c_core": round(agg4096 / 3.30, 1),
             "warmup_n4096_s": round(warmup_4096, 1),
         })
     else:

@@ -160,3 +160,16 @@ def test_volume_html_viewer(run_dir, tmp_path):
     run2 = load_run(d2)
     p2 = render_volume_html(run2, tmp_path / "plots2")
     assert "const NW = 2" in p2.read_text()
+
+
+def test_pt_swap_acceptance_panel(run_dir, tmp_path):
+    """A pt_*.csv beside the run artifacts gets its own panel."""
+    from tpu_smc.analysis import load_run, render_all
+
+    key = run_dir.name.replace("data_", "")
+    (run_dir / f"pt_{key}.csv").write_text(
+        "T_lo, T_hi, swap_acceptance, attempts\n"
+        "0.900, 1.100, 0.62, 240\n"
+        "1.100, 1.400, 0.31, 240\n")
+    written = render_all(load_run(run_dir), tmp_path / "plots")
+    assert any(p.name == f"pt_{key}.png" for p in written)

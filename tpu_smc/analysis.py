@@ -676,6 +676,32 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Parallel-tempering swap acceptance per adjacent pair (pt.py CSV)
+    ptf = run.run_dir / f"pt_{run.key}.csv"
+    if ptf.exists():
+        rows = np.atleast_2d(np.genfromtxt(ptf, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            mid = 0.5 * (rows[:, 0] + rows[:, 1])
+            fig, ax = plt.subplots(figsize=(5, 3.4))
+            ax.bar(mid, rows[:, 2], width=0.6 * np.min(np.diff(mid))
+                   if len(mid) > 1 else 0.05, color="C0")
+            for x, a, n_att in zip(mid, rows[:, 2], rows[:, 3]):
+                ax.annotate(f"{int(n_att)}", (x, a), ha="center",
+                            va="bottom", fontsize=7)
+            ax.axhspan(0.2, 0.4, color="green", alpha=0.08,
+                       label="classic target band")
+            ax.set_xlabel("pair midpoint T")
+            ax.set_ylabel("swap acceptance")
+            ax.set_ylim(0, 1.05)
+            ax.legend(fontsize=7)
+            fig.suptitle(f"replica-exchange acceptance {run.key}")
+            fig.tight_layout()
+            p = out / f"pt_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     return written
 
 
