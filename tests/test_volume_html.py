@@ -173,3 +173,50 @@ def test_checker_detects_broken_template(monkeypatch, tmp_path):
     broken = (c.errors or c.stack or not c.scripts
               or not _js_brackets_balanced(c.scripts[0]))
     assert broken
+
+
+def test_reweight_surface_viewer(tmp_path):
+    """rho(z; T) HTML viewer: renders from the long-format CSV, embeds
+    parseable data of consistent sizes, passes the same structural and
+    bracket checks as the volume viewer."""
+    key = "N12_M3_r0.0001_T1.10"
+    run_dir = tmp_path / f"data_{key}"
+    run_dir.mkdir()
+    lines = ["T, z, value, err"]
+    for t in (1.0, 1.1, 1.2):
+        for z in range(5):
+            lines.append(f"{t:0.4f}, {z - 2:0.6f}, "
+                         f"{0.01 * (1 + z) * t:0.9f}, 0.001000000")
+    (run_dir / f"reweight_zprofile_{key}.csv").write_text(
+        "\n".join(lines) + "\n")
+
+    class R:
+        pass
+
+    r = R()
+    r.run_dir = run_dir
+    r.key = key
+    p = analysis.render_reweight_html(r, tmp_path / "plots")
+    assert p is not None and p.exists()
+    html = p.read_text()
+
+    c = _Checker()
+    c.feed(html)
+    assert not c.errors and not c.stack
+    assert {"tsel", "line", "heat", "info"} <= c.ids
+    js_src = c.scripts[0]
+    assert _js_brackets_balanced(js_src)
+    consts = dict(re.findall(r"const (TS|ZS|V|E) = (.+?);", js_src))
+    ts = json.loads(consts["TS"])
+    zs = json.loads(consts["ZS"])
+    v = json.loads(consts["V"])
+    e = json.loads(consts["E"])
+    assert len(ts) == 3 and len(zs) == 5
+    assert len(v) == len(e) == 15
+    # row-major [T, z]: first T's profile rises with z per construction
+    assert v[0] < v[4]
+    assert "{{" not in html and "}}" not in html
+
+    # absent CSV -> None, malformed row count -> None (not garbage)
+    r2 = R(); r2.run_dir = tmp_path; r2.key = key
+    assert analysis.render_reweight_html(r2, tmp_path / "p2") is None

@@ -430,6 +430,113 @@ def render_volume_html(run: RunData, out_dir: str | Path,
     return p
 
 
+_REWEIGHT_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>rho(z; T) {key}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; background: #111; color: #ddd;
+        display: flex; flex-direction: column; align-items: center; }}
+ canvas {{ border: 1px solid #444; margin: 8px; }}
+ input[type=range] {{ width: 320px; vertical-align: middle; }}
+</style></head><body>
+<h3>MBAR-reweighted rho(z; T) — {key}</h3>
+<div>T <input id="tsel" type="range" min="0" value="0">
+ <span id="tval"></span></div>
+<canvas id="line" width="640" height="240"></canvas>
+<canvas id="heat" width="640" height="200"></canvas>
+<div id="info"></div>
+<script>
+const TS = {ts};            // [G] target temperatures
+const ZS = {zs};            // [B] bin centers
+const V = {vals};           // flat [G * B] densities
+const E = {errs};           // flat [G * B] bootstrap errors ([] if none)
+const G = TS.length, B = ZS.length;
+let VMAX = 1e-12;
+for (const x of V) if (x > VMAX) VMAX = x;
+const tsel = document.getElementById("tsel");
+tsel.max = G - 1;
+const lc = document.getElementById("line").getContext("2d");
+const hc = document.getElementById("heat").getContext("2d");
+function cmap(t) {{
+  t = Math.max(0, Math.min(1, t));
+  return [255 * Math.pow(t, 0.55) * 1.3, 255 * Math.pow(t, 1.6) * 0.9,
+          255 * (t < 0.5 ? 0.4 + 2.4 * t * (1 - t) : 1.6 * (1 - t))];
+}}
+function heat() {{
+  const W = 640, H = 200, img = hc.createImageData(W, H);
+  for (let px = 0; px < W; px++) for (let py = 0; py < H; py++) {{
+    const g = Math.min(G - 1, Math.floor(py / H * G));
+    const b = Math.min(B - 1, Math.floor(px / W * B));
+    const [r, gr, bl] = cmap(V[g * B + b] / VMAX);
+    const p = 4 * (py * W + px);
+    img.data[p] = r; img.data[p+1] = gr; img.data[p+2] = bl;
+    img.data[p+3] = 255;
+  }}
+  hc.putImageData(img, 0, 0);
+  // marker for the selected T row
+  const y = (+tsel.value + 0.5) / G * H;
+  hc.strokeStyle = "#fff"; hc.beginPath();
+  hc.moveTo(0, y); hc.lineTo(8, y); hc.stroke();
+}}
+function line() {{
+  const g = +tsel.value, W = 640, H = 240;
+  document.getElementById("tval").textContent = TS[g].toFixed(3);
+  lc.clearRect(0, 0, W, H);
+  lc.strokeStyle = "#6cf"; lc.fillStyle = "rgba(100,160,255,0.25)";
+  const xpix = b => (b + 0.5) / B * W;
+  const ypix = v => H - 8 - v / VMAX * (H - 20);
+  if (E.length) {{
+    lc.beginPath();
+    for (let b = 0; b < B; b++)
+      lc.lineTo(xpix(b), ypix(V[g * B + b] + E[g * B + b]));
+    for (let b = B - 1; b >= 0; b--)
+      lc.lineTo(xpix(b), ypix(Math.max(0, V[g * B + b] - E[g * B + b])));
+    lc.closePath(); lc.fill();
+  }}
+  lc.beginPath();
+  for (let b = 0; b < B; b++) lc.lineTo(xpix(b), ypix(V[g * B + b]));
+  lc.stroke();
+  document.getElementById("info").textContent =
+    "z in [" + ZS[0].toFixed(1) + ", " + ZS[B-1].toFixed(1) +
+    "], peak " + VMAX.toPrecision(3);
+  heat();
+}}
+tsel.addEventListener("input", line);
+line();
+</script></body></html>
+"""
+
+
+def render_reweight_html(run: RunData, out_dir: str | Path) -> Optional[Path]:
+    """Interactive rho(z; T) surface viewer from reweight_zprofile_*.csv
+    (reweight.write_reweight_profile_csv): a T-slider profile line with
+    the bootstrap band plus a (T, z) heatmap — the whole MBAR density
+    surface explorable in one self-contained zero-dependency file."""
+    f = run.run_dir / f"reweight_zprofile_{run.key}.csv"
+    if not f.exists():
+        return None
+    rows = np.atleast_2d(np.genfromtxt(f, delimiter=",", skip_header=1))
+    if rows.size == 0:
+        return None
+    ts = np.unique(rows[:, 0])
+    zs = np.unique(rows[:, 1])
+    if rows.shape[0] != len(ts) * len(zs):
+        return None   # malformed/partial file: skip rather than garble
+    order = np.lexsort((rows[:, 1], rows[:, 0]))
+    vals = rows[order, 2]
+    errs = rows[order, 3] if rows.shape[1] > 3 else np.zeros((0,))
+
+    def js(a, fmt="{:.6g}"):
+        return "[" + ",".join(fmt.format(float(v)) for v in a) + "]"
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    p = out / f"reweight_zprofile_{run.key}.html"
+    p.write_text(_REWEIGHT_HTML.format(
+        key=run.key, ts=js(ts, "{:.4f}"), zs=js(zs), vals=js(vals),
+        errs=js(errs)))
+    return p
+
+
 def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     """Produce the full plot set (or .npz summaries without matplotlib)."""
     out = Path(out_dir)
@@ -545,6 +652,9 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     html = render_volume_html(run, out)
     if html is not None:
         written.append(html)
+    rw_html = render_reweight_html(run, out)
+    if rw_html is not None:
+        written.append(rw_html)
 
     # g(r) / z-density profile panels when the run accumulated them
     # (--gr-bins / --z-bins; beyond-reference observables, gr_*.csv and
