@@ -173,3 +173,12 @@ def test_pt_swap_acceptance_panel(run_dir, tmp_path):
         "1.100, 1.400, 0.31, 240\n")
     written = render_all(load_run(run_dir), tmp_path / "plots")
     assert any(p.name == f"pt_{key}.png" for p in written)
+
+
+def test_structure_factor_panel(run_dir, tmp_path):
+    """--box enables the in-plane S(k) panel from position snapshots."""
+    from tpu_smc.analysis import load_run, render_all
+
+    written = render_all(load_run(run_dir), tmp_path / "plots",
+                         box=(33.0, 200.0))
+    assert any(p.name.startswith("sk_") for p in written)

@@ -232,3 +232,52 @@ class TestTauInt:
         x = np.cumsum(np.ones(n))  # monotone trend: ACF stays positive
         with pytest.warns(UserWarning, match="negative crossing"):
             obs.tau_int(x, k_max=50)
+
+
+class TestStructureFactor:
+    def test_ideal_gas_flat(self):
+        """Uncorrelated uniform positions: S(k) -> 1 with O(1/sqrt(M))
+        fluctuations after snapshot averaging."""
+        import jax.numpy as jnp
+
+        from tpu_smc.config import SMCConfig
+        from tpu_smc.observables import structure_factor
+
+        cfg = SMCConfig(n=256, box_l=20.0, box_lz=60.0)
+        rng = np.random.default_rng(0)
+        sks = []
+        for _ in range(48):
+            r = np.stack([rng.uniform(-10, 10, 256),
+                          rng.uniform(-10, 10, 256),
+                          rng.uniform(-30, 30, 256)], axis=1)
+            k, sk = structure_factor(jnp.asarray(r, jnp.float64), cfg,
+                                     n_kmax=4)
+            sks.append(np.asarray(sk))
+        mean_sk = np.mean(sks, axis=0)
+        assert np.all(k > 0)
+        np.testing.assert_allclose(mean_sk, 1.0, atol=0.35)
+        assert abs(mean_sk.mean() - 1.0) < 0.08
+
+    def test_square_lattice_bragg_peak(self):
+        """A perfect in-plane square lattice with spacing a = L/m puts a
+        Bragg peak S = N at k = 2 pi m / L and ~0 elsewhere."""
+        import jax.numpy as jnp
+
+        from tpu_smc.config import SMCConfig
+        from tpu_smc.observables import structure_factor
+
+        m = 8
+        cfg = SMCConfig(n=m * m, box_l=16.0, box_lz=60.0)
+        a = cfg.box_l / m
+        xs, ys = np.meshgrid(np.arange(m) * a, np.arange(m) * a,
+                             indexing="ij")
+        r = np.stack([xs.ravel() - 8, ys.ravel() - 8,
+                      np.zeros(m * m)], axis=1)
+        k, sk = structure_factor(jnp.asarray(r, jnp.float64), cfg,
+                                 n_kmax=m)
+        sk = np.asarray(sk)
+        k_bragg = 2 * np.pi * m / cfg.box_l
+        at_peak = sk[np.isclose(np.asarray(k), k_bragg)]
+        assert at_peak.size and np.all(at_peak > 0.9 * cfg.n)
+        off = sk[np.asarray(k) < 0.9 * k_bragg]
+        assert np.all(off < 1e-6 * cfg.n)

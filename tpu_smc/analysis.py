@@ -647,6 +647,35 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # In-plane structure factor S(k) from the stored position snapshots
+    # (reciprocal-space order parameter the reference lacks entirely;
+    # needs the box to build the k-lattice, hence gated on --box)
+    if box is not None and run.positions.shape[0] > 0:
+        import jax as _jax
+
+        from .config import SMCConfig as _Cfg
+        from .observables import structure_factor
+
+        cfg_sk = _Cfg(n=run.n, box_l=float(box[0]), box_lz=float(box[1]))
+        sk_fn = _jax.jit(lambda r: structure_factor(
+            _jax.numpy.asarray(r, _jax.numpy.float32), cfg_sk)[1])
+        ks = np.asarray(structure_factor(
+            _jax.numpy.asarray(run.positions[0], _jax.numpy.float32),
+            cfg_sk)[0])
+        sk = np.mean([np.asarray(sk_fn(r)) for r in run.positions], axis=0)
+        fig, ax = plt.subplots(figsize=(5, 3.4))
+        ax.plot(ks, sk, marker="o", ms=2.5, lw=0.8)
+        ax.axhline(1.0, color="gray", lw=0.6, ls=":")
+        ax.set_xlabel("|k| (in-plane)")
+        ax.set_ylabel("S(k)")
+        fig.suptitle(f"structure factor {run.key} "
+                     f"({run.positions.shape[0]} snapshots)")
+        fig.tight_layout()
+        p = out / f"sk_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     # voxel density volume rendering (plotting.jl:273-331)
     written.extend(render_volume(run, out))
     html = render_volume_html(run, out)

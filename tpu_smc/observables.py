@@ -225,6 +225,40 @@ def radial_distribution(
     return centers, hist / norm
 
 
+def structure_factor(
+    r: jnp.ndarray, cfg: SMCConfig, n_kmax: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-plane static structure factor S(k) on the x/y reciprocal
+    lattice k = (2 pi / L) (nx, ny), 0 < |n|_inf <= n_kmax (the periodic
+    axes; z is confined). S(k) = |sum_j exp(i k . r_j)|^2 / N, averaged
+    over k-shells of equal |n|^2 so lattice symmetry pools correctly.
+
+    TPU shape: the phase matrix is one [N, 2] x [2, nk] matmul, the
+    shell pooling a segment_sum — no Python loops, static shapes.
+    Beyond-reference (the C code has no reciprocal-space observables);
+    liquid-state baseline S(k) -> 1 for an ideal gas, Bragg peaks ~N on
+    a lattice."""
+    ns = np.arange(-n_kmax, n_kmax + 1)
+    nx, ny = np.meshgrid(ns, ns, indexing="ij")
+    grid = np.stack([nx.ravel(), ny.ravel()], axis=1)
+    n2 = (grid ** 2).sum(axis=1)
+    # keep one of each +-k pair (S(-k) = S(k)) and drop k = 0
+    keep = (n2 > 0) & ((grid[:, 0] > 0)
+                       | ((grid[:, 0] == 0) & (grid[:, 1] > 0)))
+    grid = grid[keep]
+    n2 = n2[keep]
+    shells, shell_idx = np.unique(n2, return_inverse=True)
+    kvecs = jnp.asarray(grid.T, r.dtype)                   # [2, nk]
+    phases = (2.0 * jnp.pi / cfg.box_l) * (r[:, :2] @ kvecs)  # [N, nk]
+    s_k = (jnp.sum(jnp.cos(phases), axis=0) ** 2
+           + jnp.sum(jnp.sin(phases), axis=0) ** 2) / cfg.n   # [nk]
+    pooled = jnp.zeros((len(shells),), s_k.dtype).at[
+        jnp.asarray(shell_idx)].add(s_k)
+    counts = np.bincount(shell_idx).astype(np.float64)
+    k_mag = (2.0 * np.pi / cfg.box_l) * np.sqrt(shells)
+    return jnp.asarray(k_mag, r.dtype), pooled / jnp.asarray(counts, s_k.dtype)
+
+
 def z_density_profile(
     r: jnp.ndarray, cfg: SMCConfig, nbins: int = 128
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
