@@ -192,6 +192,61 @@ def test_two_process_ladder_pools_replicas(tmp_path):
     assert list(mrun.glob("reweight_*.csv"))
 
 
+def test_two_process_pt_pools_swap_counters(tmp_path):
+    """Multi-process PT (--pt-exchange fixed): pool_pt_across_processes
+    must concatenate the replica axis AND sum the per-pair swap
+    counters; the rank-0 pt_*.csv carries the POOLED counters. Swap
+    attempts are deterministic (cycles x replicas, no randomness), so
+    the 2-process total must exactly equal a single-process run of the
+    same total replica count (code-review r3 finding: this path had no
+    test under real processes)."""
+    common = ["20", "60", "12", "1.10", "--n", "12", "--seed", "7",
+              "--platform", "cpu", "--temperatures", "1.0,1.2,1.4",
+              "--chains-per-t", "4", "--pt-exchange", "5"]
+
+    sdata = tmp_path / "s" / "Data"
+    sp = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+         str(sdata)],
+        cwd=tmp_path, env=_env(1), capture_output=True, text=True,
+        timeout=600)
+    assert sp.returncode == 0, sp.stderr[-2000:]
+
+    mdata = tmp_path / "m" / "Data"
+    port = _free_port()
+    base = [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+            str(mdata), "--coordinator", f"localhost:{port}",
+            "--num-processes", "2"]
+    procs = [subprocess.Popen(base + ["--process-id", str(i)],
+                              cwd=tmp_path, env=_env(1),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    srun, mrun = next(sdata.iterdir()), next(mdata.iterdir())
+    s = np.genfromtxt(next(srun.glob("pt_*.csv")), delimiter=",",
+                      skip_header=1)
+    m = np.genfromtxt(next(mrun.glob("pt_*.csv")), delimiter=",",
+                      skip_header=1)
+    assert s.shape == m.shape == (2, 4)          # n_t-1 pairs
+    np.testing.assert_array_equal(s[:, :2], m[:, :2])   # same T pairs
+    # attempts: cycles x replicas — the pooled count must equal the
+    # equal-size single-process ladder exactly (2 x the per-process)
+    np.testing.assert_array_equal(s[:, 3], m[:, 3])
+    assert (m[:, 3] > 0).all()
+    # acceptance: pooled = attempt-weighted mean over processes; with
+    # different streams it only agrees statistically
+    assert np.all(np.abs(s[:, 2] - m[:, 2]) < 0.5)
+    assert (m[:, 2] >= 0).all() and (m[:, 2] <= 1).all()
+    # tsweep rode along through pool_tsweep (3 temperature rows)
+    mt = np.genfromtxt(next(mrun.glob("tsweep_*.csv")), delimiter=",",
+                       skip_header=1)
+    assert mt.shape == (3, 5) and np.isfinite(mt).all()
+
+
 def test_ladder_coordinator_rejects_auto_interval(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "tpu_smc", "4", "8", "2", "1.1",

@@ -220,3 +220,38 @@ def test_reweight_surface_viewer(tmp_path):
     # absent CSV -> None, malformed row count -> None (not garbage)
     r2 = R(); r2.run_dir = tmp_path; r2.key = key
     assert analysis.render_reweight_html(r2, tmp_path / "p2") is None
+
+
+def test_reweight_surface_viewer_nan_safe(tmp_path):
+    """Non-finite CSV fields (zero-ESS bootstrap err, truncated field)
+    must embed as JS NaN/Infinity — Python's 'nan' spelling is a
+    ReferenceError that blanks the whole viewer (review r3)."""
+    key = "N12_M3_r0.0001_T1.10"
+    run_dir = tmp_path / f"data_{key}"
+    run_dir.mkdir()
+    lines = ["T, z, value, err"]
+    for i, t in enumerate((1.0, 1.1)):
+        for z in range(3):
+            err = "" if (i, z) == (0, 1) else "0.001"   # blank -> nan
+            val = "inf" if (i, z) == (1, 2) else f"{0.01 * (1 + z):0.6f}"
+            lines.append(f"{t:0.4f}, {z - 1:0.6f}, {val}, {err}")
+    (run_dir / f"reweight_zprofile_{key}.csv").write_text(
+        "\n".join(lines) + "\n")
+
+    class R:
+        pass
+
+    r = R()
+    r.run_dir = run_dir
+    r.key = key
+    p = analysis.render_reweight_html(r, tmp_path / "plots")
+    html = p.read_text()
+    c = _Checker()
+    c.feed(html)
+    assert not c.errors and not c.stack
+    js_src = c.scripts[0]
+    assert _js_brackets_balanced(js_src)
+    # the bare lowercase tokens must not appear in the data consts
+    for m in re.finditer(r"const (TS|ZS|V|E) = (.+?);", js_src):
+        assert "nan" not in m.group(2) and "inf" not in m.group(2)
+    assert "NaN" in js_src and "Infinity" in js_src

@@ -18,6 +18,7 @@ saved as .npz so the analysis capability works headless.
 from __future__ import annotations
 
 import argparse
+import math
 import re
 import sys
 from dataclasses import dataclass, field
@@ -526,7 +527,18 @@ def render_reweight_html(run: RunData, out_dir: str | Path) -> Optional[Path]:
     errs = rows[order, 3] if rows.shape[1] > 3 else np.zeros((0,))
 
     def js(a, fmt="{:.6g}"):
-        return "[" + ",".join(fmt.format(float(v)) for v in a) + "]"
+        # Non-finite values must become the JS spelling: Python's 'nan'
+        # / 'inf' are ReferenceErrors at script parse and would blank
+        # the whole viewer (a NaN bootstrap err from a zero-ESS level,
+        # or a truncated CSV field, is enough to produce one).
+        def one(v):
+            v = float(v)
+            if math.isnan(v):
+                return "NaN"
+            if math.isinf(v):
+                return "Infinity" if v > 0 else "-Infinity"
+            return fmt.format(v)
+        return "[" + ",".join(one(v) for v in a) + "]"
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -657,12 +669,14 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         from .observables import structure_factor
 
         cfg_sk = _Cfg(n=run.n, box_l=float(box[0]), box_lz=float(box[1]))
-        sk_fn = _jax.jit(lambda r: structure_factor(
-            _jax.numpy.asarray(r, _jax.numpy.float32), cfg_sk)[1])
-        ks = np.asarray(structure_factor(
-            _jax.numpy.asarray(run.positions[0], _jax.numpy.float32),
-            cfg_sk)[0])
-        sk = np.mean([np.asarray(sk_fn(r)) for r in run.positions], axis=0)
+        # One jitted vmapped call over all snapshots; k magnitudes are
+        # snapshot-independent, so take them from the same dispatch.
+        sk_fn = _jax.jit(_jax.vmap(lambda r: structure_factor(r, cfg_sk),
+                                   out_axes=(None, 0)))
+        ks, sk_all = sk_fn(
+            _jax.numpy.asarray(run.positions, _jax.numpy.float32))
+        ks = np.asarray(ks)
+        sk = np.asarray(sk_all).mean(axis=0)
         fig, ax = plt.subplots(figsize=(5, 3.4))
         ax.plot(ks, sk, marker="o", ms=2.5, lw=0.8)
         ax.axhline(1.0, color="gray", lw=0.6, ls=":")
@@ -886,7 +900,15 @@ def main(argv=None) -> int:
                     metavar=("L", "LZ"))
     ap.add_argument("--animate", action="store_true",
                     help="also render a trajectory GIF")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform for the few jitted panels "
+                         "(default cpu: analysis is offline "
+                         "post-processing and must not contend for — "
+                         "or require — the TPU)")
     args = ap.parse_args(argv)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", args.platform)
     run = load_run(args.run_dir, rank=args.rank)
     out = args.out or (Path(args.run_dir) / "plots")
     written = render_all(run, out, box=args.box)

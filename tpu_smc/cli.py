@@ -284,6 +284,10 @@ def main(argv=None) -> int:
 
         temps = [float(v) for v in args.temperatures.split(",")]
         cpt = args.chains_per_t
+        # Tuning must use the PRE-salt key: every process must derive
+        # the SAME per-level mobility, or the pooled statistics would
+        # mix chains run at different proposal distributions (review r3)
+        common_key = key
         if nproc > 1:
             cpt //= nproc
             # distinct per-process replica streams (ladders are
@@ -327,7 +331,7 @@ def main(argv=None) -> int:
             from .tuning import tune_mobility_ladder
 
             lt = tune_mobility_ladder(
-                cfg, temps, jax.random.fold_in(key, 0x7E0), w=w_np,
+                cfg, temps, jax.random.fold_in(common_key, 0x7E0), w=w_np,
                 chains_per_t=cpt,
                 target=args.target_acceptance, sampler=tsampler)
             a_per_t = lt.a_per_t
@@ -408,9 +412,8 @@ def main(argv=None) -> int:
                   f"{res.cv[i]:8.4f}")
         if proc_id == 0:
             print(f"\nWritten to {path}")
-        if rw_grid is not None and proc_id != 0:
-            pass   # reweighting is pure post-processing: rank 0 only
-        elif rw_grid is not None:
+        # reweighting is pure post-processing: rank 0 only
+        if rw_grid is not None and proc_id == 0:
             from .reweight import reweight_from_ladder, write_reweight_csv
 
             rw = reweight_from_ladder(res, cfg, rw_grid,

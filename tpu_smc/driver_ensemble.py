@@ -61,25 +61,24 @@ def _gather_step_batched(
     if opts.sampler == "zsorted":
         # Large-N fast path (N>=4096 measured faster than dense —
         # docs/PERF_NOTES.md): exact z-block skipping, c_tile 128 (the
-        # 256-lane tile dilutes the per-block z envelope). Static A
-        # only: a tuned override would recompile Mosaic per run, so the
-        # CLI falls back to dense for tuned runs.
-        from .ensemble import zsort_cadence
-
-        sps = zsort_cadence(gather_lapse)
+        # 256-lane tile dilutes the per-block z envelope), fixed sort
+        # cadence (odd lapses cost one short final chunk, never a
+        # cadence collapse). Static A only: a tuned override would
+        # recompile Mosaic per run, so the CLI falls back to dense for
+        # tuned runs.
         if mesh is not None:
             from .ensemble import ensemble_sweeps_zsorted_sharded
 
             state, trace = ensemble_sweeps_zsorted_sharded(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                mesh=mesh, c_tile=128, sweeps_per_sort=sps,
+                mesh=mesh, c_tile=128,
             )
         else:
             from .ensemble import ensemble_sweeps_zsorted
 
             state, trace = ensemble_sweeps_zsorted(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                c_tile=128, sweeps_per_sort=sps,
+                c_tile=128,
             )
     elif opts.sampler == "pallas":
         if mesh is not None:
@@ -249,21 +248,18 @@ def simulate_ensemble(
         # stays far under the TPU runtime watchdog by construction.
         if opts.sampler == "zsorted":
             def therm_step(s, k):
-                from .ensemble import zsort_cadence
-
-                sps = zsort_cadence(k)
                 if mesh is not None:
                     from .ensemble import ensemble_sweeps_zsorted_sharded
 
                     return ensemble_sweeps_zsorted_sharded(
                         s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                        mesh=mesh, c_tile=128, sweeps_per_sort=sps,
+                        mesh=mesh, c_tile=128,
                     )[0]
                 from .ensemble import ensemble_sweeps_zsorted
 
                 return ensemble_sweeps_zsorted(
                     s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                    c_tile=128, sweeps_per_sort=sps,
+                    c_tile=128,
                 )[0]
         elif opts.sampler == "pallas":
             def therm_step(s, k):

@@ -261,18 +261,15 @@ def ensemble_sweeps_pallas(
     )
 
 
-def zsort_cadence(n_sweeps: int) -> int:
-    """Sort cadence for the zsorted engine. Re-sorting every sweep costs
-    more than its skipping saves once the identity row rides along
-    (measured N=4096 c128: sps=1 1.03x dense, sps=4 1.55x — the sort+
-    takes are ~20% of a sweep); every 4th sweep is the sweet spot, and
-    staleness only reduces skip efficiency, never correctness (block
-    bounds are computed live in-kernel). Largest of (4, 2, 1) dividing
-    the call length keeps the wrapper's divisibility contract."""
-    for sps in (4, 2):
-        if n_sweeps % sps == 0:
-            return sps
-    return 1
+#: Sort cadence for the zsorted engine. Re-sorting every sweep costs
+#: more than its skipping saves once the identity row rides along
+#: (measured N=4096 c128: sps=1 1.03x dense, sps=4 1.55x — the sort+
+#: takes are ~20% of a sweep); every 4th sweep is the sweet spot, and
+#: staleness only reduces skip efficiency, never correctness (block
+#: bounds are computed live in-kernel). The wrapper handles call
+#: lengths that are not multiples of the cadence with a shorter final
+#: chunk, so the cadence never silently degrades on odd gather lapses.
+ZSORT_CADENCE = 4
 
 
 def ensemble_sweeps_zsorted(
@@ -283,7 +280,7 @@ def ensemble_sweeps_zsorted(
     n_sweeps: int,
     seed: int | jax.Array | None = None,
     c_tile: int | None = None,
-    sweeps_per_sort: int = 1,
+    sweeps_per_sort: int = ZSORT_CADENCE,
     row_block_rows: int = 128,
 ) -> Tuple[ChainState, SweepStats]:
     """Large-N fast path: the whole-sweep kernel with EXACT z-block
@@ -320,8 +317,14 @@ def ensemble_sweeps_zsorted(
     if c_tile is None:
         c_tile = _auto_c_tile(cfg, c, row_block_rows=row_block_rows)
     c_tile = _check_c_tile(c, c_tile)
-    assert n_sweeps % sweeps_per_sort == 0, (n_sweeps, sweeps_per_sort)
-    n_chunks = n_sweeps // sweeps_per_sort
+    # Fixed cadence regardless of call length: n_full chunks of
+    # `sweeps_per_sort`, plus one shorter final chunk for the remainder.
+    # An odd gather lapse therefore costs at most one short chunk per
+    # call instead of silently collapsing the whole call to sps=1.
+    sps = max(1, int(sweeps_per_sort))
+    n_full = n_sweeps // sps
+    rem = n_sweeps % sps
+    assert n_sweeps >= 1, n_sweeps
 
     # Per-sweep randomness folds the ABSOLUTE counter, exactly like
     # ensemble_sweeps_pallas (shared helper).
@@ -339,28 +342,44 @@ def ensemble_sweeps_zsorted(
     # survives, unlike the archived banded experiment.
     idx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (1, c))
 
-    def chunk(carry, k):
-        x, y, z, e, idx = carry
+    def block(x, y, z, e, idx, k0, length):
         # z-sort the real rows per chain (pads stay parked at the tail)
         perm = jnp.argsort(z[:n], axis=0)
         x = x.at[:n].set(jnp.take_along_axis(x[:n], perm, axis=0))
         y = y.at[:n].set(jnp.take_along_axis(y[:n], perm, axis=0))
         z = z.at[:n].set(jnp.take_along_axis(z[:n], perm, axis=0))
         idx = jnp.take_along_axis(idx, perm, axis=0)
-        k0 = (k * sweeps_per_sort).astype(jnp.int32)
-        off = jax.lax.dynamic_slice(offsets, (k0,), (sweeps_per_sort,))
+        off = jax.lax.dynamic_slice(offsets, (k0,), (length,))
         sws = jax.lax.dynamic_slice(
-            sw_seeds, (k0, jnp.int32(0)), (sweeps_per_sort, 2))
+            sw_seeds, (k0, jnp.int32(0)), (length, 2))
         x, y, z, e, etr, atr = sp.pallas_sweep_block(
-            x, y, z, e, wa, wb, off, sws, cfg, sweeps_per_sort, float(a),
+            x, y, z, e, wa, wb, off, sws, cfg, length, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
         )
+        return x, y, z, e, idx, etr, atr
+
+    def chunk(carry, k):
+        x, y, z, e, idx = carry
+        x, y, z, e, idx, etr, atr = block(
+            x, y, z, e, idx, (k * sps).astype(jnp.int32), sps)
         return (x, y, z, e, idx), (etr, atr)
 
-    (x, y, z, e, idx), (etr, atr) = jax.lax.scan(
-        chunk, (x, y, z, e, idx), jnp.arange(n_chunks, dtype=jnp.int32))
-    e_trace = etr.reshape(n_sweeps, c)
-    a_trace = atr.reshape(n_sweeps, c)
+    e_pieces, a_pieces = [], []
+    carry = (x, y, z, e, idx)
+    if n_full:
+        carry, (etr, atr) = jax.lax.scan(
+            chunk, carry, jnp.arange(n_full, dtype=jnp.int32))
+        e_pieces.append(etr.reshape(n_full * sps, c))
+        a_pieces.append(atr.reshape(n_full * sps, c))
+    if rem:
+        x, y, z, e, idx, etr, atr = block(
+            *carry, jnp.int32(n_full * sps), rem)
+        carry = (x, y, z, e, idx)
+        e_pieces.append(etr.reshape(rem, c))
+        a_pieces.append(atr.reshape(rem, c))
+    x, y, z, e, idx = carry
+    e_trace = e_pieces[0] if len(e_pieces) == 1 else jnp.concatenate(e_pieces)
+    a_trace = a_pieces[0] if len(a_pieces) == 1 else jnp.concatenate(a_pieces)
 
     # Un-permute: row j holds particle idx[j] -> scatter rows back so
     # r_out[i] is particle i again (one scatter per call boundary).
@@ -519,7 +538,7 @@ def ensemble_sweeps_zsorted_sharded(
     axis: str = "chains",
     c_tile: int | None = None,
     row_block_rows: int = 128,
-    sweeps_per_sort: int = 1,
+    sweeps_per_sort: int = ZSORT_CADENCE,
 ) -> Tuple[ChainState, SweepStats]:
     """Multi-chip zsorted path: the z-block-skipping kernel under
     shard_map — each device z-sorts and sweeps its local chain shard
