@@ -25,7 +25,14 @@ sys.path.insert(0, REPO)
 
 N = 1024
 CHAINS = 512
-SWEEPS = 50   # per-call block: amortizes dispatch/DMA like production windows
+SWEEPS = 50   # dense per-call block: amortizes dispatch/DMA like production
+ZSWEEPS = 192  # zsorted per-call block: 12 tail-free chunks of the 16-sweep
+               # sort cadence (the N=1024 measured optimum) — the same
+               # call length the crossover probes measured; per-call
+               # dispatch overhead (~0.25 s) is 4x better amortized than
+               # at 48 sweeps (31.3k -> ~44k agg, PERF_NOTES.md). Same
+               # compiled kernel either way: the Mosaic static is the
+               # 16-sweep chunk, not the call total.
 # BASELINE.md: 4744 sweeps/s at N=108 on one core; per-sweep cost is
 # O(N^2) => 4744 * (108/1024)^2 = 52.8 sweeps/s at N=1024.
 FALLBACK_C_RATE = 52.8
@@ -151,9 +158,13 @@ def _main() -> int:
     # the committed persistent cache (.jax_cache/) — VERDICT r2 #1: a
     # single missing cache entry cost 388 s of warmup and nulled the
     # secondary metrics, so warmup durations are now part of the record.
+    # The primary engine is what `--sampler auto` runs at this size: the
+    # zsorted z-block-skip kernel at the measured-optimal cadence
+    # (1.6x the dense kernel at N=1024 — docs/PERF_NOTES.md; equilibrium
+    # equivalence to dense gated in docs/DEVIATIONS.md A7).
     t0 = time.time()
-    state, _ = ens.ensemble_sweeps_pallas(
-        state, w, cfg, cfg.proposal_a, SWEEPS, seed=1
+    state, _ = ens.ensemble_sweeps_zsorted(
+        state, w, cfg, cfg.proposal_a, ZSWEEPS, seed=1, c_tile=128
     )
     sync(state)
     warmup_primary = time.time() - t0
@@ -162,20 +173,21 @@ def _main() -> int:
     best = float("inf")
     for rep in range(3):
         t0 = time.time()
-        state, trace = ens.ensemble_sweeps_pallas(
-            state, w, cfg, cfg.proposal_a, SWEEPS, seed=2 + rep
+        state, trace = ens.ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, ZSWEEPS, seed=2 + rep, c_tile=128
         )
         sync(state)
         dt = time.time() - t0
         best = min(best, dt)
         log(f"bench: rep {rep}: {dt:.3f}s")
-    agg = CHAINS * SWEEPS / best
+    agg = CHAINS * ZSWEEPS / best
     acc = float(np.asarray(trace.accepted).mean()) / cfg.n
     log(f"bench: {agg:,.0f} aggregate sweeps/s at N={N}, acceptance {acc:.3f}")
 
     # Primary is in hand: make the record emittable from this point on.
     RESULT.update({
-        "metric": f"aggregate SMC sweeps/s/chip @ N={N} ({CHAINS} chains, pallas)",
+        "metric": f"aggregate SMC sweeps/s/chip @ N={N} ({CHAINS} chains, "
+                  "pallas zsorted)",
         "value": round(agg, 1),
         "unit": "sweeps/s",
         "vs_baseline": round(agg / FALLBACK_C_RATE, 2),
@@ -188,6 +200,24 @@ def _main() -> int:
             "warmup_primary_s": round(warmup_primary, 1),
         },
     })
+
+    # Continuity extra: the dense kernel (rounds 1-2's primary engine).
+    t0 = time.time()
+    state_d, _ = ens.ensemble_sweeps_pallas(
+        state, w, cfg, cfg.proposal_a, SWEEPS, seed=6)
+    sync(state_d)
+    warmup_dense = time.time() - t0
+    best_d = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        state_d, _ = ens.ensemble_sweeps_pallas(
+            state_d, w, cfg, cfg.proposal_a, SWEEPS, seed=7 + rep)
+        sync(state_d)
+        best_d = min(best_d, time.time() - t0)
+    agg_dense = CHAINS * SWEEPS / best_d
+    log(f"bench: dense-engine extra: {agg_dense:,.0f} aggregate sweeps/s "
+        f"(warmup {warmup_dense:.1f}s)")
+    RESULT["extra"]["n1024_dense_sweeps_per_s"] = round(agg_dense, 1)
 
     # Secondary: the default molecule-surface system (N=108) — measured
     # BEFORE the C subprocess baseline so a slow C run can never starve
@@ -230,15 +260,15 @@ def _main() -> int:
 
     # Tertiary: the large-N config (N=4096, zsorted engine — the z-block
     # skipping kernel that beats dense at this size, PERF_NOTES.md).
-    # Throughput only (cold lattice start): the kernel statics match the
-    # cached evidence-run variant (per-sort 1-sweep blocks).
+    # Throughput only (cold lattice start); sps=8 is the measured
+    # optimum at this size.
     if time.time() - ready < 560:
         cfg3 = SMCConfig.for_n(4096, dtype="float32")
         state3, w3 = init_ensemble_state(cfg3, jax.random.key(0), 256)
         t0 = time.time()
         state3, _ = ens.ensemble_sweeps_zsorted(
             state3, w3, cfg3, cfg3.proposal_a, 200, seed=31, c_tile=128,
-            sweeps_per_sort=4)
+            sweeps_per_sort=8)
         sync(state3)
         warmup_4096 = time.time() - t0
         log(f"bench: N=4096 warmup/compile {warmup_4096:.1f}s")
@@ -247,7 +277,7 @@ def _main() -> int:
             t0 = time.time()
             state3, _ = ens.ensemble_sweeps_zsorted(
                 state3, w3, cfg3, cfg3.proposal_a, 200, seed=32 + rep,
-                c_tile=128, sweeps_per_sort=4)
+                c_tile=128, sweeps_per_sort=8)
             sync(state3)
             best4096 = min(best4096, time.time() - t0)
         agg4096 = 256 * 200 / best4096
@@ -261,6 +291,39 @@ def _main() -> int:
         })
     else:
         log("bench: skipping N=4096 tertiary (time budget)")
+
+    # Quaternary: N=16384 through the HBM-streamed kernel (the VMEM-
+    # resident planes stop fitting past N~10k; input_output_aliases keep
+    # state in HBM and pair passes stream z-window j-blocks through
+    # double-buffered VMEM — docs/PERF_NOTES.md round-3 addendum).
+    if time.time() - ready < 560:
+        cfg4 = SMCConfig.for_n(16384, dtype="float32")
+        state4, w4 = init_ensemble_state(cfg4, jax.random.key(0), 128)
+        t0 = time.time()
+        state4, _ = ens.ensemble_sweeps_zsorted(
+            state4, w4, cfg4, cfg4.proposal_a, 24, seed=41, c_tile=128)
+        sync(state4)
+        warmup_16k = time.time() - t0
+        log(f"bench: N=16384 warmup/compile {warmup_16k:.1f}s")
+        best16k = float("inf")
+        for rep in range(2):
+            t0 = time.time()
+            state4, _ = ens.ensemble_sweeps_zsorted(
+                state4, w4, cfg4, cfg4.proposal_a, 24, seed=42 + rep,
+                c_tile=128)
+            sync(state4)
+            best16k = min(best16k, time.time() - t0)
+        agg16k = 128 * 24 / best16k
+        log(f"bench: N=16384 quaternary (hbm-streamed): {agg16k:,.0f} "
+            "aggregate sweeps/s")
+        RESULT["extra"].update({
+            "n16384_streamed_sweeps_per_s": round(agg16k, 1),
+            # C core extrapolated O(N^2): 4744 * (108/16384)^2 = 0.206/s
+            "n16384_vs_c_core": round(agg16k / 0.206, 1),
+            "warmup_n16384_s": round(warmup_16k, 1),
+        })
+    else:
+        log("bench: skipping N=16384 quaternary (time budget)")
 
     # Multi-chip: when this host sees >1 device, also measure the sharded
     # kernel over the full mesh (chains shard with zero cross-chip

@@ -254,8 +254,9 @@ def test_zsorted_preserves_particle_identity():
 
 
 def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
-    """auto picks zsorted exactly when its constraints hold: N>=4096,
-    one device, confined, untuned, not a ladder."""
+    """auto picks zsorted exactly when its constraints hold: N>=1024
+    (the measured dense/zsorted crossover sits between 512 and 1024),
+    confined, untuned, not a ladder."""
     import jax as _jax
 
     from tpu_smc.cli import _resolve_sampler
@@ -265,6 +266,8 @@ def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
     big = C.for_n(4096, dtype="float32")
     assert _resolve_sampler("auto", big, 256) == "zsorted"
     assert _resolve_sampler("auto", C.for_n(1024, dtype="float32"),
+                            256) == "zsorted"
+    assert _resolve_sampler("auto", C.for_n(512, dtype="float32"),
                             256) == "pallas"
     assert _resolve_sampler("auto", big, 256, n_dev=2) == "zsorted"
     assert _resolve_sampler("auto", big, 255, n_dev=2) == "xla"
@@ -373,10 +376,99 @@ def test_zskip_bitwise_identical_to_dense_blocks():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hbm_stream_bitwise_identical_to_zskip():
+    """The HBM-streamed kernel must reproduce the VMEM zskip kernel
+    BITWISE at the same row_block: id-masking vs row parking and
+    call-start vs sweep-start block bounds only change which exact zeros
+    are summed (kernels/sweep_pallas._make_stream_kernel)."""
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(3)
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        np.sort(rng.uniform(-28, 28, 24)),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(0), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([3, 11], jnp.int32)
+    seeds = jnp.asarray([[5, 7], [9, 11]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        vmem = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=True, row_block_rows=8)
+        stream = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=True, row_block_rows=8, hbm_stream=True)
+    for a, b in zip(vmem, stream):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zsorted_wrapper_hbm_stream_bitwise():
+    """ensemble_sweeps_zsorted(hbm_stream=True) is bitwise the resident
+    engine through the full wrapper (sort chunks, identity carry,
+    remainder path), so the auto capacity switch never changes physics."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
+
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(4)
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        rng.uniform(-28, 28, 24),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(6), 128, r0=r0)
+    with pltpu.force_tpu_interpret_mode():
+        resident, tr1 = ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 6, c_tile=128, row_block_rows=8,
+            hbm_stream=False)
+        streamed, tr2 = ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 6, c_tile=128, row_block_rows=8,
+            hbm_stream=True)
+    np.testing.assert_array_equal(np.asarray(resident.r),
+                                  np.asarray(streamed.r))
+    np.testing.assert_array_equal(np.asarray(resident.energy),
+                                  np.asarray(streamed.energy))
+    np.testing.assert_array_equal(np.asarray(tr1.energy),
+                                  np.asarray(tr2.energy))
+    np.testing.assert_array_equal(np.asarray(tr1.accepted),
+                                  np.asarray(tr2.accepted))
+
+
+def test_zsorted_auto_streams_when_vmem_overflows(monkeypatch):
+    """The wrapper flips to the HBM-streamed kernel exactly when the
+    resident VMEM ledger (3 planes + j-block temporaries) overflows;
+    below that it stays resident. Checked by capturing the kwarg —
+    running an N=16k kernel in interpret mode is not feasible."""
+    from tpu_smc import ensemble as ens
+
+    seen = {}
+    real = sp.pallas_sweep_block
+
+    def capture(*a, **kw):
+        seen["hbm_stream"] = kw.get("hbm_stream", False)
+        raise RuntimeError("stop after capture")
+
+    monkeypatch.setattr(sp, "pallas_sweep_block", capture)
+    big = SMCConfig.for_n(16384, dtype="float32")
+    state, w = init_ensemble_state(big, jax.random.key(0), 128)
+    with pytest.raises(Exception):
+        ens.ensemble_sweeps_zsorted(
+            state, w, big, big.proposal_a, 4, c_tile=128)
+    assert seen["hbm_stream"] is True
+
+    small = SMCConfig.for_n(1024, dtype="float32")
+    state, w = init_ensemble_state(small, jax.random.key(0), 128)
+    with pytest.raises(Exception):
+        ens.ensemble_sweeps_zsorted(
+            state, w, small, small.proposal_a, 4, c_tile=128)
+    assert seen["hbm_stream"] is False
+    monkeypatch.setattr(sp, "pallas_sweep_block", real)
+
+
 def test_zsorted_ensemble_bookkeeping_and_chunk_invariance():
     """ensemble_sweeps_zsorted: energy bookkeeping exact after sort+sweep
     chunks, and trajectories bitwise chunk-invariant for cadence-ALIGNED
-    splits (4+2 == 6 at the default cadence 4: both sort at sweeps 0 and
+    splits (4+2 == 6 at an explicit cadence 4: both sort at sweeps 0 and
     4; a call boundary on a cadence multiple coincides with a scheduled
     re-sort, so the visit schedule is unchanged). Also covers the
     remainder path: 6 is not a multiple of the cadence, so the single
@@ -392,12 +484,13 @@ def test_zsorted_ensemble_bookkeeping_and_chunk_invariance():
     state, w = init_ensemble_state(cfg, jax.random.key(4), 128, r0=r0)
     with pltpu.force_tpu_interpret_mode():
         s_one, tr = ensemble_sweeps_zsorted(
-            state, w, cfg, cfg.proposal_a, 6, c_tile=128, row_block_rows=8)
+            state, w, cfg, cfg.proposal_a, 6, c_tile=128, row_block_rows=8,
+            sweeps_per_sort=4)
         s_split = state
         for k in (4, 2):
             s_split, _ = ensemble_sweeps_zsorted(
                 s_split, w, cfg, cfg.proposal_a, k, c_tile=128,
-                row_block_rows=8)
+                row_block_rows=8, sweeps_per_sort=4)
     exact = jax.vmap(lambda r: total_energy(r, w, cfg))(s_one.r)
     assert float(jnp.max(jnp.abs(exact - s_one.energy))) < 1e-2
     acc = np.asarray(tr.accepted)
@@ -562,9 +655,13 @@ def test_zsorted_odd_call_lengths_keep_cadence():
     divisibility assert) and return full-length traces. Guards the
     round-3 review finding that odd gather lapses used to silently
     collapse the cadence to 1 (dense-speed zsorted)."""
-    from tpu_smc.ensemble import ZSORT_CADENCE, ensemble_sweeps_zsorted
+    from tpu_smc.ensemble import (ensemble_sweeps_zsorted, zsort_cadence)
 
-    assert ZSORT_CADENCE == 4
+    # The product cadence is N-dependent (measured optimum, PERF_NOTES):
+    # 16 at the N=1024 bench-primary size, 8 at larger N.
+    assert zsort_cadence(1024) == 16
+    assert zsort_cadence(2048) == 8
+    assert zsort_cadence(16384) == 8
     cfg = SMCConfig(n=16, box_l=10.0, box_lz=40.0, dtype="float32")
     state, w = init_ensemble_state(cfg, jax.random.key(9), 128)
     with pltpu.force_tpu_interpret_mode():

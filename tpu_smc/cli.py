@@ -140,11 +140,14 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     sharding, each device's kernel sees chains/n_dev chains, so the
     gate must look at the local count, not the global one.
 
-    At N >= 4096 auto upgrades to the zsorted engine (measured 24%
-    faster than dense there, docs/PERF_NOTES.md) when its constraints
-    hold: confined (no pbc_z) and untuned mobility (A is a Mosaic
-    compile-time static in that kernel). Multi-device runs use the
-    shard_map wrapper like the dense engine."""
+    At N >= 1024 auto upgrades to the zsorted engine (measured 1.6x
+    dense at N=1024, 1.9x at N=2048, 1.8x at N=4096 with the
+    N-dependent sort cadence — docs/PERF_NOTES.md; dense still wins at
+    N<=512) when its constraints hold: confined (no pbc_z) and untuned
+    mobility (A is a Mosaic compile-time static in that kernel).
+    Multi-device runs use the shard_map wrapper like the dense
+    engine. Beyond VMEM capacity (N>~10k) the zsorted wrapper further
+    auto-routes to the HBM-streamed kernel."""
     if requested != "auto":
         return requested
     import jax
@@ -154,7 +157,7 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
             and local % 128 == 0):
         return "xla"
-    if cfg.n >= 4096 and not cfg.pbc_z and not tuned and not ladder:
+    if cfg.n >= 1024 and not cfg.pbc_z and not tuned and not ladder:
         return "zsorted"
     return "pallas"
 

@@ -59,13 +59,13 @@ def _gather_step_batched(
     at = (None if opts.proposal_a is None
           else (opts.proposal_a, float(cfg.temperature)))
     if opts.sampler == "zsorted":
-        # Large-N fast path (N>=4096 measured faster than dense —
+        # Large-N fast path (N>=1024 measured faster than dense —
         # docs/PERF_NOTES.md): exact z-block skipping, c_tile 128 (the
-        # 256-lane tile dilutes the per-block z envelope), fixed sort
-        # cadence (odd lapses cost one short final chunk, never a
-        # cadence collapse). Static A only: a tuned override would
-        # recompile Mosaic per run, so the CLI falls back to dense for
-        # tuned runs.
+        # 256-lane tile dilutes the per-block z envelope), N-dependent
+        # sort cadence (odd lapses cost one short final chunk, never a
+        # cadence collapse), HBM-streamed kernel beyond VMEM capacity.
+        # Static A only: a tuned override would recompile Mosaic per
+        # run, so the CLI falls back to dense for tuned runs.
         if mesh is not None:
             from .ensemble import ensemble_sweeps_zsorted_sharded
 

@@ -261,14 +261,25 @@ def ensemble_sweeps_pallas(
     )
 
 
-#: Sort cadence for the zsorted engine. Re-sorting every sweep costs
-#: more than its skipping saves once the identity row rides along
-#: (measured N=4096 c128: sps=1 1.03x dense, sps=4 1.55x — the sort+
-#: takes are ~20% of a sweep); every 4th sweep is the sweet spot, and
-#: staleness only reduces skip efficiency, never correctness (block
-#: bounds are computed live in-kernel). The wrapper handles call
-#: lengths that are not multiples of the cadence with a shorter final
-#: chunk, so the cadence never silently degrades on odd gather lapses.
+def zsort_cadence(n: int) -> int:
+    """Default sort cadence for the zsorted engine, by system size.
+
+    Re-sorting every sweep costs more than its skipping saves once the
+    identity row rides along (sps=1 measured ~1.0x dense at N=4096);
+    staleness only reduces skip efficiency, never correctness (block
+    bounds are live in-kernel). The measured optimum on v5e
+    (scripts/probe_crossover.py + probe_cadence2.py, 192/200-sweep
+    calls): N=1024 — sps16 47.2k vs sps8 44.1k vs sps4 36.0k agg
+    sweeps/s; N=2048 — sps8 15.0k ~= sps16 15.0k > sps4 13.3k;
+    N=4096 — sps8 4.26k > sps16 4.15k > sps4 3.99k. The wrapper handles
+    call lengths that are not multiples of the cadence with a shorter
+    final chunk, so the cadence never silently degrades on odd gather
+    lapses."""
+    return 16 if n <= 1024 else 8
+
+
+#: Legacy fixed cadence (round-3 value, still a valid explicit setting);
+#: the product default is now the N-dependent zsort_cadence above.
 ZSORT_CADENCE = 4
 
 
@@ -280,8 +291,9 @@ def ensemble_sweeps_zsorted(
     n_sweeps: int,
     seed: int | jax.Array | None = None,
     c_tile: int | None = None,
-    sweeps_per_sort: int = ZSORT_CADENCE,
+    sweeps_per_sort: int | None = None,
     row_block_rows: int = 128,
+    hbm_stream: bool | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Large-N fast path: the whole-sweep kernel with EXACT z-block
     skipping (VERDICT r1 #4; SURVEY §5.7 — the sequence-parallel analog).
@@ -302,6 +314,14 @@ def ensemble_sweeps_zsorted(
     back to original order at the boundary, so Rbin mobility and
     positions-CSV identity work exactly like the dense engine (the
     archived banded experiment lacked this).
+
+    hbm_stream (None = auto): route through the HBM-resident streamed
+    kernel — position planes stay in HBM and pair passes stream z-window
+    j-blocks through double-buffered VMEM buffers. Auto turns it on
+    exactly when the VMEM-resident planes no longer fit (N beyond ~10k
+    at c_tile 128); results are bitwise identical to the VMEM zskip
+    kernel at the same row_block (test_pallas pins this), so the switch
+    is a pure capacity/perf decision.
     """
     from .kernels import sweep_pallas as sp
 
@@ -317,10 +337,20 @@ def ensemble_sweeps_zsorted(
     if c_tile is None:
         c_tile = _auto_c_tile(cfg, c, row_block_rows=row_block_rows)
     c_tile = _check_c_tile(c, c_tile)
+    if hbm_stream is None:
+        # VMEM ledger of the resident kernel: 3 planes + ~10 j-block
+        # temporaries against the ~13 MB budget (_auto_c_tile's bound).
+        resident = (3 * n_pad + 10 * row_block_rows) * c_tile * 4
+        hbm_stream = resident > 13 * 2 ** 20
+    if hbm_stream and (cfg.reference_noise or cfg.pbc_z):
+        raise NotImplementedError(
+            "hbm_stream engine requires walls and default (i.i.d.) noise")
     # Fixed cadence regardless of call length: n_full chunks of
     # `sweeps_per_sort`, plus one shorter final chunk for the remainder.
     # An odd gather lapse therefore costs at most one short chunk per
     # call instead of silently collapsing the whole call to sps=1.
+    if sweeps_per_sort is None:
+        sweeps_per_sort = zsort_cadence(n)
     sps = max(1, int(sweeps_per_sort))
     n_full = n_sweeps // sps
     rem = n_sweeps % sps
@@ -355,6 +385,7 @@ def ensemble_sweeps_zsorted(
         x, y, z, e, etr, atr = sp.pallas_sweep_block(
             x, y, z, e, wa, wb, off, sws, cfg, length, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
+            hbm_stream=hbm_stream,
         )
         return x, y, z, e, idx, etr, atr
 
@@ -538,7 +569,8 @@ def ensemble_sweeps_zsorted_sharded(
     axis: str = "chains",
     c_tile: int | None = None,
     row_block_rows: int = 128,
-    sweeps_per_sort: int = ZSORT_CADENCE,
+    sweeps_per_sort: int | None = None,
+    hbm_stream: bool | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Multi-chip zsorted path: the z-block-skipping kernel under
     shard_map — each device z-sorts and sweeps its local chain shard
@@ -554,7 +586,7 @@ def ensemble_sweeps_zsorted_sharded(
         return ensemble_sweeps_zsorted(
             st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
             c_tile=c_tile, row_block_rows=row_block_rows,
-            sweeps_per_sort=sweeps_per_sort,
+            sweeps_per_sort=sweeps_per_sort, hbm_stream=hbm_stream,
         )
 
     specs = ChainState(

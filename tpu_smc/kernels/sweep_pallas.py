@@ -106,37 +106,27 @@ def _uniforms(shape):
     return hi24.astype(jnp.float32) * U24 + float(2.0 ** -25)
 
 
-def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
-                 a: float, zskip: bool = False, row_block: int | None = None,
-                 per_chain_at: bool = False):
-    """per_chain_at: the proposal mobility A and temperature T are
-    PER-CHAIN [1, C] input rows instead of compile-time scalars — one
-    kernel compile covers a whole temperature ladder (tsweep/pt) AND its
-    thermalization (A-doubling changes row values, not the program)."""
+def _shared_closures(cfg: SMCConfig, c_tile: int):
+    """Physics closures shared by the VMEM-resident kernel
+    (`_make_kernel`) and the HBM-streamed kernel (`_make_stream_kernel`).
+
+    The emitted op sequence is EXACTLY the round-2 kernel's — this factory
+    exists so the streamed kernel reuses the same pair/wall math without
+    duplicating it, and the persistent compile cache stays valid for every
+    existing variant (verified by jaxpr fingerprint at extraction time)."""
     n = cfg.n
-    reference_noise = cfg.reference_noise
-    flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
-    t = float(cfg.temperature)
-    a = float(a)
-    sqrt2a = math.sqrt(2.0 * a)
     cut2 = float(cfg.cutoff2)
-    cutoff = float(cfg.lj_cutoff)
     box_l = float(cfg.box_l)
     box_lz = float(cfg.box_lz)
     contact = float(cfg.contact_dz)
     a0 = float(cfg.a0)
     b0 = float(cfg.b0)
     mm = cfg.m * cfg.m
-    dw = box_l / cfg.m
-    use_walls = cfg.use_walls
     pbc_z = cfg.pbc_z
-    row_block = min(n_pad, row_block or ROW_BLOCK)
-    n_blocks = n_pad // row_block if n_pad % row_block == 0 else \
-        n_pad // row_block + 1
-    if zskip and pbc_z:
-        raise NotImplementedError("zskip assumes walls (no z wrap)")
+    s_pad = _round_up(mm, 8)  # wall sites vectorized onto sublanes
 
-    def _block_terms(xi, yi, zi, x, y, z, i=None, j0=0, rb=None):
+    def _block_terms(xi, yi, zi, x, y, z, i=None, j0=0, rb=None,
+                     idmask=None):
         """LJ terms of one row block against a [1, C] query.
 
         x/y are PRE-SCALED by 1/L (planes are stored that way inside this
@@ -153,7 +143,12 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         park value would wrap back into the box (scaled x/y wrap to
         exactly 0) — parking cannot exclude rows. The self/pad exclusion
         is done by explicit row-id masking instead (the reference bulk
-        system is tiny; the extra compares are irrelevant there)."""
+        system is tiny; the extra compares are irrelevant there).
+
+        idmask (None => pbc_z): the HBM-streamed kernel cannot park the
+        moving row (that would cost an extra HBM round-trip per move), so
+        it forces the row-id mask even with walls; pads still drop out
+        through the cutoff there, so only `!= i` is needed."""
         dx = xi - x
         dx = dx - jnp.round(dx)
         dy = yi - y
@@ -163,10 +158,12 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
         dr2 = (dx * dx + dy * dy) * (box_l * box_l) + dz * dz
         mask = dr2 < cut2
-        if pbc_z:
+        if pbc_z if idmask is None else idmask:
             row_ids = j0 + jax.lax.broadcasted_iota(
                 jnp.int32, (rb, c_tile), 0)
-            mask = mask & (row_ids != i) & (row_ids < n)
+            mask = mask & (row_ids != i)
+            if pbc_z:
+                mask = mask & (row_ids < n)
         # guard exact-coincidence only (inf would poison the accept math);
         # hardware-approximate reciprocal + one Newton step reaches full
         # f32 precision in fewer VPU ops than the exact divide
@@ -186,6 +183,79 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         fy = jnp.sum(dv * dy, axis=0, keepdims=True)
         fz = jnp.sum(dv * dz, axis=0, keepdims=True)
         return u, fx, fy, fz
+
+    def wall_terms(xi, yi, zi, wa_col, wb_col, sxc, syc):
+        """Uniform + grid wall energy/force at [1, C] positions
+        (semantics of SMC.c:729-813; see potentials.wall_energy_force_single).
+
+        The M^2 grid sites are processed as SUBLANES of one [s_pad, C]
+        tile instead of an unrolled per-site scalar loop: ~2x fewer
+        vector instructions per evaluation (the fixed per-move cost that
+        dominates at small N). wa_col/wb_col/sxc/syc are [s_pad, C]
+        per-site planes; pad sites carry zero coefficients so they
+        contribute exactly 0."""
+        dz = zi + box_lz / 2.0
+        dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
+        dz = jnp.where(zi <= -box_lz / 2.0, contact,
+                       jnp.where(zi >= box_lz / 2.0, -contact, dz))
+        dz2 = dz * dz
+        r0z = pl.reciprocal(dz2, approx=True)
+        iz2 = r0z * (2.0 - dz2 * r0z)  # Newton: full f32 precision
+        iz6 = iz2 * iz2 * iz2
+        iz12 = iz6 * iz6
+        u0 = a0 * iz12 - b0 * iz6
+        fz0 = (48.0 * a0 * iz12 - 24.0 * b0 * iz6) * iz2 * dz
+
+        # grid sites, all at once on [s_pad, C]
+        dxm = xi - sxc
+        dxm = dxm - box_l * jnp.round(dxm * (1.0 / box_l))
+        dym = yi - syc
+        dym = dym - box_l * jnp.round(dym * (1.0 / box_l))
+        dr2 = dxm * dxm + dym * dym + dz2
+        msk = dr2 < cut2
+        m2 = jnp.maximum(dr2, 1e-12)
+        r02 = pl.reciprocal(m2, approx=True)
+        inv2 = r02 * (2.0 - m2 * r02)
+        inv6 = inv2 * inv2 * inv2
+        inv12 = inv6 * inv6
+        us = jnp.where(msk, wa_col * inv12 - wb_col * inv6, 0.0)
+        dv = jnp.where(
+            msk, (48.0 * wa_col * inv12 - 24.0 * wb_col * inv6) * inv2, 0.0)
+        u = u0 + jnp.sum(us, axis=0, keepdims=True)
+        fx = jnp.sum(dv * dxm, axis=0, keepdims=True)
+        fy = jnp.sum(dv * dym, axis=0, keepdims=True)
+        fz = fz0 + jnp.sum(dv, axis=0, keepdims=True) * dz
+        return 4.0 * u, fx, fy, fz
+
+    return _block_terms, wall_terms, s_pad
+
+
+def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
+                 a: float, zskip: bool = False, row_block: int | None = None,
+                 per_chain_at: bool = False):
+    """per_chain_at: the proposal mobility A and temperature T are
+    PER-CHAIN [1, C] input rows instead of compile-time scalars — one
+    kernel compile covers a whole temperature ladder (tsweep/pt) AND its
+    thermalization (A-doubling changes row values, not the program)."""
+    n = cfg.n
+    reference_noise = cfg.reference_noise
+    flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
+    t = float(cfg.temperature)
+    a = float(a)
+    sqrt2a = math.sqrt(2.0 * a)
+    cutoff = float(cfg.lj_cutoff)
+    box_l = float(cfg.box_l)
+    box_lz = float(cfg.box_lz)
+    mm = cfg.m * cfg.m
+    dw = box_l / cfg.m
+    use_walls = cfg.use_walls
+    pbc_z = cfg.pbc_z
+    row_block = min(n_pad, row_block or ROW_BLOCK)
+    n_blocks = n_pad // row_block if n_pad % row_block == 0 else \
+        n_pad // row_block + 1
+    if zskip and pbc_z:
+        raise NotImplementedError("zskip assumes walls (no z wrap)")
+    _block_terms, wall_terms, s_pad = _shared_closures(cfg, c_tile)
 
     def pair_terms(xi, yi, zi, xs, ys, zs, i=None):
         """U and F on a [1, C] query vs all rows, statically j-blocked."""
@@ -240,51 +310,6 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
             b_lo, b_hi, block_body, (zero, zero, zero, zero))
         return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
                 24.0 * fz)
-
-    s_pad = _round_up(mm, 8)  # wall sites vectorized onto sublanes
-
-    def wall_terms(xi, yi, zi, wa_col, wb_col, sxc, syc):
-        """Uniform + grid wall energy/force at [1, C] positions
-        (semantics of SMC.c:729-813; see potentials.wall_energy_force_single).
-
-        The M^2 grid sites are processed as SUBLANES of one [s_pad, C]
-        tile instead of an unrolled per-site scalar loop: ~2x fewer
-        vector instructions per evaluation (the fixed per-move cost that
-        dominates at small N). wa_col/wb_col/sxc/syc are [s_pad, C]
-        per-site planes; pad sites carry zero coefficients so they
-        contribute exactly 0."""
-        dz = zi + box_lz / 2.0
-        dz = dz - box_lz * jnp.round(dz * (1.0 / box_lz))
-        dz = jnp.where(zi <= -box_lz / 2.0, contact,
-                       jnp.where(zi >= box_lz / 2.0, -contact, dz))
-        dz2 = dz * dz
-        r0z = pl.reciprocal(dz2, approx=True)
-        iz2 = r0z * (2.0 - dz2 * r0z)  # Newton: full f32 precision
-        iz6 = iz2 * iz2 * iz2
-        iz12 = iz6 * iz6
-        u0 = a0 * iz12 - b0 * iz6
-        fz0 = (48.0 * a0 * iz12 - 24.0 * b0 * iz6) * iz2 * dz
-
-        # grid sites, all at once on [s_pad, C]
-        dxm = xi - sxc
-        dxm = dxm - box_l * jnp.round(dxm * (1.0 / box_l))
-        dym = yi - syc
-        dym = dym - box_l * jnp.round(dym * (1.0 / box_l))
-        dr2 = dxm * dxm + dym * dym + dz2
-        msk = dr2 < cut2
-        m2 = jnp.maximum(dr2, 1e-12)
-        r02 = pl.reciprocal(m2, approx=True)
-        inv2 = r02 * (2.0 - m2 * r02)
-        inv6 = inv2 * inv2 * inv2
-        inv12 = inv6 * inv6
-        us = jnp.where(msk, wa_col * inv12 - wb_col * inv6, 0.0)
-        dv = jnp.where(
-            msk, (48.0 * wa_col * inv12 - 24.0 * wb_col * inv6) * inv2, 0.0)
-        u = u0 + jnp.sum(us, axis=0, keepdims=True)
-        fx = jnp.sum(dv * dxm, axis=0, keepdims=True)
-        fy = jnp.sum(dv * dym, axis=0, keepdims=True)
-        fz = fz0 + jnp.sum(dv, axis=0, keepdims=True) * dz
-        return 4.0 * u, fx, fy, fz
 
     def kernel(offsets_ref, seeds_ref, *refs):
         refs = list(refs)
@@ -510,10 +535,309 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
     return kernel
 
 
+def _make_stream_kernel(cfg: SMCConfig, n_pad: int, c_tile: int,
+                        n_sweeps: int, a: float, row_block: int,
+                        per_chain_at: bool = False):
+    """HBM-resident variant of the z-sorted sweep kernel (N beyond VMEM).
+
+    The VMEM-resident kernel tops out near N~10k: the three [N_pad, C_TILE]
+    position planes alone exhaust the ~16 MB VMEM (docs/PERF_NOTES.md).
+    Here the planes STAY in HBM (aliased in-place via input_output_aliases)
+    and each pair pass streams only the j-blocks inside the moving
+    particle's z envelope through a pair of double-buffered VMEM block
+    buffers — block b+1's DMA rides under block b's compute. Everything
+    else (physics, RNG schedule, acceptance, traces, per-chain (A,T)
+    ladder rows) is the VMEM kernel's, via the shared closures, so
+    trajectories are BITWISE identical to the zskip kernel at the same
+    row_block (the only mechanical differences — id-masking instead of
+    row parking, call-start instead of sweep-start block bounds — change
+    which exact zeros are summed, not any summed value; test_pallas pins
+    this).
+
+    Requirements: z-sorted rows (ensemble_sweeps_zsorted orders them),
+    walls (no pbc_z — zskip geometry), no reference_noise (its [3N, C]
+    noise plane is exactly the VMEM footprint this kernel removes), and
+    n_pad % row_block == 0.
+
+    Reference analog: none — SMC.c:575-608 is the O(N^2) pass this
+    engine's envelope-skipping beats; the reference cannot reach these N.
+    """
+    n = cfg.n
+    if cfg.reference_noise:
+        raise NotImplementedError("hbm_stream: reference_noise plane "
+                                  "would defeat the VMEM savings")
+    if cfg.pbc_z:
+        raise NotImplementedError("hbm_stream assumes walls (zskip)")
+    assert n_pad % row_block == 0, (n_pad, row_block)
+    t = float(cfg.temperature)
+    a = float(a)
+    sqrt2a = math.sqrt(2.0 * a)
+    cutoff = float(cfg.lj_cutoff)
+    box_l = float(cfg.box_l)
+    mm = cfg.m * cfg.m
+    dw = box_l / cfg.m
+    use_walls = cfg.use_walls
+    n_blocks = n_pad // row_block
+    _block_terms, wall_terms, s_pad = _shared_closures(cfg, c_tile)
+
+    def kernel(offsets_ref, seeds_ref, sbmin0_ref, sbmax0_ref, *refs):
+        refs = list(refs)
+        x_hbm, y_hbm, z_hbm, e_ref, wa_ref, wb_ref = refs[:6]
+        k = 6
+        if per_chain_at:
+            ac_ref, it_ref = refs[k:k + 2]   # [1, C] A and 1/T rows
+            k += 2
+        # outputs (planes aliased onto the inputs — the kernel reads AND
+        # writes state through the output refs), then scratch
+        xo_hbm, yo_hbm, zo_hbm, eo_ref, et_ref, at_ref = refs[k:k + 6]
+        (xb0, yb0, zb0, xb1, yb1, zb1, qx, qy, qz,
+         sbmin, sbmax, rsem0, rsem1, qsem) = refs[k + 6:]
+        g = pl.program_id(0)
+        col = pl.ds(g * c_tile, c_tile)
+
+        # This tile's call-start exact block bounds -> live SMEM copies
+        # (they only EXPAND during the call, by every proposal's z range
+        # at its block, so skip decisions stay provably safe call-long).
+        def initb(b, _):
+            sbmin[b] = sbmin0_ref[g, b]
+            sbmax[b] = sbmax0_ref[g, b]
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, initb, 0)
+
+        # Wall site planes: identical to the VMEM kernel.
+        wa_cols = wa_ref[:, :]
+        wb_cols = wb_ref[:, :]
+        m_ids = jax.lax.broadcasted_iota(jnp.int32, (s_pad, c_tile), 0)
+        sxc = jnp.where(m_ids < mm,
+                        (m_ids // cfg.m).astype(jnp.float32) * dw, 1e15)
+        syc = jnp.where(m_ids < mm,
+                        (m_ids % cfg.m).astype(jnp.float32) * dw, 1e15)
+
+        if per_chain_at:
+            a_c = ac_ref[:, :]
+            inv_t = it_ref[:, :]
+            a_t = a_c * inv_t            # A/T   (SMC.c:307)
+            a_4t = 0.25 * a_c * inv_t    # A/4T  (SMC.c:326)
+            s2a = jnp.sqrt(2.0 * a_c)    # Box-Muller sigma
+            scale_logap = (lambda v: v * inv_t)
+        else:
+            a_t = a / t
+            a_4t = a / (4.0 * t)
+            s2a = sqrt2a
+            scale_logap = (lambda v: v / t)
+
+        def _start_block(b, xd, yd, zd, sems):
+            j0 = b * row_block
+            rows = pl.ds(j0, row_block)
+            pltpu.make_async_copy(xo_hbm.at[rows, col], xd, sems.at[0]).start()
+            pltpu.make_async_copy(yo_hbm.at[rows, col], yd, sems.at[1]).start()
+            pltpu.make_async_copy(zo_hbm.at[rows, col], zd, sems.at[2]).start()
+
+        def _wait_block(b, xd, yd, zd, sems):
+            j0 = b * row_block
+            rows = pl.ds(j0, row_block)
+            pltpu.make_async_copy(xo_hbm.at[rows, col], xd, sems.at[0]).wait()
+            pltpu.make_async_copy(yo_hbm.at[rows, col], yd, sems.at[1]).wait()
+            pltpu.make_async_copy(zo_hbm.at[rows, col], zd, sems.at[2]).wait()
+
+        def stream_pair_terms(i, xi, yi, zi, zlo, zhi):
+            """Pair pass streaming only the blocks whose live z bounds can
+            overlap [zlo - cut, zhi + cut]; double-buffered so block b+1's
+            HBM->VMEM copy rides under block b's compute. Two statically
+            addressed buffer sets (a dynamic slot index would force
+            dynamic sublane addressing on every compute access — the 2.5x
+            penalty measured in docs/PERF_NOTES.md), hence the pairwise
+            loop with a masked odd tail."""
+            lo_t = zlo - cutoff
+            hi_t = zhi + cutoff
+
+            def scan_blocks(b, carry):
+                b_lo, b_hi = carry
+                need = (sbmin[b] <= hi_t) & (sbmax[b] >= lo_t)
+                b_lo = jnp.where(need, jnp.minimum(b_lo, b), b_lo)
+                b_hi = jnp.where(need, jnp.maximum(b_hi, b + 1), b_hi)
+                return b_lo, b_hi
+
+            b_lo, b_hi = jax.lax.fori_loop(
+                0, n_blocks, scan_blocks,
+                (jnp.int32(n_blocks), jnp.int32(0)))
+
+            @pl.when(b_lo < b_hi)
+            def _():
+                _start_block(b_lo, xb0, yb0, zb0, rsem0)
+
+            def pair_body(p, acc):
+                u, fx, fy, fz = acc
+                b0 = b_lo + 2 * p
+                b1 = b0 + 1
+
+                @pl.when(b1 < b_hi)
+                def _():
+                    _start_block(b1, xb1, yb1, zb1, rsem1)
+
+                _wait_block(b0, xb0, yb0, zb0, rsem0)
+                du, dfx, dfy, dfz = _block_terms(
+                    xi, yi, zi, xb0[:], yb0[:], zb0[:],
+                    i=i, j0=b0 * row_block, rb=row_block, idmask=True)
+                u, fx, fy, fz = u + du, fx + dfx, fy + dfy, fz + dfz
+
+                @pl.when(b0 + 2 < b_hi)
+                def _():
+                    _start_block(b0 + 2, xb0, yb0, zb0, rsem0)
+
+                @pl.when(b1 < b_hi)
+                def _():
+                    _wait_block(b1, xb1, yb1, zb1, rsem1)
+
+                # The odd-tail iteration computes on whatever buffer-1
+                # holds (possibly stale/uninitialized); the select after
+                # the block reductions zeroes it out — NaN-safe because
+                # select, not multiply.
+                du, dfx, dfy, dfz = _block_terms(
+                    xi, yi, zi, xb1[:], yb1[:], zb1[:],
+                    i=i, j0=b1 * row_block, rb=row_block, idmask=True)
+                ok = b1 < b_hi
+                u = u + jnp.where(ok, du, 0.0)
+                fx = fx + jnp.where(ok, dfx, 0.0)
+                fy = fy + jnp.where(ok, dfy, 0.0)
+                fz = fz + jnp.where(ok, dfz, 0.0)
+                return u, fx, fy, fz
+
+            zero = jnp.zeros((1, c_tile), jnp.float32)
+            n_pairs = (b_hi - b_lo + 1) // 2
+            u, fx, fy, fz = jax.lax.fori_loop(
+                0, n_pairs, pair_body, (zero, zero, zero, zero))
+            return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
+                    24.0 * fz)
+
+        def one_sweep(s, e):
+            # Same per-sweep PRNG stream derivation as the VMEM kernel.
+            pltpu.prng_seed(seeds_ref[s, 0],
+                            seeds_ref[s, 1] ^ (g * jnp.int32(0x27D4EB2F)))
+            offset = offsets_ref[s]
+            acc_count = jnp.zeros((1, c_tile), jnp.float32)
+
+            def move(nn, carry):
+                e, acc_count = carry
+                i = (nn + offset) % n
+                ib = i // row_block
+                # Fetch the moving particle's row (the only state row a
+                # move needs by value; everything else streams by block).
+                cps = [
+                    pltpu.make_async_copy(
+                        xo_hbm.at[pl.ds(i, 1), col], qx, qsem.at[0]),
+                    pltpu.make_async_copy(
+                        yo_hbm.at[pl.ds(i, 1), col], qy, qsem.at[1]),
+                    pltpu.make_async_copy(
+                        zo_hbm.at[pl.ds(i, 1), col], qz, qsem.at[2]),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                xi = qx[:]
+                yi = qy[:]
+                zi = qz[:]
+
+                # Row i sorted into block ib at call start; every later
+                # write expanded ib's bounds, so its current z is covered.
+                um, fmx, fmy, fmz = stream_pair_terms(
+                    i, xi, yi, zi, sbmin[ib], sbmax[ib])
+                if use_walls:
+                    uw, wx, wy, wz = wall_terms(
+                        xi * box_l, yi * box_l, zi, wa_cols, wb_cols,
+                        sxc, syc)
+                    um += uw
+                    fmx += wx
+                    fmy += wy
+                    fmz += wz
+
+                # 3 Gaussians (Box-Muller, sigma = sqrt(2A)) + 1 uniform
+                u = _uniforms((8, c_tile))
+                r1 = jnp.sqrt(-2.0 * jnp.log(u[0:1])) * s2a
+                g1 = r1 * jnp.cos(TWO_PI * u[1:2])
+                g2 = r1 * jnp.sin(TWO_PI * u[1:2])
+                g3 = jnp.sqrt(-2.0 * jnp.log(u[2:3])) * s2a * \
+                    jnp.cos(TWO_PI * u[3:4])
+                u_acc = u[4:5]
+
+                ddx = fmx * a_t + g1
+                ddy = fmy * a_t + g2
+                ddz = fmz * a_t + g3
+                px = xi + ddx * (1.0 / box_l)
+                px = px - jnp.round(px)
+                py = yi + ddy * (1.0 / box_l)
+                py = py - jnp.round(py)
+                pz = zi + ddz
+
+                pz_lo = jnp.min(pz)
+                pz_hi = jnp.max(pz)
+                un, fnx, fny, fnz = stream_pair_terms(
+                    i, px, py, pz, pz_lo, pz_hi)
+                if use_walls:
+                    uw, wx, wy, wz = wall_terms(
+                        px * box_l, py * box_l, pz, wa_cols, wb_cols,
+                        sxc, syc)
+                    un += uw
+                    fnx += wx
+                    fny += wy
+                    fnz += wz
+
+                dfx = fnx - fmx
+                dfy = fny - fmy
+                dfz = fnz - fmz
+                dw_term = (dfx * dfx + dfy * dfy + dfz * dfz
+                           + 2.0 * (dfx * fmx + dfy * fmy + dfz * fmz)) \
+                    * a_4t
+                log_ap = scale_logap(
+                    -(un - um
+                      + 0.5 * (ddx * (fnx + fmx) + ddy * (fny + fmy)
+                               + ddz * (fnz + fmz))
+                      + dw_term))
+                accept = (u_acc < jnp.exp(jnp.minimum(log_ap, 0.0))) \
+                    | (log_ap >= 0.0)
+
+                # Write the row back (old values on reject — the write is
+                # unconditional so the next move's wait is too), then
+                # expand block ib's bounds by the proposal's z range.
+                qx[:] = jnp.where(accept, px, xi)
+                qy[:] = jnp.where(accept, py, yi)
+                qz[:] = jnp.where(accept, pz, zi)
+                cps = [
+                    pltpu.make_async_copy(
+                        qx, xo_hbm.at[pl.ds(i, 1), col], qsem.at[0]),
+                    pltpu.make_async_copy(
+                        qy, yo_hbm.at[pl.ds(i, 1), col], qsem.at[1]),
+                    pltpu.make_async_copy(
+                        qz, zo_hbm.at[pl.ds(i, 1), col], qsem.at[2]),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                sbmin[ib] = jnp.minimum(sbmin[ib], pz_lo)
+                sbmax[ib] = jnp.maximum(sbmax[ib], pz_hi)
+                e = e + jnp.where(accept, un - um, 0.0)
+                acc_count = acc_count + accept.astype(jnp.float32)
+                return e, acc_count
+
+            e, acc_count = jax.lax.fori_loop(
+                0, n, move, (e, acc_count))
+            et_ref[pl.ds(s, 1), :] = e
+            at_ref[pl.ds(s, 1), :] = acc_count.astype(jnp.int32)
+            return e
+
+        e = jax.lax.fori_loop(0, n_sweeps, one_sweep, e_ref[:])
+        eo_ref[:] = e
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_sweeps", "a", "c_tile", "zskip",
-                     "row_block_rows"),
+                     "row_block_rows", "hbm_stream"),
 )
 def pallas_sweep_block(
     x: jax.Array,          # [N_pad, C] f32
@@ -534,12 +858,18 @@ def pallas_sweep_block(
     row_block_rows: int | None = None,
     a_row: jax.Array | None = None,
     invt_row: jax.Array | None = None,
+    hbm_stream: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run `n_sweeps` full SMC sweeps for every chain.
 
     zskip: rows must be z-sorted per chain (ensemble_sweeps_zsorted does
     this); j-blocks provably outside the moving particle's z cutoff are
     skipped — bitwise identical results, fewer rows touched.
+
+    hbm_stream (implies zskip preconditions): the planes stay in HBM and
+    pair passes stream j-blocks through double-buffered VMEM buffers —
+    the N-beyond-VMEM engine (_make_stream_kernel). Bitwise identical to
+    zskip at the same row_block.
 
     a_row/invt_row ([1, C] f32, both or neither): PER-CHAIN proposal
     mobility A and 1/T — the temperature-ladder mode (tsweep/pt). The
@@ -552,6 +882,10 @@ def pallas_sweep_block(
     per_chain_at = a_row is not None
     assert per_chain_at == (invt_row is not None), \
         "a_row and invt_row must be passed together"
+    if hbm_stream:
+        return _pallas_sweep_block_stream(
+            x, y, z, e, wa, wb, offsets, seed, cfg, n_sweeps, a,
+            c_tile, row_block_rows or ROW_BLOCK, a_row, invt_row)
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a,
                           zskip=zskip, row_block=row_block_rows,
@@ -605,19 +939,7 @@ def pallas_sweep_block(
         jax.ShapeDtypeStruct((n_sweeps, c), jnp.int32),
     ]
 
-    seed = jnp.atleast_1d(seed).astype(jnp.int32)
-    if seed.ndim == 1:
-        # Scalar/[2] block seed: expand to per-sweep words by folding in
-        # the sweep index (legacy callers/tests).
-        w0 = seed[0]
-        w1 = seed[1] if seed.shape[0] > 1 else jnp.int32(0)
-        sidx = jnp.arange(n_sweeps, dtype=jnp.int32)
-        seed_words = jnp.stack(
-            [w0 + sidx * jnp.int32(0x165667B1),
-             w1 ^ (sidx * jnp.int32(0x5851F42D))], axis=1)
-    else:
-        assert seed.shape == (n_sweeps, 2), seed.shape
-        seed_words = seed
+    seed_words = _seed_words(seed, n_sweeps)
     # x/y enter the kernel PRE-SCALED by 1/L (z stays real): the min-image
     # wrap becomes one round+sub per block and the box scale folds into
     # dr2 / the per-pass force scale (docs/PERF_NOTES.md). The scale
@@ -631,6 +953,115 @@ def pallas_sweep_block(
         grid_spec=grid_spec,
         out_shape=out_shape,
     )(offsets.astype(jnp.int32), seed_words, *args)
+    return xo * cfg.box_l, yo * cfg.box_l, zo, e, e_tr, a_tr
+
+
+def _seed_words(seed: jax.Array, n_sweeps: int) -> jax.Array:
+    """Normalize a seed to per-sweep [n_sweeps, 2] int32 PRNG words."""
+    seed = jnp.atleast_1d(seed).astype(jnp.int32)
+    if seed.ndim == 1:
+        # Scalar/[2] block seed: expand to per-sweep words by folding in
+        # the sweep index (legacy callers/tests).
+        w0 = seed[0]
+        w1 = seed[1] if seed.shape[0] > 1 else jnp.int32(0)
+        sidx = jnp.arange(n_sweeps, dtype=jnp.int32)
+        return jnp.stack(
+            [w0 + sidx * jnp.int32(0x165667B1),
+             w1 ^ (sidx * jnp.int32(0x5851F42D))], axis=1)
+    assert seed.shape == (n_sweeps, 2), seed.shape
+    return seed
+
+
+def _pallas_sweep_block_stream(
+    x, y, z, e, wa, wb, offsets, seed, cfg: SMCConfig, n_sweeps: int,
+    a: float, c_tile: int, row_block: int, a_row, invt_row,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """HBM-streamed call path of pallas_sweep_block (traced inside its
+    jit). Planes are updated IN PLACE via input_output_aliases — no
+    full-plane VMEM residency, so N is bounded by HBM, not VMEM."""
+    n_pad, c = x.shape
+    per_chain_at = a_row is not None
+    rb = min(n_pad, row_block)
+    assert n_pad % rb == 0, (n_pad, rb)
+    nb = n_pad // rb
+    n_tiles = c // c_tile
+    grid = (n_tiles,)
+    kernel = _make_stream_kernel(cfg, n_pad, c_tile, n_sweeps, a,
+                                 row_block=rb, per_chain_at=per_chain_at)
+
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    row_spec = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
+                            memory_space=pltpu.VMEM)
+    s_pad = _round_up(cfg.m * cfg.m, 8)
+    wa_cols = jnp.broadcast_to(wa[0, :s_pad][:, None], (s_pad, c_tile))
+    wb_cols = jnp.broadcast_to(wb[0, :s_pad][:, None], (s_pad, c_tile))
+    wall_spec = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+    trace_spec = pl.BlockSpec((n_sweeps, c_tile), lambda g, *_: (0, g),
+                              memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # xb0
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # yb0
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # zb0
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # xb1
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # yb1
+        pltpu.VMEM((rb, c_tile), jnp.float32),   # zb1
+        pltpu.VMEM((1, c_tile), jnp.float32),    # qx (moving row)
+        pltpu.VMEM((1, c_tile), jnp.float32),    # qy
+        pltpu.VMEM((1, c_tile), jnp.float32),    # qz
+        pltpu.SMEM((nb,), jnp.float32),          # live block zmin
+        pltpu.SMEM((nb,), jnp.float32),          # live block zmax
+        pltpu.SemaphoreType.DMA((3,)),           # rsem0
+        pltpu.SemaphoreType.DMA((3,)),           # rsem1
+        pltpu.SemaphoreType.DMA((3,)),           # qsem
+    ]
+
+    in_specs = [hbm, hbm, hbm, row_spec, wall_spec, wall_spec]
+    if per_chain_at:
+        in_specs += [row_spec, row_spec]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[hbm, hbm, hbm, row_spec, trace_spec, trace_spec],
+        scratch_shapes=scratch,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_sweeps, c), jnp.int32),
+    ]
+
+    seed_words = _seed_words(seed, n_sweeps)
+    inv_l = 1.0 / float(cfg.box_l)
+    xs = x * inv_l
+    ys = y * inv_l
+    # Call-start EXACT per-(tile, block) z bounds (pads excluded), the
+    # kernel's skip decisions start from these and only expand.
+    real = z < 1e14
+    zblk = jnp.where(real, z, jnp.float32(1e15)).reshape(
+        nb, rb, n_tiles, c_tile)
+    sbmin0 = jnp.min(zblk, axis=(1, 3)).T                    # [n_tiles, nb]
+    zblk = jnp.where(real, z, jnp.float32(-1e15)).reshape(
+        nb, rb, n_tiles, c_tile)
+    sbmax0 = jnp.max(zblk, axis=(1, 3)).T
+
+    args = [xs, ys, z, e, wa_cols, wb_cols]
+    if per_chain_at:
+        args += [a_row.astype(jnp.float32), invt_row.astype(jnp.float32)]
+    # Alias the three planes onto the outputs (indices count the scalar-
+    # prefetch operands: 0..3 are offsets/seeds/sbmin0/sbmax0).
+    xo, yo, zo, e, e_tr, a_tr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+    )(offsets.astype(jnp.int32), seed_words, sbmin0, sbmax0, *args)
     return xo * cfg.box_l, yo * cfg.box_l, zo, e, e_tr, a_tr
 
 

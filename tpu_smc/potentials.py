@@ -101,10 +101,24 @@ def pair_energy_force_single(
 
 
 def pair_energy_total(R: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
-    """Total pair energy, all unique pairs (energy, SMC.c:626-646)."""
-    u_rows = jax.vmap(
-        lambda i: pair_energy_force_single(R, i, R[i], cfg)[0]
-    )(jnp.arange(R.shape[0]))
+    """Total pair energy, all unique pairs (energy, SMC.c:626-646).
+
+    Above N=4096 the row pass is chunked (lax.map batches of 2048) so the
+    O(N^2) displacement tensor never materializes whole — at N=32768 the
+    one-shot vmap needs ~24 GB of HBM (more than the chip); the chunked
+    pass peaks at ~0.3 GB. The per-row sums and the final [N] reduction
+    are the same values in the same order, so results are unchanged; the
+    small-N path keeps its exact round-2 lowering (committed compile
+    cache)."""
+    n = R.shape[0]
+
+    def row(i):
+        return pair_energy_force_single(R, i, R[i], cfg)[0]
+
+    if n <= 4096:
+        u_rows = jax.vmap(row)(jnp.arange(n))
+    else:
+        u_rows = jax.lax.map(row, jnp.arange(n), batch_size=2048)
     return 0.5 * jnp.sum(u_rows)
 
 
