@@ -258,3 +258,64 @@ def test_ladder_coordinator_rejects_auto_interval(tmp_path):
         timeout=120)
     assert out.returncode != 0
     assert "fixed" in (out.stderr + out.stdout)
+
+
+def test_global_ladder_cross_process_exchange_bitwise(tmp_path):
+    """--global-ladder: ONE ladder whose chain axis shards over BOTH
+    processes' devices — PT exchanges swap configurations across the
+    process boundary mid-run (the pod-scale mode; exchanges become DCN
+    collectives). The contract is bitwise: a 2-process x 4-device global
+    ladder runs the SAME GSPMD program as a single-process 8-device
+    mesh (same seed, same partitioning), so tsweep_*.csv and pt_*.csv
+    must match byte for byte, and '--pt-exchange auto' (forbidden for
+    per-process ladders) must choose the same interval everywhere."""
+    common = ["16", "40", "8", "1.10", "--n", "12", "--seed", "7",
+              "--platform", "cpu", "--temperatures", "1.0,1.3",
+              "--chains-per-t", "4", "--pt-exchange", "auto"]
+
+    sdata = tmp_path / "s" / "Data"
+    sp = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+         str(sdata), "--checkpoint", str(tmp_path / "s_ck.npz")],
+        cwd=tmp_path, env=_env(8), capture_output=True, text=True,
+        timeout=600)
+    assert sp.returncode == 0, sp.stderr[-2000:]
+    assert "Sharding 8 ladder chains over 8 devices" in sp.stdout
+
+    mdata = tmp_path / "m" / "Data"
+    port = _free_port()
+    base = [sys.executable, "-m", "tpu_smc", *common, "--data-dir",
+            str(mdata), "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--global-ladder",
+            "--checkpoint", str(tmp_path / "m_ck.npz")]
+    procs = [subprocess.Popen(base + ["--process-id", str(i)],
+                              cwd=tmp_path, env=_env(4),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "a device shard of the ONE global ladder" in outs[0]
+    assert "Global ladder: 8 chains sharded over 8 devices across 2 " \
+           "processes" in outs[0]
+
+    srun, mrun = next(sdata.iterdir()), next(mdata.iterdir())
+    for stem in ("tsweep", "pt"):
+        s = next(srun.glob(f"{stem}_*.csv")).read_text()
+        m = next(mrun.glob(f"{stem}_*.csv")).read_text()
+        assert s == m, f"{stem} differs between global-ladder split " \
+                       "and single-process mesh"
+    # swaps actually happened across the run
+    pt = np.genfromtxt(next(mrun.glob("pt_*.csv")), delimiter=",",
+                       skip_header=1, ndmin=2)
+    assert pt[0, 3] > 0
+    # the auto probe chose identically everywhere
+    assert "Auto-chosen exchange interval" in outs[0]
+    assert "Auto-chosen exchange interval" in outs[1]
+
+    # the gathered global checkpoint equals the single-process one
+    s_ck = np.load(tmp_path / "s_ck.npz")
+    m_ck = np.load(tmp_path / "m_ck.npz")
+    for leaf in ("r", "energy", "sweeps", "rbin"):
+        np.testing.assert_array_equal(s_ck[leaf], m_ck[leaf])

@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total processes in the --coordinator job")
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's index in the --coordinator job")
+    p.add_argument("--global-ladder", action="store_true",
+                   help="with --coordinator and --temperatures: run ONE "
+                        "ladder whose chain axis shards over ALL processes' "
+                        "devices (GSPMD over DCN) instead of complete "
+                        "per-process ladders. PT exchanges then swap "
+                        "configurations ACROSS processes mid-run (pod-scale "
+                        "replica exchange; --pt-exchange auto allowed — the "
+                        "probe is computed identically everywhere)")
     p.add_argument("--nonuniform-z", action="store_true",
                    help="non-uniform z voxel binning: layer_depth layers at"
                         " the walls, 3 thick central layers (createZRange,"
@@ -205,14 +213,22 @@ def main(argv=None) -> int:
             sys.exit("--coordinator with --resume is not supported; resume "
                      "single-process, then restart the multi-process run "
                      "from its last_state")
-        if args.temperatures:
+        if args.global_ladder and not args.temperatures:
+            sys.exit("--global-ladder needs a --temperatures ladder")
+        if args.temperatures and args.global_ladder:
+            # ONE ladder spanning all processes: nothing splits here —
+            # the chain axis shards over the union of devices after
+            # initialize() (device count is unknown until then).
+            pass
+        elif args.temperatures:
             # Multi-process ladders: each process runs COMPLETE replica
             # ladders (all temperatures), exchanges stay process-local,
             # and the replica axis pools at the end.
             if args.pt_exchange == "auto":
                 sys.exit("--coordinator ladders need a fixed "
                          "--pt-exchange interval (per-process probes "
-                         "could choose different intervals); probe "
+                         "could choose different intervals) unless "
+                         "--global-ladder (one shared probe); probe "
                          "single-process first, then pass the value")
             if args.chains_per_t < args.num_processes \
                     or args.chains_per_t % args.num_processes:
@@ -232,8 +248,10 @@ def main(argv=None) -> int:
                                    args.process_id)
         nproc = jax.process_count()
         local_desc = (
-            f"{args.chains_per_t // nproc} of {args.chains_per_t} "
-            "replica ladders" if args.temperatures
+            "a device shard of the ONE global ladder"
+            if args.temperatures and args.global_ladder
+            else f"{args.chains_per_t // nproc} of {args.chains_per_t} "
+                 "replica ladders" if args.temperatures
             else f"{args.chains // nproc} of {args.chains} chains")
         print(f"Multi-process run: process {proc_id}/{nproc}, "
               f"{local_desc} locally "
@@ -291,11 +309,15 @@ def main(argv=None) -> int:
         # the SAME per-level mobility, or the pooled statistics would
         # mix chains run at different proposal distributions (review r3)
         common_key = key
-        if nproc > 1:
+        global_ladder = nproc > 1 and args.global_ladder
+        if nproc > 1 and not global_ladder:
             cpt //= nproc
             # distinct per-process replica streams (ladders are
             # independent; statistical pooling at the end)
             key = jax.random.fold_in(key, 0xD150 + proc_id)
+        # global_ladder: every process keeps the COMMON key and the full
+        # chains_per_t — all of them trace the identical global program,
+        # sharded over the union of devices below.
         ladder_c = len(temps) * cpt
         # Validate the reweight grid BEFORE the (potentially hours-long)
         # ladder runs — a malformed spec must fail now, not at the end.
@@ -308,17 +330,33 @@ def main(argv=None) -> int:
         # like the ensemble path (XLA engine: GSPMD incl. the PT
         # exchange collectives; pallas engine: shard_map sweeps).
         lmesh = None
-        n_dev = len(jax.local_devices()) if nproc > 1 else len(jax.devices())
-        if n_dev > 1 and ladder_c % n_dev == 0:
+        if global_ladder:
+            # ONE mesh over every process's devices: sweeps stay local
+            # to each shard, the PT exchange's configuration gathers
+            # become DCN collectives (pod-scale replica exchange).
             from .ensemble import make_mesh
 
-            lmesh = make_mesh(n_dev, axis_names=("chains",),
-                              local=nproc > 1)
-            print(f"Sharding {ladder_c} ladder chains over "
-                  f"{n_dev} {'local ' if nproc > 1 else ''}devices")
-        elif n_dev > 1:
-            print(f"Note: {ladder_c} ladder chains do not divide over "
-                  f"{n_dev} devices; running on one device")
+            n_dev = len(jax.devices())
+            if ladder_c % n_dev:
+                sys.exit(f"--global-ladder: {ladder_c} ladder chains "
+                         f"(= {len(temps)} temps x {cpt}) must divide "
+                         f"over the job's {n_dev} devices")
+            lmesh = make_mesh(n_dev, axis_names=("chains",), local=False)
+            print(f"Global ladder: {ladder_c} chains sharded over "
+                  f"{n_dev} devices across {nproc} processes")
+        else:
+            n_dev = (len(jax.local_devices()) if nproc > 1
+                     else len(jax.devices()))
+            if n_dev > 1 and ladder_c % n_dev == 0:
+                from .ensemble import make_mesh
+
+                lmesh = make_mesh(n_dev, axis_names=("chains",),
+                                  local=nproc > 1)
+                print(f"Sharding {ladder_c} ladder chains over "
+                      f"{n_dev} {'local ' if nproc > 1 else ''}devices")
+            elif n_dev > 1:
+                print(f"Note: {ladder_c} ladder chains do not divide over "
+                      f"{n_dev} devices; running on one device")
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
                                     n_dev=n_dev if lmesh is not None else 1,
                                     ladder=True)
@@ -366,10 +404,13 @@ def main(argv=None) -> int:
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
-            if nproc > 1:
+            if nproc > 1 and not global_ladder:
                 from .pt import pool_pt_across_processes
 
                 pt_res = pool_pt_across_processes(pt_res, cfg)
+            # global_ladder: results are already global — every process
+            # computed the full-ladder statistics from allgathered
+            # samples (ensemble.fetch); nothing to pool.
             res = pt_res.tsweep
             if proc_id == 0:
                 pt_path = write_pt_csv(d, cfg, pt_res)
@@ -393,18 +434,30 @@ def main(argv=None) -> int:
                 w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
-            if nproc > 1:
+            if nproc > 1 and not global_ladder:
                 # pooled replica axis: every process gets the full-R
                 # statistics (reweighting below then sees P x samples)
                 from .tsweep import pool_tsweep_across_processes
 
                 res = pool_tsweep_across_processes(res, cfg)
         if args.checkpoint:
-            ck_path = smcio.save_checkpoint(
-                _ck_with_suffix(args.checkpoint,
-                                f".p{proc_id}" if nproc > 1 else ""),
-                lstate, cfg)
-            print(f"Full ladder state checkpointed to {ck_path}")
+            if global_ladder:
+                # ONE global state: gather the cross-process shards and
+                # write a single suffix-free checkpoint from process 0
+                # (resumable single-process or re-sharded).
+                from .ensemble import gather_global_state
+
+                lstate_h = gather_global_state(lstate)
+                if proc_id == 0:
+                    ck_path = smcio.save_checkpoint(
+                        args.checkpoint, lstate_h, cfg)
+                    print(f"Full ladder state checkpointed to {ck_path}")
+            else:
+                ck_path = smcio.save_checkpoint(
+                    _ck_with_suffix(args.checkpoint,
+                                    f".p{proc_id}" if nproc > 1 else ""),
+                    lstate, cfg)
+                print(f"Full ladder state checkpointed to {ck_path}")
         if proc_id == 0:
             path = write_tsweep_csv(d, cfg, res)
         print("\n###  Temperature sweep results  ###")

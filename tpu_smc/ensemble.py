@@ -62,6 +62,53 @@ def shard_ensemble(state: ChainState, mesh: Mesh, axis: str = "chains") -> Chain
     return jax.tree.map(put, state)
 
 
+def global_shard_put(x, mesh: Mesh, axis: str = "chains"):
+    """device_put with the leading axis sharded over `mesh`, valid also
+    when the mesh SPANS PROCESSES (the global-ladder mode, SURVEY §5.8):
+    every process passes the SAME full host value and materializes only
+    its addressable shards (jax.make_array_from_callback). Single-process
+    meshes take the plain device_put path unchanged."""
+    sh = NamedSharding(mesh, P(axis))
+    me = jax.process_index()
+    if all(d.process_index == me for d in mesh.devices.flat):
+        return jax.device_put(x, sh)
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype,
+                                                  jax.dtypes.prng_key):
+        # typed PRNG keys round-trip through key_data (np can't view them)
+        kd = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(kd.shape, sh,
+                                         lambda idx: kd[idx])
+        return jax.random.wrap_key_data(g)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
+def fetch(x) -> np.ndarray:
+    """np.asarray for device values that also works when the value is
+    sharded over a multi-process mesh: non-addressable shards are
+    allgathered (DCN) first, so every process receives the full array.
+    Single-process (and fully-replicated) arrays pass through on the
+    normal path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def gather_global_state(state: ChainState) -> ChainState:
+    """Fetch a (possibly cross-process-sharded) ensemble state to host
+    numpy on every process. The typed PRNG key leaf rides as key_data
+    and is rewrapped, so io.save_checkpoint can serialize the result."""
+    key = jax.random.wrap_key_data(
+        jnp.asarray(fetch(jax.random.key_data(state.key))))
+    return ChainState(
+        r=fetch(state.r), energy=fetch(state.energy), key=key,
+        sweeps=fetch(state.sweeps), accepted=fetch(state.accepted),
+        rbin=fetch(state.rbin), density=fetch(state.density),
+        mobility=fetch(state.mobility))
+
+
 def ensemble_sweeps(
     state: ChainState,
     w: jax.Array,

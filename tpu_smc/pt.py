@@ -236,6 +236,7 @@ def simulate_parallel_tempering(
     driver dryrun). Pallas engine: sweeps run under shard_map and each
     exchange is its own GSPMD device call."""
     from .driver import therm_chunk
+    from .ensemble import fetch
 
     temps = np.asarray(temps, dtype=np.float64)
     n_t = len(temps)
@@ -269,14 +270,15 @@ def simulate_parallel_tempering(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
         cfg.jnp_dtype))
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # global_shard_put: also valid when the mesh spans processes
+        # (the --global-ladder mode — cross-process replica exchange).
+        from .ensemble import global_shard_put
 
         assert c % mesh.shape["chains"] == 0, (c, dict(mesh.shape))
-        sh = NamedSharding(mesh, P("chains"))
-        state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
-        temps_c = jax.device_put(temps_c, sh)
+        state = jax.tree.map(lambda x: global_shard_put(x, mesh), state)
+        temps_c = global_shard_put(temps_c, mesh)
         if a_c is not None:
-            a_c = jax.device_put(a_c, sh)
+            a_c = global_shard_put(a_c, mesh)
 
     sweep_budget = therm_chunk(cfg, sampler=sampler)  # per device call
     # A sharded pallas kernel is a shard_map custom call the scanned
@@ -304,22 +306,22 @@ def simulate_parallel_tempering(
 
         def harvest(st):
             nonlocal moves
-            moves += np.asarray(st.accepted, np.int64)
+            moves += fetch(st.accepted).astype(np.int64)
             if collect:
                 # paired (P, E) sample at the call boundary (reweight.py)
-                p_samples.append(np.asarray(press_fn(st.r, w_arr)))
-                e_at_p.append(np.asarray(st.energy))
+                p_samples.append(fetch(press_fn(st.r, w_arr)))
+                e_at_p.append(fetch(st.energy))
                 if fields_fn is not None:
                     gr_b, zp_b = fields_fn(st.r)
                     if gr_b is not None:
-                        gr_s.append(np.asarray(gr_b))
+                        gr_s.append(fetch(gr_b))
                     if zp_b is not None:
-                        zp_s.append(np.asarray(zp_b))
+                        zp_s.append(fetch(zp_b))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
             nonlocal sweep0
-            e_blk = np.asarray(stats.energy).reshape(-1, c)
+            e_blk = fetch(stats.energy).reshape(-1, c)
             start = (lapse - 1 - sweep0) % lapse
             samples.append(e_blk[start::lapse])
             sweep0 += e_blk.shape[0]
@@ -334,8 +336,8 @@ def simulate_parallel_tempering(
                     state, w_arr, cfg, temps_c, betas_t, a_scale,
                     chains_per_t, interval, k, cycle0 + done_c,
                     collect_trace=collect, sampler=sampler, a_c=a_c)
-                acc += np.asarray(a_blk, np.int64)
-                att += np.asarray(t_blk, np.int64)
+                acc += fetch(a_blk).astype(np.int64)
+                att += fetch(t_blk).astype(np.int64)
                 if collect:
                     take(stats)
                 state = harvest(state)  # also syncs under the watchdog
@@ -359,8 +361,8 @@ def simulate_parallel_tempering(
                 state, a_blk, t_blk = _exchange_block(
                     state, betas_t, cfg, chains_per_t,
                     jnp.int32(cycle0 + ci))
-                acc += np.asarray(a_blk, np.int64)
-                att += np.asarray(t_blk, np.int64)
+                acc += fetch(a_blk).astype(np.int64)
+                att += fetch(t_blk).astype(np.int64)
         return (state, acc, att, samples, moves,
                 (p_samples, e_at_p, gr_s, zp_s), cycle0 + cycles)
 

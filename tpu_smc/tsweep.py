@@ -164,24 +164,27 @@ def simulate_temperature_sweep(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
         cfg.jnp_dtype))
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # global_shard_put: also valid when the mesh spans processes
+        # (the --global-ladder mode); key leaves shard by key_data shape.
+        from .ensemble import global_shard_put
 
         assert c % mesh.shape["chains"] == 0, (c, dict(mesh.shape))
-        sh = NamedSharding(mesh, P("chains"))
-        state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
-        temps_c = jax.device_put(temps_c, sh)
+        state = jax.tree.map(lambda x: global_shard_put(x, mesh), state)
+        temps_c = global_shard_put(temps_c, mesh)
         if a_c is not None:
-            a_c = jax.device_put(a_c, sh)
+            a_c = global_shard_put(a_c, mesh)
 
     # Deterministic watchdog-safe chunks (driver.therm_chunk: sized from
     # the O(N^2) sweep cost, machine-independent — ADVICE r1).
     chunk = therm_chunk(cfg, sampler=sampler)
+    from .ensemble import fetch
+
     done = 0
     while done < params.eqsteps:
         k = min(params.eqsteps - done, chunk)
         state, _ = _ladder_block(state, w_arr, cfg, temps_c, 2.0, k,
                                  sampler, a_c=a_c, mesh=mesh)
-        np.asarray(state.energy[:1])  # sync
+        fetch(state.energy[:1])  # sync
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
@@ -204,18 +207,18 @@ def simulate_temperature_sweep(
         state, stats = _ladder_block(
             state, w_arr, cfg, temps_c, 1.0, k, sampler,
             collect_trace=True, a_c=a_c, mesh=mesh)
-        e_samples.append(np.asarray(stats.energy)[lapse - 1::lapse])
+        e_samples.append(fetch(stats.energy)[lapse - 1::lapse])
         # paired (P, E) sample at the call boundary (one O(N^2) pass per
         # device call — the per-sweep trace stays energy-only)
-        p_samples.append(np.asarray(press_fn(state.r, w_arr)))
-        e_at_p.append(np.asarray(state.energy))
+        p_samples.append(fetch(press_fn(state.r, w_arr)))
+        e_at_p.append(fetch(state.energy))
         if fields_fn is not None:
             gr_b, zp_b = fields_fn(state.r)
             if gr_b is not None:
-                gr_s.append(np.asarray(gr_b))
+                gr_s.append(fetch(gr_b))
             if zp_b is not None:
-                zp_s.append(np.asarray(zp_b))
-        prod_moves += np.asarray(state.accepted, np.int64)
+                zp_s.append(fetch(zp_b))
+        prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
     e_tr = np.concatenate(e_samples)         # [gathers, C]
