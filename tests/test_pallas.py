@@ -164,20 +164,52 @@ def test_sharded_wrappers_accept_two_word_seeds():
     assert not np.array_equal(np.asarray(s1.r), np.asarray(s3.r))
 
 
-def test_zsorted_rejects_proposal_a_override():
-    """A tuned mobility is a Mosaic compile-time static in the zsorted
-    kernel — the driver must refuse it, not silently cold-compile."""
-    import pytest
+def test_zsorted_tuned_override_matches_static():
+    """A tuned A on the zsorted engine rides the ladder-mode (A, T) data
+    rows (CLAUDE.md: a run-varying mobility must never be the Mosaic
+    static). With uniform rows at (cfg.proposal_a, cfg.T) the wrapper
+    must reproduce the static-a engine: identical accept decisions and
+    PRNG schedule; positions/energies to f32 roundoff (mul-by-1/T vs
+    divide-by-T)."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
 
+    state, w = _dense_state(128)
+    with pltpu.force_tpu_interpret_mode():
+        s_static, tr_s = ensemble_sweeps_zsorted(
+            state, w, CFG, CFG.proposal_a, 5, seed=11, c_tile=128,
+            row_block_rows=8, sweeps_per_sort=4)
+        s_rows, tr_r = ensemble_sweeps_zsorted(
+            state, w, CFG, 0.0, 5, seed=11, c_tile=128,
+            row_block_rows=8, sweeps_per_sort=4,
+            uniform_at=(float(CFG.proposal_a), float(CFG.temperature)))
+    np.testing.assert_array_equal(np.asarray(tr_s.accepted),
+                                  np.asarray(tr_r.accepted))
+    # mul-by-1/T vs divide-by-T ulps compound through the force field
+    # over 5 sweeps (the 1-sweep kernel-level test pins 1e-5); what must
+    # stay exact is the decision stream above.
+    np.testing.assert_allclose(np.asarray(s_static.r),
+                               np.asarray(s_rows.r), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_static.energy),
+                               np.asarray(s_rows.energy),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_zsorted_driver_tuned_override_runs():
+    """simulate_ensemble(sampler='zsorted', proposal_a=...) end-to-end:
+    the tuned value routes through the data rows (one compile key) and
+    the run produces finite physics with sane acceptance."""
     from tpu_smc.config import RunParams
     from tpu_smc.driver import ObservableOptions
     from tpu_smc.driver_ensemble import simulate_ensemble
 
     state, w = _dense_state(128)
-    with pytest.raises(ValueError, match="zsorted"):
-        simulate_ensemble(
-            CFG, RunParams(0, 4, 4), state, w,
-            opts=ObservableOptions(sampler="zsorted", proposal_a=0.5))
+    with pltpu.force_tpu_interpret_mode():
+        _, res = simulate_ensemble(
+            CFG, RunParams(2, 4, 4), state, w,
+            opts=ObservableOptions(pressure=False, clusters=False,
+                                   sampler="zsorted", proposal_a=0.5))
+    assert np.isfinite(res.mean_energy)
+    assert 0.0 < res.acceptance_ratio <= 1.0
 
 
 def test_ensemble_driver_with_pallas_sampler():
@@ -256,7 +288,7 @@ def test_zsorted_preserves_particle_identity():
 def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
     """auto picks zsorted exactly when its constraints hold: N>=1024
     (the measured dense/zsorted crossover sits between 512 and 1024),
-    confined, untuned, not a ladder."""
+    confined, not a ladder; tuned runs keep it (data-row A routing)."""
     import jax as _jax
 
     from tpu_smc.cli import _resolve_sampler
@@ -271,7 +303,8 @@ def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
                             256) == "pallas"
     assert _resolve_sampler("auto", big, 256, n_dev=2) == "zsorted"
     assert _resolve_sampler("auto", big, 255, n_dev=2) == "xla"
-    assert _resolve_sampler("auto", big, 256, tuned=True) == "pallas"
+    # tuned runs keep the fast engine (A rides the (A, T) data rows)
+    assert _resolve_sampler("auto", big, 256, tuned=True) == "zsorted"
     assert _resolve_sampler("auto", big, 256, ladder=True) == "pallas"
     assert _resolve_sampler("auto", C.bulk(n=4096, dtype="float32"),
                             256) == "pallas"   # pbc_z
@@ -673,3 +706,39 @@ def test_zsorted_odd_call_lengths_keep_cadence():
             assert np.all(np.isfinite(np.asarray(st.energy)))
             exact = jax.vmap(lambda r: total_energy(r, w, cfg))(st.r)
             assert float(jnp.max(jnp.abs(exact - st.energy))) < 1e-2
+
+
+def test_tsweep_zsorted_engine_end_to_end():
+    """simulate_temperature_sweep(sampler='zsorted'): the z-block-skip
+    engine carries the ladder's per-chain (A, T) rows — they are chain-
+    indexed, so the per-chunk particle sorts never touch them. Finite
+    per-T stats, E monotone in T (interpret)."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    params = RunParams(eqsteps=2, maxsteps=8, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        _, res = simulate_temperature_sweep(
+            CFG, params, [0.9, 1.4], jax.random.key(0),
+            chains_per_t=64, sampler="zsorted")
+    assert np.all(np.isfinite(res.mean_energy))
+    assert np.all((res.acceptance > 0) & (res.acceptance <= 1))
+    assert res.mean_energy[1] > res.mean_energy[0]
+
+
+def test_pt_zsorted_engine_end_to_end():
+    """Parallel tempering through the zsorted engine (interpret):
+    exchanges swap configurations between temperature slots while the
+    engine re-sorts particles by z between chunks — slot bookkeeping and
+    particle identity must both survive."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.pt import simulate_parallel_tempering
+
+    params = RunParams(eqsteps=2, maxsteps=8, numdata=4)
+    with pltpu.force_tpu_interpret_mode():
+        _, res = simulate_parallel_tempering(
+            CFG, params, [0.9, 1.4], jax.random.key(0),
+            chains_per_t=64, exchange_interval=2, sampler="zsorted")
+    assert np.all(np.isfinite(res.tsweep.mean_energy))
+    assert np.all((res.swap_acceptance >= 0) & (res.swap_acceptance <= 1))
+    assert int(res.swap_attempts.sum()) > 0

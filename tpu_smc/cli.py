@@ -151,11 +151,14 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     At N >= 1024 auto upgrades to the zsorted engine (measured 1.6x
     dense at N=1024, 1.9x at N=2048, 1.8x at N=4096 with the
     N-dependent sort cadence — docs/PERF_NOTES.md; dense still wins at
-    N<=512) when its constraints hold: confined (no pbc_z) and untuned
-    mobility (A is a Mosaic compile-time static in that kernel).
+    N<=512) when its constraints hold: confined (no pbc_z), not a
+    temperature ladder. TUNED runs (--target-acceptance) keep the fast
+    engine too: the tuned A rides the ladder-mode (A, T) data rows, so
+    the Mosaic compile key never varies with the tuned value.
     Multi-device runs use the shard_map wrapper like the dense
     engine. Beyond VMEM capacity (N>~10k) the zsorted wrapper further
     auto-routes to the HBM-streamed kernel."""
+    del tuned  # tuned A rides the (A, T) data rows — no engine downgrade
     if requested != "auto":
         return requested
     import jax
@@ -165,7 +168,7 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
             and local % 128 == 0):
         return "xla"
-    if cfg.n >= 1024 and not cfg.pbc_z and not tuned and not ladder:
+    if cfg.n >= 1024 and not cfg.pbc_z and not ladder:
         return "zsorted"
     return "pallas"
 
@@ -360,10 +363,11 @@ def main(argv=None) -> int:
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
                                     n_dev=n_dev if lmesh is not None else 1,
                                     ladder=True)
-        if tsampler == "zsorted":
-            sys.exit("--sampler zsorted does not support --temperatures "
-                     "(the ladder needs per-chain (A, T) kernel rows); "
-                     "use --sampler pallas")
+        # --sampler zsorted works for ladders too since round 3 (cont.):
+        # the (A, T) ladder rows are chain-indexed, untouched by the
+        # engine's particle sorts. `auto` still resolves ladders to the
+        # dense pallas engine pending a hardware crossover measurement
+        # for the rows+zskip combination.
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{cpt} chains, one compiled ensemble "
               f"({tsampler} engine)")

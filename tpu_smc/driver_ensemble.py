@@ -64,21 +64,21 @@ def _gather_step_batched(
         # 256-lane tile dilutes the per-block z envelope), N-dependent
         # sort cadence (odd lapses cost one short final chunk, never a
         # cadence collapse), HBM-streamed kernel beyond VMEM capacity.
-        # Static A only: a tuned override would recompile Mosaic per
-        # run, so the CLI falls back to dense for tuned runs.
+        # A tuned A routes through the ladder-mode (A, T) data rows, so
+        # tuned runs keep the fast engine with ONE compile key.
         if mesh is not None:
             from .ensemble import ensemble_sweeps_zsorted_sharded
 
             state, trace = ensemble_sweeps_zsorted_sharded(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                mesh=mesh, c_tile=128,
+                mesh=mesh, c_tile=128, uniform_at=at,
             )
         else:
             from .ensemble import ensemble_sweeps_zsorted
 
             state, trace = ensemble_sweeps_zsorted(
                 state, w, cfg, a_eff, gather_lapse, seed=opts.stream_seed,
-                c_tile=128,
+                c_tile=128, uniform_at=at,
             )
     elif opts.sampler == "pallas":
         if mesh is not None:
@@ -222,16 +222,6 @@ def simulate_ensemble(
     snapshot (driver.snapshot_to_host semantics); 0 disables."""
     import time as _time
 
-    if opts.sampler == "zsorted" and opts.proposal_a is not None:
-        # CLAUDE.md invariant: a RUN-VARYING mobility must ride the
-        # ladder-mode (A, T) data rows, never the kernel's static `a` —
-        # the zsorted kernel has no data-row path, so a tuned override
-        # would cold-compile Mosaic per tuned value (minutes each).
-        raise ValueError(
-            "zsorted engine cannot take a proposal_a override (A is a "
-            "Mosaic compile-time static there); use sampler='pallas', "
-            "which routes tuned mobilities through (A, T) data rows")
-
     lapse = params.gather_lapse
     gather_steps = params.gather_steps
     n_chains = state.r.shape[0]
@@ -247,19 +237,21 @@ def simulate_ensemble(
         # make seeded runs host-speed-dependent (ADVICE r1); each chunk
         # stays far under the TPU runtime watchdog by construction.
         if opts.sampler == "zsorted":
+            # Tuned A rides the ladder-mode (A, T) rows (CLAUDE.md: a
+            # run-varying mobility must never be the Mosaic static).
             def therm_step(s, k):
                 if mesh is not None:
                     from .ensemble import ensemble_sweeps_zsorted_sharded
 
                     return ensemble_sweeps_zsorted_sharded(
                         s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                        mesh=mesh, c_tile=128,
+                        mesh=mesh, c_tile=128, uniform_at=at2,
                     )[0]
                 from .ensemble import ensemble_sweeps_zsorted
 
                 return ensemble_sweeps_zsorted(
                     s, w, cfg, 2.0 * a_eff, k, seed=opts.stream_seed,
-                    c_tile=128,
+                    c_tile=128, uniform_at=at2,
                 )[0]
         elif opts.sampler == "pallas":
             def therm_step(s, k):

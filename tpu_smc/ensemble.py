@@ -341,6 +341,9 @@ def ensemble_sweeps_zsorted(
     sweeps_per_sort: int | None = None,
     row_block_rows: int = 128,
     hbm_stream: bool | None = None,
+    uniform_at: tuple | None = None,
+    a_per_chain: jax.Array | None = None,
+    t_per_chain: jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Large-N fast path: the whole-sweep kernel with EXACT z-block
     skipping (VERDICT r1 #4; SURVEY §5.7 — the sequence-parallel analog).
@@ -369,10 +372,29 @@ def ensemble_sweeps_zsorted(
     at c_tile 128); results are bitwise identical to the VMEM zskip
     kernel at the same row_block (test_pallas pins this), so the switch
     is a pure capacity/perf decision.
+
+    uniform_at=(A, T) / a_per_chain+t_per_chain [C]: the ladder-mode
+    (A, T) DATA-row routing, exactly like ensemble_sweeps_pallas — the
+    kernel's static `a` pins to 0.0 so one compile key covers every
+    tuned mobility and temperature ladder (a RUN-VARYING A as the
+    static would cold-compile Mosaic each run). The rows are CHAIN-
+    indexed, so the per-chunk particle sorts never touch them.
     """
     from .kernels import sweep_pallas as sp
 
     c = state.r.shape[0]
+    if uniform_at is not None and a_per_chain is None:
+        a_per_chain = jnp.full((c,), float(uniform_at[0]), jnp.float32)
+        t_per_chain = jnp.full((c,), float(uniform_at[1]), jnp.float32)
+    assert (a_per_chain is None) == (t_per_chain is None)
+    at_kw = {}
+    if a_per_chain is not None:
+        at_kw = dict(
+            a_row=jnp.asarray(a_per_chain, jnp.float32).reshape(1, c),
+            invt_row=(1.0 / jnp.asarray(t_per_chain, jnp.float32)
+                      ).reshape(1, c),
+        )
+        a = 0.0  # static `a` is unused in per-chain mode: one compile key
     n = cfg.n
     n_pad = ((n + 7) // 8) * 8
     # zskip needs n_pad % row_block == 0: shrink to the largest divisor
@@ -432,7 +454,7 @@ def ensemble_sweeps_zsorted(
         x, y, z, e, etr, atr = sp.pallas_sweep_block(
             x, y, z, e, wa, wb, off, sws, cfg, length, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
-            hbm_stream=hbm_stream,
+            hbm_stream=hbm_stream, **at_kw,
         )
         return x, y, z, e, idx, etr, atr
 
@@ -618,36 +640,49 @@ def ensemble_sweeps_zsorted_sharded(
     row_block_rows: int = 128,
     sweeps_per_sort: int | None = None,
     hbm_stream: bool | None = None,
+    uniform_at: tuple | None = None,
+    a_per_chain: jax.Array | None = None,
+    t_per_chain: jax.Array | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """Multi-chip zsorted path: the z-block-skipping kernel under
     shard_map — each device z-sorts and sweeps its local chain shard
     (the sort is per chain, so sharding the chain axis changes nothing),
     zero cross-chip traffic. Per-device PRNG streams decorrelate by
     folding the device index into the seed, exactly like
-    ensemble_sweeps_pallas_sharded."""
+    ensemble_sweeps_pallas_sharded. uniform_at=(A, T): tuned-mobility
+    routing through the ladder-mode data rows (each shard builds its
+    local rows from the shared scalars); a_per_chain/t_per_chain ([C]
+    global, sharded like the state): temperature-ladder rows — sharded
+    ladders at zsorted speed."""
     nd = mesh.shape[axis]
     c = state.r.shape[0]
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
+    per_chain = a_per_chain is not None
 
-    def local(st):
+    def local(st, *rows):
+        kw = dict(a_per_chain=rows[0], t_per_chain=rows[1]) if per_chain \
+            else dict(uniform_at=uniform_at)
         return ensemble_sweeps_zsorted(
             st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
             c_tile=c_tile, row_block_rows=row_block_rows,
             sweeps_per_sort=sweeps_per_sort, hbm_stream=hbm_stream,
+            **kw,
         )
 
     specs = ChainState(
         r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
         accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
     )
+    in_specs = (specs,) + ((P(axis), P(axis)) if per_chain else ())
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(specs,),
+        in_specs=in_specs,
         out_specs=(specs, SweepStats(energy=P(None, axis),
                                      accepted=P(None, axis))),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
-    return fn(state)
+    args = (state,) + ((a_per_chain, t_per_chain) if per_chain else ())
+    return fn(*args)
 
 
 # ----------------------------------------------------------------------

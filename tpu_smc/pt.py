@@ -175,14 +175,17 @@ def _pt_block(state, w, cfg, temps_c, betas_t, a_scale, chains_per_t,
 
     def cycle(carry, k):
         st, nacc, natt = carry
-        if sampler == "pallas":
+        if sampler in ("pallas", "zsorted"):
             from . import ensemble as ens
 
             base = cfg.gamma * temps_c if a_c is None else a_c
-            st, stats = ens.ensemble_sweeps_pallas(
+            engine = (ens.ensemble_sweeps_zsorted if sampler == "zsorted"
+                      else ens.ensemble_sweeps_pallas)
+            kw = {"c_tile": 128} if sampler == "zsorted" else {}
+            st, stats = engine(
                 st, w, cfg, 0.0, interval,
                 a_per_chain=a_scale * base,
-                t_per_chain=temps_c)
+                t_per_chain=temps_c, **kw)
             if not collect_trace:
                 stats = None
         else:
@@ -281,10 +284,11 @@ def simulate_parallel_tempering(
             a_c = global_shard_put(a_c, mesh)
 
     sweep_budget = therm_chunk(cfg, sampler=sampler)  # per device call
-    # A sharded pallas kernel is a shard_map custom call the scanned
-    # cycle program cannot partition: run sweeps through the sharded
-    # ladder wrapper and each exchange as its own (GSPMD) device call.
-    cycle_scan_ok = not (mesh is not None and sampler == "pallas")
+    # A sharded pallas/zsorted kernel is a shard_map custom call the
+    # scanned cycle program cannot partition: run sweeps through the
+    # sharded ladder wrapper and each exchange as its own (GSPMD) call.
+    cycle_scan_ok = not (mesh is not None
+                         and sampler in ("pallas", "zsorted"))
 
     def run_phase(state, total_sweeps, a_scale, cycle0, collect=False,
                   lapse=1, sweep0=0):

@@ -96,11 +96,24 @@ def _ladder_block(state, w, cfg, temps_c, a_scale, n_sweeps, sampler,
     special (state/temps arrive sharded; GSPMD partitions the program);
     the pallas engine goes through the shard_map wrapper with the (A, T)
     rows sharded alongside the state."""
-    if sampler == "pallas":
+    if sampler in ("pallas", "zsorted"):
         from . import ensemble as ens
 
         base = cfg.gamma * temps_c if a_c is None else a_c
-        if mesh is not None:
+        if sampler == "zsorted":
+            # Ladder at zsorted speed: the (A, T) rows are CHAIN-indexed,
+            # so the engine's per-chunk particle sorts never touch them
+            # (ensemble_sweeps_zsorted docstring).
+            if mesh is not None:
+                state, stats = ens.ensemble_sweeps_zsorted_sharded(
+                    state, w, cfg, 0.0, n_sweeps, seed=None, mesh=mesh,
+                    c_tile=128,
+                    a_per_chain=a_scale * base, t_per_chain=temps_c)
+            else:
+                state, stats = ens.ensemble_sweeps_zsorted(
+                    state, w, cfg, 0.0, n_sweeps, c_tile=128,
+                    a_per_chain=a_scale * base, t_per_chain=temps_c)
+        elif mesh is not None:
             state, stats = ens.ensemble_sweeps_pallas_sharded(
                 state, w, cfg, 0.0, n_sweeps, seed=None, mesh=mesh,
                 a_per_chain=a_scale * base, t_per_chain=temps_c)
