@@ -303,9 +303,10 @@ def test_resolve_sampler_auto_upgrades_to_zsorted(monkeypatch):
                             256) == "pallas"
     assert _resolve_sampler("auto", big, 256, n_dev=2) == "zsorted"
     assert _resolve_sampler("auto", big, 255, n_dev=2) == "xla"
-    # tuned runs keep the fast engine (A rides the (A, T) data rows)
+    # tuned runs and ladders keep the fast engine: A and T ride the
+    # ladder-mode (A, T) data rows (probe: zsorted ladder 1.76x dense)
     assert _resolve_sampler("auto", big, 256, tuned=True) == "zsorted"
-    assert _resolve_sampler("auto", big, 256, ladder=True) == "pallas"
+    assert _resolve_sampler("auto", big, 256, ladder=True) == "zsorted"
     assert _resolve_sampler("auto", C.bulk(n=4096, dtype="float32"),
                             256) == "pallas"   # pbc_z
     assert _resolve_sampler("zsorted", big, 256) == "zsorted"  # explicit

@@ -151,14 +151,16 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     At N >= 1024 auto upgrades to the zsorted engine (measured 1.6x
     dense at N=1024, 1.9x at N=2048, 1.8x at N=4096 with the
     N-dependent sort cadence — docs/PERF_NOTES.md; dense still wins at
-    N<=512) when its constraints hold: confined (no pbc_z), not a
-    temperature ladder. TUNED runs (--target-acceptance) keep the fast
-    engine too: the tuned A rides the ladder-mode (A, T) data rows, so
-    the Mosaic compile key never varies with the tuned value.
+    N<=512) when its one constraint holds: confined (no pbc_z).
+    TUNED runs (--target-acceptance) and temperature LADDERS
+    (--temperatures, incl. PT) keep the fast engine too: A and T ride
+    the ladder-mode (A, T) data rows, so the Mosaic compile key never
+    varies with the tuned value or the ladder (probe: zsorted ladder
+    1.76x the dense ladder at N=1024 — scripts/probe_ladder_zsorted.py).
     Multi-device runs use the shard_map wrapper like the dense
     engine. Beyond VMEM capacity (N>~10k) the zsorted wrapper further
     auto-routes to the HBM-streamed kernel."""
-    del tuned  # tuned A rides the (A, T) data rows — no engine downgrade
+    del tuned, ladder   # both ride the (A, T) data rows — no downgrade
     if requested != "auto":
         return requested
     import jax
@@ -168,7 +170,7 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
             and local % 128 == 0):
         return "xla"
-    if cfg.n >= 1024 and not cfg.pbc_z and not ladder:
+    if cfg.n >= 1024 and not cfg.pbc_z:
         return "zsorted"
     return "pallas"
 
@@ -363,11 +365,10 @@ def main(argv=None) -> int:
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
                                     n_dev=n_dev if lmesh is not None else 1,
                                     ladder=True)
-        # --sampler zsorted works for ladders too since round 3 (cont.):
-        # the (A, T) ladder rows are chain-indexed, untouched by the
-        # engine's particle sorts. `auto` still resolves ladders to the
-        # dense pallas engine pending a hardware crossover measurement
-        # for the rows+zskip combination.
+        # zsorted works for ladders since round 3 (cont.): the (A, T)
+        # ladder rows are chain-indexed, untouched by the engine's
+        # particle sorts; measured 1.76x the dense ladder at N=1024, so
+        # `auto` routes big ladders there too.
         print(f"Temperature sweep: {len(temps)} temperatures x "
               f"{cpt} chains, one compiled ensemble "
               f"({tsampler} engine)")
