@@ -219,6 +219,32 @@ def _main() -> int:
         f"(warmup {warmup_dense:.1f}s)")
     RESULT["extra"]["n1024_dense_sweeps_per_s"] = round(agg_dense, 1)
 
+    # Ladder extra: a 4-temperature ladder through the zsorted engine's
+    # (A, T) data rows (round-3 cont.: --sampler auto routes ladders at
+    # N>=1024 here; measured 1.76x the dense ladder — PERF_NOTES.md).
+    lt = jnp.asarray(np.repeat(np.linspace(0.9, 1.5, 4), CHAINS // 4),
+                     jnp.float32)
+    la = cfg.gamma * lt
+    t0 = time.time()
+    state_l, _ = ens.ensemble_sweeps_zsorted(
+        state, w, cfg, 0.0, ZSWEEPS, seed=16, c_tile=128,
+        a_per_chain=la, t_per_chain=lt)
+    sync(state_l)
+    warmup_ladder = time.time() - t0
+    best_l = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        state_l, _ = ens.ensemble_sweeps_zsorted(
+            state_l, w, cfg, 0.0, ZSWEEPS, seed=17 + rep, c_tile=128,
+            a_per_chain=la, t_per_chain=lt)
+        sync(state_l)
+        best_l = min(best_l, time.time() - t0)
+    agg_ladder = CHAINS * ZSWEEPS / best_l
+    log(f"bench: zsorted-ladder extra: {agg_ladder:,.0f} aggregate "
+        f"sweeps/s (warmup {warmup_ladder:.1f}s)")
+    RESULT["extra"]["n1024_ladder_zsorted_sweeps_per_s"] = \
+        round(agg_ladder, 1)
+
     # Secondary: the default molecule-surface system (N=108) — measured
     # BEFORE the C subprocess baseline so a slow C run can never starve
     # it (VERDICT r2 #1: BENCH_r02 recorded null here). Warm runs hit
