@@ -137,3 +137,30 @@ def test_temperature_sweep_driver():
                                                      pressure=False))
     err = (res.err_energy[1] ** 2 + (r2.std_energy / 2) ** 2) ** 0.5
     assert abs(res.mean_energy[1] - r2.mean_energy) < max(5 * err, 2.0)
+
+
+def test_gathers_per_call_watchdog_model():
+    """The window sub-chunk is DETERMINISTIC from run parameters (A6)
+    and shrinks with N/chains/CNA so one device call stays under the
+    runtime watchdog: the flat max_gathers_per_call window at
+    N=1024 x 512 chains measured >100 s of device time (CNA matmuls
+    dominate) and faulted on hardware."""
+    from tpu_smc.driver import gathers_per_call
+
+    small = SMCConfig(dtype="float32")              # N=108
+    # Reference-scale small systems keep the configured cap: existing
+    # call layouts (and their compile-cache entries) are unchanged.
+    assert gathers_per_call(small, 40, 2048, True) == \
+        small.max_gathers_per_call
+    assert gathers_per_call(small, 40, 1, True) == \
+        small.max_gathers_per_call
+    big = SMCConfig.for_n(1024, dtype="float32")
+    sub = gathers_per_call(big, 20, 512, True)
+    assert 5 <= sub <= 60          # the faulted config now chunks
+    # CNA off => the sweep pass dominates; budget loosens but stays
+    # bounded
+    assert gathers_per_call(big, 20, 512, False) > sub
+    huge = SMCConfig.for_n(4096, dtype="float32")
+    assert gathers_per_call(huge, 20, 256, True) >= 1
+    # deterministic: same inputs, same chunks (no wall clock anywhere)
+    assert gathers_per_call(big, 20, 512, True) == sub

@@ -58,6 +58,31 @@ def therm_chunk(cfg: SMCConfig, sampler: str = "xla") -> int:
     return max(50, min(2000, int(budget / (cfg.n * cfg.n))))
 
 
+def gathers_per_call(cfg: SMCConfig, lapse: int, chains: int,
+                     clusters: bool) -> int:
+    """Watchdog-safe gathers per device call — DETERMINISTIC from the
+    run parameters (A6: chunk sizes must never depend on wall clock or
+    host speed, or seeded pallas/zsorted trajectories would vary by
+    machine through per-call boundary rounding).
+
+    Unit-cost model in pair-ops per gather: the sweep pass
+    (lapse*C*N^2), the O(N^2) per-chain observables, and the CNA's
+    pair-block matmuls (C * p_pad * N, amortized over its lca_time
+    cadence) — the term that dominates at large N (an N=1024 x 512-chain
+    window measured ~1.1 s/gather of MXU time in the CNA alone and
+    tripped the ~100 s watchdog at the flat 100-gather window). The 1e12
+    budget lands calls near 30-40 s on v5e; small systems stay at the
+    configured max (200), so existing small-N call layouts are
+    unchanged."""
+    per_gather = (lapse + 3) * chains * cfg.n * cfg.n
+    if clusters:
+        p = cfg.n * (cfg.n - 1) // 2
+        p_pad = max(8192, ((p + 8191) // 8192) * 8192)
+        per_gather += chains * p_pad * cfg.n // max(1, cfg.lca_time)
+    return max(1, min(cfg.max_gathers_per_call,
+                      int(1e12 // max(per_gather, 1))))
+
+
 def _sync(state: ChainState) -> ChainState:
     """Synchronize on the device computation WITHOUT touching the PRNG-key
     leaf: jax.block_until_ready on key arrays triggers device faults over
@@ -355,7 +380,8 @@ def simulate(
             moves_w = 0
             sub_done = 0
             while sub_done < g:
-                sub = min(cfg.max_gathers_per_call, g - sub_done)
+                sub = min(gathers_per_call(cfg, lapse, 1, opts.clusters),
+                          g - sub_done)
                 state, part = simulate_window(
                     state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
                 )

@@ -101,17 +101,26 @@ def _gather_step_batched(
         )
 
     if cfg.recompute_every:
+        from .observables import vmap_chains_bounded as _vcb
+
         state = jax.lax.cond(
             (gather_index + 1) % cfg.recompute_every == 0,
             lambda s: s._replace(
-                energy=jax.vmap(lambda r: total_energy(r, w, cfg))(s.r)
+                energy=_vcb(lambda r: total_energy(r, w, cfg), s.r, cfg.n)
             ),
             lambda s: s,
             state,
         )
 
+    # O(N^2) per-chain observables go through vmap_chains_bounded: the
+    # [C, N, N] pair temporaries of a whole-ensemble vmap OOM HBM at
+    # large N (52 GB at N=1024 x 512 chains, measured); small problems
+    # keep the exact old single-vmap lowering (compile cache intact).
+    from .observables import vmap_chains_bounded
+
     p = (
-        jax.vmap(lambda r: total_pressure(r, w, cfg))(state.r)
+        vmap_chains_bounded(lambda r: total_pressure(r, w, cfg),
+                            state.r, cfg.n)
         if opts.pressure
         else jnp.zeros((state.r.shape[0],), dtype)
     )
@@ -123,10 +132,12 @@ def _gather_step_batched(
 
     c = state.r.shape[0]
     if opts.clusters:
+        from .observables import obs_chain_batch_cna
+
         def do_lca(r):
-            return jax.vmap(
-                lambda ri: cluster_histograms(cluster_analysis(ri, cfg))
-            )(r)
+            return vmap_chains_bounded(
+                lambda ri: cluster_histograms(cluster_analysis(ri, cfg)),
+                r, cfg.n, batch=obs_chain_batch_cna(cfg.n))
 
         def skip_lca(r):
             return (
@@ -144,9 +155,9 @@ def _gather_step_batched(
         l3 = jnp.zeros((c, 7), jnp.int32)
 
     gr = (
-        jax.vmap(lambda r: radial_distribution(r, cfg, nbins=opts.gr_bins)[1])(
-            state.r
-        )
+        vmap_chains_bounded(
+            lambda r: radial_distribution(r, cfg, nbins=opts.gr_bins)[1],
+            state.r, cfg.n)
         if opts.gr_bins
         else jnp.zeros((c, 0), jnp.float32)
     )
@@ -325,7 +336,11 @@ def simulate_ensemble(
             moves_w = np.zeros_like(prod_moves)
             sub_done = 0
             while sub_done < g:
-                sub = min(cfg.max_gathers_per_call, g - sub_done)
+                from .driver import gathers_per_call
+
+                sub = min(gathers_per_call(cfg, lapse, n_chains,
+                                           opts.clusters),
+                          g - sub_done)
                 state, part = simulate_window_batched(
                     state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts,
                     mesh=mesh,

@@ -23,6 +23,36 @@ from .config import SMCConfig
 # Voxel density & mobility (SMC.c:912-927)
 # ----------------------------------------------------------------------
 
+def obs_chain_batch(n: int) -> int:
+    """Chain batch size bounding the O(N^2) per-chain observable
+    temporaries ([B, N, N] f32) to ~1 GB. A plain vmap over the whole
+    ensemble materializes [C, N, N] pair tensors for g(r)/CNA/virial/
+    energy recomputes — at N=1024 x 512 chains one fused gather step
+    wanted 52 GB of HBM (measured). N=108 and every test-size problem
+    stays on the exact single-vmap lowering (batch >= C)."""
+    return max(1, (1 << 28) // max(n * n, 1))
+
+
+def obs_chain_batch_cna(n: int) -> int:
+    """Chain batch for the CNA observable specifically: its pair-blocked
+    common-neighbour matmuls materialize [8192, B, N] dot operands (dot
+    inputs cannot stay fused — the N=1024 x 256-chain batch measured an
+    8 GB fusion output), so the bound follows 8192*N, not N^2: keep the
+    operand near 1 GB."""
+    return max(1, (1 << 28) // (8192 * max(n, 1)))
+
+
+def vmap_chains_bounded(fn, r: jnp.ndarray, n: int,
+                        batch: int | None = None) -> jnp.ndarray:
+    """jax.vmap(fn) over the chain axis, lax.map-batched when the
+    O(N^2) temporaries would otherwise blow HBM (obs_chain_batch);
+    `batch` overrides the default bound (e.g. obs_chain_batch_cna)."""
+    b = batch if batch is not None else obs_chain_batch(n)
+    if r.shape[0] <= b:
+        return jax.vmap(fn)(r)
+    return jax.lax.map(fn, r, batch_size=b)
+
+
 def voxel_index(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     """Voxel id per particle: v = i*Ncx*Ncz + j*Ncz + k with
     i = floor((x/L + 1/2) * Ncx) etc. (SMC.c:917-920).

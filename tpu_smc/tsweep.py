@@ -272,8 +272,11 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int):
 
     @jax.jit
     def fn(r):
-        gr = (jax.vmap(
-            lambda ri: radial_distribution(ri, cfg, nbins=gr_bins)[1])(r)
+        from .observables import vmap_chains_bounded
+
+        gr = (vmap_chains_bounded(
+            lambda ri: radial_distribution(ri, cfg, nbins=gr_bins)[1],
+            r, cfg.n)
             if gr_bins else None)
         zp = (jax.vmap(
             lambda ri: z_density_profile(ri, cfg, nbins=z_bins)[1])(r)
@@ -292,7 +295,10 @@ def _pressure_fn(cfg: SMCConfig):
 
     @jax.jit
     def fn(r, w):
-        return jax.vmap(lambda ri: total_pressure(ri, w, cfg))(r)
+        from .observables import vmap_chains_bounded
+
+        return vmap_chains_bounded(
+            lambda ri: total_pressure(ri, w, cfg), r, cfg.n)
 
     return fn
 
