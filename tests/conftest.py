@@ -55,6 +55,17 @@ QUICK_MODULES = {
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
     "test_float32_statistics_match_float64",                   # ~14 s
+    # round-3 cont. interpret-mode end-to-ends (each 15-30 s):
+    "test_zsorted_tuned_override_matches_static",
+    "test_zsorted_driver_tuned_override_runs",
+    "test_tsweep_zsorted_engine_end_to_end",
+    "test_pt_zsorted_engine_end_to_end",
+    "test_tsweep_pallas_engine_end_to_end",
+    "test_pt_pallas_engine_end_to_end",
+    "test_zsorted_wrapper_hbm_stream_bitwise",
+    "test_sharded_wrappers_accept_two_word_seeds",   # 34 s
+    "test_zsorted_odd_call_lengths_keep_cadence",    # 25 s
+    "test_sharded_zsorted_sweep_on_virtual_mesh",    # 14 s
 }
 
 

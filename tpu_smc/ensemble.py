@@ -325,11 +325,6 @@ def zsort_cadence(n: int) -> int:
     return 16 if n <= 1024 else 8
 
 
-#: Legacy fixed cadence (round-3 value, still a valid explicit setting);
-#: the product default is now the N-dependent zsort_cadence above.
-ZSORT_CADENCE = 4
-
-
 def ensemble_sweeps_zsorted(
     state: ChainState,
     w: jax.Array,
