@@ -91,7 +91,7 @@ _EMITTED = False
 
 def emit_result() -> None:
     global _EMITTED
-    if _EMITTED or "value" not in RESULT:
+    if _EMITTED or not RESULT:
         return
     _EMITTED = True
     print(json.dumps(RESULT), flush=True)
@@ -105,6 +105,25 @@ def _on_term(signum, frame):  # noqa: ARG001
 
 signal.signal(signal.SIGTERM, _on_term)
 signal.signal(signal.SIGINT, _on_term)
+
+
+def _start_watchdog(seconds: float = 540.0) -> None:
+    """Emit the record even when the backend HANGS: a dead axon tunnel
+    blocks inside a C call (PJRT init / first dispatch), where Python
+    signal handlers never run — SIGTERM would kill the process with no
+    JSON at all. A daemon thread still runs (the hang releases the GIL),
+    so it emits whatever the record holds (the outage placeholder, or
+    the primary if it landed) just under the driver's ~600 s budget and
+    exits hard."""
+    import threading
+
+    def fire():
+        time.sleep(seconds)
+        log("bench: watchdog fired (backend hang?) — emitting record")
+        emit_result()
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def main() -> int:
@@ -133,7 +152,30 @@ def _main() -> int:
     from tpu_smc.config import SMCConfig
     from tpu_smc.state import init_ensemble_state
 
-    log(f"bench: devices = {jax.devices()}")
+    # Honest outage placeholder, overwritten the moment the primary
+    # lands: the axon tunnel can hang indefinitely or die permanently
+    # after a kernel fault (ports closed — CLAUDE.md), and a record that
+    # SAYS so beats an empty capture. last_known_good cites the most
+    # recent driver-visible preflight (docs/PERF_NOTES.md round-3 cont.).
+    RESULT.update({
+        "metric": f"aggregate SMC sweeps/s/chip @ N={N} ({CHAINS} chains, "
+                  "pallas zsorted)",
+        "value": None,
+        "unit": "sweeps/s",
+        "vs_baseline": None,
+        "extra": {
+            "error": "backend init / first dispatch did not complete",
+            "last_known_good_sweeps_per_s": 46701.4,
+            "last_known_good_vs_baseline": 934.1,
+        },
+    })
+    _start_watchdog()
+    try:
+        log(f"bench: devices = {jax.devices()}")
+    except RuntimeError as exc:
+        RESULT["extra"]["error"] = f"TPU backend unavailable: {exc}"
+        log(f"bench: backend init failed: {exc}")
+        return 1
 
     # The FIRST computation a process sends over the axon tunnel pays a
     # large, wildly variable setup cost (measured 130-490 s for a trivial
