@@ -271,7 +271,8 @@ def test_global_ladder_cross_process_exchange_bitwise(tmp_path):
     per-process ladders) must choose the same interval everywhere."""
     common = ["16", "40", "8", "1.10", "--n", "12", "--seed", "7",
               "--platform", "cpu", "--temperatures", "1.0,1.3",
-              "--chains-per-t", "4", "--pt-exchange", "auto"]
+              "--chains-per-t", "4", "--pt-exchange", "auto",
+              "--reweight", "1.0:1.3:3", "--z-bins", "8"]
 
     sdata = tmp_path / "s" / "Data"
     sp = subprocess.run(
@@ -301,11 +302,19 @@ def test_global_ladder_cross_process_exchange_bitwise(tmp_path):
            "processes" in outs[0]
 
     srun, mrun = next(sdata.iterdir()), next(mdata.iterdir())
-    for stem in ("tsweep", "pt"):
-        s = next(srun.glob(f"{stem}_*.csv")).read_text()
-        m = next(mrun.glob(f"{stem}_*.csv")).read_text()
-        assert s == m, f"{stem} differs between global-ladder split " \
-                       "and single-process mesh"
+    # MBAR reweighting + the rho(z; T) field surface run on the
+    # allgathered global samples — bitwise the single-process output.
+    # Compare by exact filename ("reweight_*" would also glob the
+    # zprofile file).
+    s_files = {p.name: p.read_text() for p in srun.glob("*.csv")}
+    m_files = {p.name: p.read_text() for p in mrun.glob("*.csv")}
+    for stem in ("tsweep_", "pt_", "reweight_N", "reweight_zprofile_"):
+        names = sorted(n for n in s_files if n.startswith(stem))
+        assert names, f"no {stem} artifact in the single-process run"
+        for name in names:
+            assert m_files.get(name) == s_files[name], \
+                f"{name} differs between global-ladder split and " \
+                "single-process mesh"
     # swaps actually happened across the run
     pt = np.genfromtxt(next(mrun.glob("pt_*.csv")), delimiter=",",
                        skip_header=1, ndmin=2)
