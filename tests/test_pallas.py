@@ -743,3 +743,36 @@ def test_pt_zsorted_engine_end_to_end():
     assert np.all(np.isfinite(res.tsweep.mean_energy))
     assert np.all((res.swap_acceptance >= 0) & (res.swap_acceptance <= 1))
     assert int(res.swap_attempts.sum()) > 0
+
+
+def test_hbm_stream_ladder_rows_bitwise():
+    """The HBM-streamed kernel's per-chain (A, T) ladder mode must be
+    bitwise the VMEM zskip kernel's at the same row_block — the ladder
+    rows ride both engines identically (round-4 roadmap item #3 closed
+    at the correctness level; hardware N>10k exercise pending)."""
+    cfg = SMCConfig(n=24, box_l=10.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(8)
+    r0 = np.stack([
+        rng.uniform(-4, 4, 24), rng.uniform(-4, 4, 24),
+        np.sort(rng.uniform(-28, 28, 24)),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(1), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    t_c = np.repeat(np.asarray([0.9, 1.1, 1.3, 1.5], np.float32), 32)
+    a_row = jnp.asarray(cfg.gamma * t_c).reshape(1, 128)
+    invt_row = jnp.asarray(1.0 / t_c).reshape(1, 128)
+    offsets = jnp.asarray([5, 17], jnp.int32)
+    seeds = jnp.asarray([[3, 4], [5, 6]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        vmem = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, 0.0,
+            c_tile=128, zskip=True, row_block_rows=8,
+            a_row=a_row, invt_row=invt_row)
+        stream = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, 0.0,
+            c_tile=128, zskip=True, row_block_rows=8, hbm_stream=True,
+            a_row=a_row, invt_row=invt_row)
+    for a, b in zip(vmem, stream):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
