@@ -18,6 +18,7 @@ import re
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -87,14 +88,19 @@ START = time.time()
 # #1: metrics measured but not in the driver's JSON don't count).
 RESULT: dict = {}
 _EMITTED = False
+_EMIT_LOCK = threading.Lock()
 
 
 def emit_result() -> None:
+    """Idempotent AND thread-safe: the watchdog daemon thread and the
+    main/signal paths may race near the deadline — two JSON lines would
+    break the driver's one-line contract."""
     global _EMITTED
-    if _EMITTED or not RESULT:
-        return
-    _EMITTED = True
-    print(json.dumps(RESULT), flush=True)
+    with _EMIT_LOCK:
+        if _EMITTED or not RESULT:
+            return
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
 
 
 def _on_term(signum, frame):  # noqa: ARG001
@@ -115,8 +121,6 @@ def _start_watchdog(seconds: float = 540.0) -> None:
     so it emits whatever the record holds (the outage placeholder, or
     the primary if it landed) just under the driver's ~600 s budget and
     exits hard."""
-    import threading
-
     def fire():
         time.sleep(seconds)
         log("bench: watchdog fired (backend hang?) — emitting record")

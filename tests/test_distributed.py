@@ -328,3 +328,16 @@ def test_global_ladder_cross_process_exchange_bitwise(tmp_path):
     m_ck = np.load(tmp_path / "m_ck.npz")
     for leaf in ("r", "energy", "sweeps", "rbin"):
         np.testing.assert_array_equal(s_ck[leaf], m_ck[leaf])
+
+
+def test_global_ladder_requires_coordinator(tmp_path):
+    """--global-ladder without --coordinator fails fast (a forgotten
+    coordinator must not silently run an ordinary local ladder)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", "4", "8", "2", "1.1",
+         "--temperatures", "1.0,1.2", "--chains-per-t", "4",
+         "--platform", "cpu", "--global-ladder"],
+        cwd=tmp_path, env=_env(1), capture_output=True, text=True,
+        timeout=120)
+    assert out.returncode != 0
+    assert "--coordinator" in (out.stderr + out.stdout)

@@ -74,8 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="ensemble sweep engine (pallas needs TPU + float32 "
                         "+ chains %% 128 == 0; zsorted = pallas with exact "
-                        "z-block skipping — faster at N>=4096, confined "
-                        "systems, fixed A); single-chain runs use xla")
+                        "z-block skipping — 1.6-1.9x faster at N>=1024, "
+                        "confined systems; tuned A and temperature ladders "
+                        "ride its (A, T) data rows); single-chain runs "
+                        "use xla")
     p.add_argument("--platform", default=None,
                    help="force a JAX backend (e.g. cpu, tpu); default auto")
     p.add_argument("--x64", action="store_true",
@@ -208,6 +210,12 @@ def main(argv=None) -> int:
     # reference's offline per-rank-file aggregation). Must initialize
     # BEFORE any backend use.
     nproc, proc_id = 1, 0
+    if args.global_ladder and not args.coordinator:
+        # Fail fast: single-process, the flag would be a silent no-op —
+        # a forgotten --coordinator must not masquerade as a pod run.
+        sys.exit("--global-ladder needs --coordinator (it spans the "
+                 "processes of a jax.distributed job); single-process "
+                 "ladders already shard over all local devices")
     if args.coordinator:
         # All argument validation BEFORE initialize(): the coordinator
         # handshake blocks until every process connects, so a usage error
@@ -752,13 +760,11 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
                                n_dev=n_dev if mesh is not None else 1,
                                tuned=bool(getattr(args, "target_acceptance",
                                                   None)))
-    if sampler == "zsorted":
-        if cfg.pbc_z:
-            sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
-                     "runs need --sampler pallas)")
-        if getattr(args, "target_acceptance", None):
-            sys.exit("--sampler zsorted holds A as a kernel compile-time "
-                     "static; --target-acceptance needs --sampler pallas")
+    if sampler == "zsorted" and cfg.pbc_z:
+        sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
+                 "runs need --sampler pallas)")
+    # --target-acceptance works on zsorted since round 3 (cont.): the
+    # tuned A rides the ladder-mode (A, T) data rows, one compile key.
     print(f"Ensemble sweep engine: {sampler}")
     # Seeded runs derive the shared per-sweep streams (cyclic offsets /
     # kernel sweep seeds) from the run seed, making them invariant to the

@@ -155,8 +155,9 @@ class ObservableOptions:
     # Ensemble sweep engine: "xla" (sampler.sweep under vmap), "pallas"
     # (kernels/sweep_pallas whole-sweep kernel; TPU float32, chain count
     # tiling by 128), or "zsorted" (the same kernel with exact z-block
-    # skipping — faster at N>=4096, fixed A, labels restored at call
-    # boundaries; PERF_NOTES.md). Single-chain simulate() is "xla".
+    # skipping — faster at N>=1024; tuned A rides the (A, T) data rows,
+    # labels restored at call boundaries; PERF_NOTES.md). Single-chain
+    # simulate() is "xla".
     sampler: str = "xla"
     # Production proposal mobility override (auto-tuned A, tuning.py).
     # None -> cfg.proposal_a. The pallas engine routes an override through

@@ -297,8 +297,14 @@ def simulate_ensemble(
             state = state._replace(accepted=jnp.zeros_like(state.accepted))
             done_eq += k
         therm_acc = therm_moves / (params.eqsteps * cfg.n)
+        # Post-therm exact resync — bounded like every other O(N^2)
+        # observable (an unbounded whole-ensemble vmap is the 52 GB OOM).
+        from .observables import vmap_chains_bounded as _vcb
+
         state = state._replace(
-            energy=jax.jit(jax.vmap(lambda r: total_energy(r, w, cfg)))(state.r)
+            energy=jax.jit(
+                lambda r: _vcb(lambda ri: total_energy(ri, w, cfg),
+                               r, cfg.n))(state.r)
         )
 
     e_begin = np.asarray(state.energy)  # [C]

@@ -401,12 +401,18 @@ def ensemble_sweeps_zsorted(
     if c_tile is None:
         c_tile = _auto_c_tile(cfg, c, row_block_rows=row_block_rows)
     c_tile = _check_c_tile(c, c_tile)
+    stream_ok = not (cfg.reference_noise or cfg.pbc_z)
     if hbm_stream is None:
-        # VMEM ledger of the resident kernel: 3 planes + ~10 j-block
+        # VMEM ledger of the resident kernel: 3 planes (+ the [3N, C]
+        # reference-noise scratch when enabled) + ~10 j-block
         # temporaries against the ~13 MB budget (_auto_c_tile's bound).
-        resident = (3 * n_pad + 10 * row_block_rows) * c_tile * 4
-        hbm_stream = resident > 13 * 2 ** 20
-    if hbm_stream and (cfg.reference_noise or cfg.pbc_z):
+        rows = 3 * n_pad + (3 * n if cfg.reference_noise else 0)
+        resident = (rows + 10 * row_block_rows) * c_tile * 4
+        # auto only streams when the config supports it — an unsupported
+        # config stays resident (and Mosaic reports VMEM exhaustion at
+        # sizes truly beyond it) rather than raising mid-run.
+        hbm_stream = stream_ok and resident > 13 * 2 ** 20
+    elif hbm_stream and not stream_ok:
         raise NotImplementedError(
             "hbm_stream engine requires walls and default (i.i.d.) noise")
     # Fixed cadence regardless of call length: n_full chunks of

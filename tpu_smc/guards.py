@@ -47,7 +47,12 @@ def state_health(state: ChainState, w: jax.Array, cfg: SMCConfig) -> StateHealth
     ).astype(jnp.int32)
     wall = jnp.sum(jnp.abs(r[..., 2]) > half_lz).astype(jnp.int32)
     if batched:
-        exact = jax.vmap(lambda ri: total_energy(ri, w, cfg))(r)
+        from .observables import vmap_chains_bounded
+
+        # bounded like every O(N^2) observable (52 GB OOM otherwise at
+        # N=1024 x 512 chains — driver_ensemble)
+        exact = vmap_chains_bounded(
+            lambda ri: total_energy(ri, w, cfg), r, cfg.n)
     else:
         exact = total_energy(r, w, cfg)
     drift = jnp.max(jnp.abs(exact - state.energy))

@@ -355,6 +355,12 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         # Proposal/acceptance scales: compile-time scalars in the default
         # mode; loop-invariant [1, C] rows in per_chain_at mode (scalar
         # mode keeps the exact `.../t` divide for bitwise continuity).
+        # !! The (A, T) scale setup and the whole move/accept body below
+        # are MIRRORED in _make_stream_kernel — their bitwise agreement
+        # is the engine-switch contract (test_hbm_stream_* pin it).
+        # Any change here must be applied there too; a shared-closure
+        # refactor is deliberately deferred (it would re-trace every
+        # cached Mosaic variant).
         if per_chain_at:
             a_c = ac_ref[:, :]
             inv_t = it_ref[:, :]
@@ -614,6 +620,9 @@ def _make_stream_kernel(cfg: SMCConfig, n_pad: int, c_tile: int,
         syc = jnp.where(m_ids < mm,
                         (m_ids % cfg.m).astype(jnp.float32) * dw, 1e15)
 
+        # !! Mirrored from _make_kernel (see the warning there): the
+        # (A, T) scales and the move/accept body must stay op-for-op
+        # identical or the bitwise streamed==resident contract breaks.
         if per_chain_at:
             a_c = ac_ref[:, :]
             inv_t = it_ref[:, :]

@@ -106,7 +106,11 @@ def tune_mobility(
     def measure(a_val: float) -> float:
         nonlocal state
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
-        if sampler == "pallas":
+        if sampler in ("pallas", "zsorted"):
+            # zsorted production tunes through the DENSE kernel's data
+            # rows: acceptance is engine-independent (A7 gate), the short
+            # probe blocks would otherwise add zsorted chunk-length
+            # Mosaic compile keys, and dense probes are plenty fast.
             if mesh is not None:
                 state, _ = ens.ensemble_sweeps_pallas_sharded(
                     state, w, cfg, 0.0, k, seed=None, mesh=mesh,
@@ -191,7 +195,9 @@ def tune_mobility_ladder(
         nonlocal state
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         a_c = jnp.asarray(np.repeat(a_t, chains_per_t), cfg.jnp_dtype)
-        if sampler == "pallas":
+        if sampler in ("pallas", "zsorted"):
+            # probes through the dense ladder rows for both kernel
+            # engines (see tune_mobility.measure)
             state, _ = ens.ensemble_sweeps_pallas(
                 state, w_arr, cfg, 0.0, k,
                 a_per_chain=a_c, t_per_chain=temps_c)
