@@ -66,6 +66,7 @@ QUICK_EXCLUDE = {
     "test_sharded_wrappers_accept_two_word_seeds",   # 34 s
     "test_zsorted_odd_call_lengths_keep_cadence",    # 25 s
     "test_sharded_zsorted_sweep_on_virtual_mesh",    # 14 s
+    "test_sharded_zsorted_hbm_stream_ladder_bitwise",  # 24 s
 }
 
 

@@ -776,3 +776,34 @@ def test_hbm_stream_ladder_rows_bitwise():
             a_row=a_row, invt_row=invt_row)
     for a, b in zip(vmem, stream):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_zsorted_hbm_stream_ladder_bitwise():
+    """--global-ladder at N beyond VMEM (round-4 roadmap #5): the
+    sharded zsorted wrapper with per-chain (A, T) ladder rows routed
+    through the HBM-streamed kernel must be bitwise the resident engine
+    on the same mesh — shard_map shards chains only, and the stream/
+    resident switch is already bitwise per shard, so the composition is
+    a pure capacity decision for pod-scale ladders too."""
+    from tpu_smc import ensemble as ens
+
+    mesh = ens.make_mesh(2, axis_names=("chains",))
+    state, w = init_ensemble_state(CFG, jax.random.key(9), 2 * 128)
+    state = ens.shard_ensemble(state, mesh)
+    t_c = np.repeat(np.asarray([0.9, 1.3], np.float32), 128)
+    a_c = jnp.asarray(CFG.gamma * t_c)
+    t_c = jnp.asarray(t_c)
+    kw = dict(seed=(7, 2), mesh=mesh, c_tile=128, row_block_rows=8,
+              a_per_chain=a_c, t_per_chain=t_c)
+    with pltpu.force_tpu_interpret_mode():
+        res, tr1 = ens.ensemble_sweeps_zsorted_sharded(
+            state, w, CFG, 0.0, 2, hbm_stream=False, **kw)
+        stm, tr2 = ens.ensemble_sweeps_zsorted_sharded(
+            state, w, CFG, 0.0, 2, hbm_stream=True, **kw)
+    np.testing.assert_array_equal(np.asarray(res.r), np.asarray(stm.r))
+    np.testing.assert_array_equal(np.asarray(res.energy),
+                                  np.asarray(stm.energy))
+    np.testing.assert_array_equal(np.asarray(tr1.energy),
+                                  np.asarray(tr2.energy))
+    np.testing.assert_array_equal(np.asarray(tr1.accepted),
+                                  np.asarray(tr2.accepted))
