@@ -109,8 +109,9 @@ def test_tsweep_cli_and_plot(tmp_path):
     ])
     assert rc == 0
     run_dir = next((tmp_path / "Data").iterdir())
-    assert len(list(run_dir.glob("reweight_*.csv"))) == 2  # + zprofile
+    assert len(list(run_dir.glob("reweight_*.csv"))) == 3  # + zprofile, pmf
     assert len(list(run_dir.glob("reweight_zprofile_*.csv"))) == 1
+    assert len(list(run_dir.glob("reweight_pmf_*.csv"))) == 1
     ts = list(run_dir.glob("tsweep_*.csv"))
     assert len(ts) == 1
     lines = ts[0].read_text().strip().splitlines()
@@ -132,6 +133,7 @@ def test_tsweep_cli_and_plot(tmp_path):
     written = render_all(run, tmp_path / "plots")
     assert any(p.name.startswith("tsweep_") for p in written)
     assert any(p.name.startswith("reweight_zprofile_") for p in written)
+    assert any(p.name.startswith("reweight_pmf_") for p in written)
 
 
 def test_volume_html_viewer(run_dir, tmp_path):

@@ -297,6 +297,40 @@ def test_ladder_density_field_reweighting():
     assert np.abs(rw.zprofile[0] - level.mean(axis=0)).max() < spread
 
 
+def test_pmf_from_profile_recovers_the_potential():
+    """Boltzmann closure: for rho(z; T) = C(T) exp(-U(z)/T) the PMF
+    -T ln rho, min-shifted, is exactly U(z) - min U at every T —
+    independent of the normalization C(T)."""
+    from tpu_smc.reweight import pmf_from_profile
+
+    z = np.linspace(-1, 1, 17)
+    u = 3.0 * z ** 2 + 0.5 * np.sin(4 * z)          # arbitrary potential
+    temps = np.asarray([0.7, 1.0, 1.6])
+    rho = np.asarray([np.exp(-u / t) / (0.3 + t) for t in temps])
+    pmf, err = pmf_from_profile(temps, rho)
+    assert err is None
+    for g in range(len(temps)):
+        np.testing.assert_allclose(pmf[g], u - u.min(), atol=1e-10)
+
+    # delta-method error propagation: err_F = T * err_rho / rho
+    err_rho = 0.05 * rho
+    _, perr = pmf_from_profile(temps, rho, err_rho)
+    np.testing.assert_allclose(perr, np.full_like(rho, 0.05)
+                               * temps[:, None], atol=1e-12)
+
+    # never-visited bins become NaN, and the min-shift ignores them
+    rho2 = rho.copy()
+    rho2[:, 0] = 0.0
+    pmf2, perr2 = pmf_from_profile(temps, rho2, err_rho)
+    assert np.isnan(pmf2[:, 0]).all() and np.isnan(perr2[:, 0]).all()
+    assert np.nanmin(pmf2, axis=1).max() == 0.0
+    np.testing.assert_allclose(pmf2[:, 1:], pmf[:, 1:] - pmf[:, 1:].min(
+        axis=1, keepdims=True), atol=1e-10)
+
+    with pytest.raises(ValueError, match="all-empty"):
+        pmf_from_profile(temps, np.zeros_like(rho))
+
+
 def test_reweight_cli_writes_profile_artifacts(tmp_path):
     from tpu_smc.cli import main
 
@@ -317,3 +351,25 @@ def test_reweight_cli_writes_profile_artifacts(tmp_path):
     glines = gr.read_text().strip().splitlines()
     assert glines[0] == "T, r, value, err"
     assert len(glines) == 1 + 3 * 6
+
+    # PMF surface: same schema, consistent with -T ln rho of the
+    # zprofile file row by row (min-shifted per T, NaN where rho = 0)
+    pmf = next(p for p in run.iterdir()
+               if p.name.startswith("reweight_pmf"))
+    plines = pmf.read_text().strip().splitlines()
+    assert plines[0] == "T, z, value, err"
+    assert len(plines) == 1 + 3 * 8
+    zrows = np.genfromtxt(zp, delimiter=",", skip_header=1)
+    prows = np.genfromtxt(pmf, delimiter=",", skip_header=1)
+    np.testing.assert_allclose(prows[:, :2], zrows[:, :2])  # same grid
+    for t in np.unique(prows[:, 0]):
+        rho = zrows[zrows[:, 0] == t][:, 2]
+        got = prows[prows[:, 0] == t][:, 2]
+        # compare where the CSV's 9-decimal rounding of rho stays below
+        # ~1e-5 after the log's 1/rho amplification
+        ok = rho > 1e-4
+        assert ok.any()
+        want = -t * np.log(rho[ok])
+        shift = want.min()   # the global min lives in a well-visited bin
+        np.testing.assert_allclose(got[ok], want - shift, atol=1e-4)
+        assert np.nanmin(got) == pytest.approx(0.0, abs=1e-5)

@@ -512,6 +512,16 @@ def main(argv=None) -> int:
                     d, cfg, "reweight_zprofile", "z", zc, rw,
                     rw.zprofile, rw.err_zprofile)
                 print(f"rho(z; T) surface written to {zp_path}")
+                # Potential of mean force F(z; T) = -T ln rho(z; T):
+                # the free-energy landscape of wall adsorption on the
+                # same continuous T grid (no reference analog at all)
+                from .reweight import pmf_from_profile
+
+                pmf, pmf_err = pmf_from_profile(
+                    rw.temps, rw.zprofile, rw.err_zprofile)
+                pmf_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_pmf", "z", zc, rw, pmf, pmf_err)
+                print(f"F(z; T) PMF surface written to {pmf_path}")
             if rw.gr is not None:
                 from .observables import radial_distribution
 

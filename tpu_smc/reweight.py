@@ -38,7 +38,7 @@ from .config import SMCConfig
 __all__ = [
     "ReweightResults", "mbar_free_energies", "reweight_observables",
     "reweight_paired_field", "reweight_from_ladder", "write_reweight_csv",
-    "write_reweight_profile_csv", "parse_t_grid",
+    "write_reweight_profile_csv", "parse_t_grid", "pmf_from_profile",
 ]
 
 
@@ -252,6 +252,40 @@ def reweight_paired_field(
     logw = -betas[:, None] * e_shifted[None, :] - log_denom[None, :]
     logw = logw - jax.nn.logsumexp(logw, axis=1, keepdims=True)
     return np.asarray(jnp.exp(logw) @ f_pooled, np.float64)  # [G, B]
+
+
+def pmf_from_profile(temps, field, err=None):
+    """Potential of mean force from a reweighted density surface:
+    F(x; T) = -T ln rho(x; T), shifted so min_x F(x; T) = 0 per T
+    (the standard PMF convention). Empty bins (rho <= 0 — regions the
+    ladder never visited) become NaN rather than +inf so downstream
+    CSVs/plots stay finite-aware. Errors propagate by the delta method,
+    err_F = T * err_rho / rho.
+
+    Derived observable the reference workflow has no analog for: its
+    density maps exist only at the simulated T (plotting.jl:123-201),
+    and it never converts density to a free-energy profile at all.
+
+    Returns (pmf [G, B], err_pmf [G, B] | None)."""
+    temps = np.atleast_1d(np.asarray(temps, np.float64))
+    field = np.asarray(field, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmf = np.where(field > 0.0,
+                       -temps[:, None] * np.log(np.where(field > 0.0,
+                                                         field, 1.0)),
+                       np.nan)
+        if np.isnan(pmf).all(axis=1).any():
+            raise ValueError("a target temperature has an all-empty "
+                             "density profile; cannot form a PMF")
+        pmf = pmf - np.nanmin(pmf, axis=1, keepdims=True)
+        err_pmf = None
+        if err is not None:
+            err = np.asarray(err, np.float64)
+            err_pmf = np.where(field > 0.0,
+                               temps[:, None] * err
+                               / np.where(field > 0.0, field, 1.0),
+                               np.nan)
+    return pmf, err_pmf
 
 
 def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
