@@ -56,7 +56,13 @@ def main() -> int:
     ap.add_argument("--temperature", type=float, default=1.1)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--sampler", choices=("xla", "pallas"), default="xla")
+    ap.add_argument("--sampler", choices=("xla", "pallas", "zsorted"),
+                    default="xla",
+                    help="sweep engine to validate; zsorted is the "
+                         "production auto default at N >= 1024, so the "
+                         "1e-3 contract can be run through it directly "
+                         "(hardware only — interpret-mode pallas PRNG "
+                         "is lane-replicated)")
     ap.add_argument("--ks-gate", action="store_true",
                     help="also gate on the two-sample KS statistic of the "
                          "tau-decorrelated energy histograms (1%% critical "
