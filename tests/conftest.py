@@ -50,7 +50,7 @@ def pytest_configure(config):
 # suite (~17 min) stays the merge gate; this is the edit-test loop.
 QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
-    "test_io", "test_sampler", "test_pallas",
+    "test_io", "test_sampler", "test_pallas", "test_disorder",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -67,6 +67,11 @@ QUICK_EXCLUDE = {
     "test_zsorted_odd_call_lengths_keep_cadence",    # 25 s
     "test_sharded_zsorted_sweep_on_virtual_mesh",    # 14 s
     "test_sharded_zsorted_hbm_stream_ladder_bitwise",  # 24 s
+    # disorder CLI end-to-ends (subprocesses / full driver, 30-70 s):
+    "test_disorder_cli_end_to_end",
+    "test_disorder_sharded_mesh",
+    "test_disorder_two_process_bitwise",
+    "test_disorder_cli_guards",
 }
 
 

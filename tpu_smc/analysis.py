@@ -611,14 +611,35 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
-    # wall potential map (plotting.jl:203-234)
+    # wall potential map (plotting.jl:203-234); disorder ensembles
+    # (5-column wall csv: k, nx, ny, x0, ymin) get one panel per
+    # realization
     if run.wall.size:
         mm = run.m
-        ymin = run.wall[:, 3].reshape(mm, mm)
-        fig, ax = plt.subplots(figsize=(4, 3.5))
-        im = ax.imshow(ymin, origin="lower")
-        fig.colorbar(im, ax=ax, label="well depth y_min")
-        ax.set_title(f"wall sites {run.key}")
+        wv = run.wall
+        if wv.shape[1] == 5:
+            ks = np.unique(wv[:, 0].astype(int))
+            ncol = min(len(ks), 6)
+            nrow = -(-len(ks) // ncol)
+            fig, axes = plt.subplots(nrow, ncol,
+                                     figsize=(2.6 * ncol, 2.6 * nrow),
+                                     squeeze=False)
+            im = None
+            for idx, k in enumerate(ks):
+                ax = axes[idx // ncol][idx % ncol]
+                ymin = wv[wv[:, 0].astype(int) == k][:, 4].reshape(mm, mm)
+                im = ax.imshow(ymin, origin="lower")
+                ax.set_title(f"k={k}", fontsize=8)
+            for idx in range(len(ks), nrow * ncol):
+                axes[idx // ncol][idx % ncol].axis("off")
+            fig.colorbar(im, ax=[a for row in axes for a in row],
+                         label="well depth y_min")
+            fig.suptitle(f"wall sites ({len(ks)} realizations) {run.key}")
+        else:
+            fig, ax = plt.subplots(figsize=(4, 3.5))
+            im = ax.imshow(wv[:, 3].reshape(mm, mm), origin="lower")
+            fig.colorbar(im, ax=ax, label="well depth y_min")
+            ax.set_title(f"wall sites {run.key}")
         p = out / f"wall_{run.key}.png"
         fig.savefig(p, dpi=120)
         plt.close(fig)

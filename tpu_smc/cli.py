@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="temperature (ref: 1.1)")
     p.add_argument("--n", type=int, default=108, help="particles (SMC.h:29)")
     p.add_argument("--m", type=int, default=3, help="wall grid per dim (SMC.h:26)")
+    p.add_argument("--wall-seed", type=int, default=42, metavar="S",
+                   help="wall disorder seed (the reference hard-codes "
+                        "srand(42), SMC.c:477; any other value draws a fresh "
+                        "realization from the same site distribution)")
+    p.add_argument("--wall-realizations", type=int, default=1, metavar="K",
+                   help="quenched wall-disorder ensemble: --chains split "
+                        "into K groups, group k simulating wall seed S+k in "
+                        "ONE compiled program; per-realization and "
+                        "disorder-averaged results (K must divide --chains; "
+                        "xla engine)")
     p.add_argument("--gamma", type=float, default=None,
                    help="A = gamma*T (main.c:51; default 1.0, or the bulk "
                         "variant's A=4e-8 equivalent under --bulk)")
@@ -303,7 +313,35 @@ def main(argv=None) -> int:
           f"{now.tm_hour:02d}:{now.tm_min:02d}  ----\n")
 
     d = smcio.run_dir(cfg, args.data_dir)
-    w_np, x0, ym = build_walls(cfg)
+    wall_k = max(1, args.wall_realizations)
+    w_k = None
+    if wall_k > 1:
+        # Quenched wall-disorder ensembles: beyond-reference — the C
+        # code's wall is frozen at srand(42) for every run and rank
+        # (SMC.c:477), so disorder averaging is impossible there.
+        if args.bulk:
+            sys.exit("--wall-realizations: bulk mode has no walls")
+        if args.temperatures:
+            sys.exit("--wall-realizations is a --chains ensemble feature "
+                     "(not available with --temperatures ladders)")
+        if args.resume:
+            sys.exit("--wall-realizations cannot be combined with --resume "
+                     "(restart the disorder run with the same seeds "
+                     "instead)")
+        if args.target_acceptance:
+            sys.exit("--wall-realizations does not support "
+                     "--target-acceptance yet (one tuned A would have to "
+                     "serve every realization)")
+        if args.chains < wall_k or args.chains % wall_k:
+            sys.exit(f"--chains {args.chains} must be a positive multiple "
+                     f"of --wall-realizations {wall_k}")
+        from .system import build_wall_ensemble
+
+        w_k, x0, ym = build_wall_ensemble(cfg, wall_k,
+                                          base_seed=args.wall_seed)
+        w_np = w_k[0]   # seed-chain init; per-chain tables attach below
+    else:
+        w_np, x0, ym = build_walls(cfg, seed=args.wall_seed)
     if proc_id == 0:   # shared run dir: one writer for the shared files
         smcio.write_wall_csv(d, cfg, x0, ym)
 
@@ -576,7 +614,18 @@ def main(argv=None) -> int:
           f"A={cfg.proposal_a:0.3f}, for {params.maxsteps} steps...")
 
     if args.chains > 1:
-        return _run_ensemble(args, cfg, params, d, state, w,
+        w_run = w
+        if w_k is not None:
+            reps = args.chains // wall_k
+            w_all = np.repeat(w_k, reps, axis=0)        # [C_total, M*M, 2]
+            c_local = args.chains // nproc
+            w_run = jax.numpy.asarray(
+                w_all[proc_id * c_local:(proc_id + 1) * c_local],
+                cfg.jnp_dtype)
+            print(f"Quenched wall disorder: {wall_k} realizations x "
+                  f"{reps} chains (wall seeds {args.wall_seed}.."
+                  f"{args.wall_seed + wall_k - 1})")
+        return _run_ensemble(args, cfg, params, d, state, w_run,
                              nproc=nproc, proc_id=proc_id)
 
     tuned_a = None
@@ -732,6 +781,19 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         c = args.chains // nproc
         state = batch_chain_state(seed_state, c, chain_offset=proc_id * c)
     rank0 = proc_id * c
+    if w.ndim == 3:
+        # per-chain wall tables (quenched disorder): chains in different
+        # realizations start at different wall energies — recompute E0
+        # per chain with its own table (batch_chain_state broadcast the
+        # seed chain's single-table energy)
+        from .observables import wall_obs_chains
+        from .potentials import total_energy
+
+        assert w.shape[0] == c, (w.shape, c)
+        state = state._replace(energy=jax.jit(
+            lambda r: wall_obs_chains(
+                lambda ri, wc: total_energy(ri, wc, cfg), r, w, cfg.n)
+        )(state.r).astype(state.energy.dtype))
 
     pos_writers = [smcio.PositionsWriter(d, cfg, rank=rank0 + ci)
                    for ci in range(c)]
@@ -773,6 +835,13 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     if sampler == "zsorted" and cfg.pbc_z:
         sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
                  "runs need --sampler pallas)")
+    if w.ndim == 3 and sampler != "xla":
+        # the Pallas kernels load ONE wall table per call
+        if args.sampler not in ("auto", "xla"):
+            sys.exit("--wall-realizations requires the xla engine "
+                     f"(per-chain wall tables; got --sampler {args.sampler})")
+        print("Note: wall-disorder ensemble -> xla engine")
+        sampler = "xla"
     # --target-acceptance works on zsorted since round 3 (cont.): the
     # tuned A rides the ladder-mode (A, T) data rows, one compile key.
     print(f"Ensemble sweep engine: {sampler}")
@@ -878,6 +947,22 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     print(f"Mean energy: {mean_e:f} ± {std_e:f} (chain spread)")
     print(f"Mean pressure: {mean_p:f} ± {std_p:f}")
     print(f"Average acceptance ratio: {acc_mean:f}")
+
+    k_real = max(1, getattr(args, "wall_realizations", 1))
+    if k_real > 1 and proc_id == 0:
+        # quenched averaging: mean within each realization first, then
+        # across realizations; the between-realization spread is the
+        # honest disorder error bar
+        e_chain = (g_summ[:, 0] if nproc > 1
+                   else np.asarray([r.mean_energy for r in agg.chains]))
+        e_k = e_chain.reshape(k_real, -1).mean(axis=1)
+        print("\n###  Quenched wall-disorder summary  ###")
+        for i, ek in enumerate(e_k):
+            print(f"realization {i} (wall seed {args.wall_seed + i}): "
+                  f"E = {ek:f}")
+        se = (np.std(e_k, ddof=1) / np.sqrt(k_real)) if k_real > 1 else 0.0
+        print(f"Disorder-averaged energy: {e_k.mean():f} ± {se:f} "
+              "(between-realization SE)")
 
     if proc_id == 0:
         if g_gr is not None:

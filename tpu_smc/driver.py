@@ -444,6 +444,10 @@ def simulate(
             autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
         )
         tau = float(np.sum(acf))
+        if not np.isfinite(tau):
+            # zero-variance trace (dilute/tiny configs): the ACF is 0/0
+            # (the reference would divide by C_H[0]=0 too, SMC.c:1085)
+            tau = 0.0
         tauint = max(1, int(np.floor(abs(tau))))
         sub = e_full[::tauint]
         cv_strided = (

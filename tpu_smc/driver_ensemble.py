@@ -33,6 +33,9 @@ from .state import ChainState
 
 
 
+from .observables import wall_obs_chains as _wall_obs
+
+
 def _gather_step_batched(
     state: ChainState,
     w: jax.Array,
@@ -101,12 +104,11 @@ def _gather_step_batched(
         )
 
     if cfg.recompute_every:
-        from .observables import vmap_chains_bounded as _vcb
-
         state = jax.lax.cond(
             (gather_index + 1) % cfg.recompute_every == 0,
             lambda s: s._replace(
-                energy=_vcb(lambda r: total_energy(r, w, cfg), s.r, cfg.n)
+                energy=_wall_obs(lambda r, wc: total_energy(r, wc, cfg),
+                                 s.r, w, cfg.n)
             ),
             lambda s: s,
             state,
@@ -119,8 +121,8 @@ def _gather_step_batched(
     from .observables import vmap_chains_bounded
 
     p = (
-        vmap_chains_bounded(lambda r: total_pressure(r, w, cfg),
-                            state.r, cfg.n)
+        _wall_obs(lambda r, wc: total_pressure(r, wc, cfg),
+                  state.r, w, cfg.n)
         if opts.pressure
         else jnp.zeros((state.r.shape[0],), dtype)
     )
@@ -237,6 +239,12 @@ def simulate_ensemble(
     gather_steps = params.gather_steps
     n_chains = state.r.shape[0]
     kinetic = 1.5 * cfg.n * cfg.temperature
+    if w.ndim == 3 and opts.sampler != "xla":
+        # the Pallas kernels load ONE wall table per call; per-chain
+        # tables (quenched disorder) run on the XLA engine
+        raise ValueError("per-chain wall tables (wall-disorder ensembles) "
+                         "require the xla sampler; got "
+                         f"sampler={opts.sampler!r}")
 
     therm_acc = 0.0
     a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a
@@ -299,12 +307,10 @@ def simulate_ensemble(
         therm_acc = therm_moves / (params.eqsteps * cfg.n)
         # Post-therm exact resync — bounded like every other O(N^2)
         # observable (an unbounded whole-ensemble vmap is the 52 GB OOM).
-        from .observables import vmap_chains_bounded as _vcb
-
         state = state._replace(
             energy=jax.jit(
-                lambda r: _vcb(lambda ri: total_energy(ri, w, cfg),
-                               r, cfg.n))(state.r)
+                lambda r: _wall_obs(lambda ri, wc: total_energy(ri, wc, cfg),
+                                    r, w, cfg.n))(state.r)
         )
 
     e_begin = np.asarray(state.energy)  # [C]
@@ -422,6 +428,9 @@ def simulate_ensemble(
                 autocorrelation(np.asarray(e_full), cfg.kmax, mode=acf_mode)
             )
             tau = float(np.sum(acf))
+            if not np.isfinite(tau):
+                # zero-variance trace (dilute/tiny configs): ACF is 0/0
+                tau = 0.0
             tauint = max(1, int(np.floor(abs(tau))))
             sub = e_full[::tauint]
             cv_strided = (

@@ -147,9 +147,16 @@ def ensemble_sweeps(
         else:
             okey = jax.random.fold_in(skey, st.sweeps.reshape(-1)[0])
         offset = jax.random.randint(okey, (), 0, cfg.n)
-        st, stats = jax.vmap(
-            lambda s: sweep_state(s, w, cfg, a, offset=offset)
-        )(st)
+        if w.ndim == 3:
+            # per-chain wall tables [C, M*M, 2]: quenched disorder
+            # realizations ride the chain vmap (system.build_wall_ensemble)
+            st, stats = jax.vmap(
+                lambda s, wc: sweep_state(s, wc, cfg, a, offset=offset)
+            )(st, w)
+        else:
+            st, stats = jax.vmap(
+                lambda s: sweep_state(s, w, cfg, a, offset=offset)
+            )(st)
         return st, stats if collect_trace else None
 
     state, trace = jax.lax.scan(body, state, None, length=n_sweeps)

@@ -47,12 +47,13 @@ def state_health(state: ChainState, w: jax.Array, cfg: SMCConfig) -> StateHealth
     ).astype(jnp.int32)
     wall = jnp.sum(jnp.abs(r[..., 2]) > half_lz).astype(jnp.int32)
     if batched:
-        from .observables import vmap_chains_bounded
-
         # bounded like every O(N^2) observable (52 GB OOM otherwise at
-        # N=1024 x 512 chains — driver_ensemble)
-        exact = vmap_chains_bounded(
-            lambda ri: total_energy(ri, w, cfg), r, cfg.n)
+        # N=1024 x 512 chains — driver_ensemble); per-chain wall tables
+        # (w [C, M*M, 2], quenched disorder) pair with their chains
+        from .observables import wall_obs_chains
+
+        exact = wall_obs_chains(lambda ri, wc: total_energy(ri, wc, cfg),
+                                r, w, cfg.n)
     else:
         exact = total_energy(r, w, cfg)
     drift = jnp.max(jnp.abs(exact - state.energy))

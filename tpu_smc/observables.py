@@ -42,15 +42,29 @@ def obs_chain_batch_cna(n: int) -> int:
     return max(1, (1 << 28) // (8192 * max(n, 1)))
 
 
-def vmap_chains_bounded(fn, r: jnp.ndarray, n: int,
+def vmap_chains_bounded(fn, r, n: int,
                         batch: int | None = None) -> jnp.ndarray:
     """jax.vmap(fn) over the chain axis, lax.map-batched when the
     O(N^2) temporaries would otherwise blow HBM (obs_chain_batch);
-    `batch` overrides the default bound (e.g. obs_chain_batch_cna)."""
+    `batch` overrides the default bound (e.g. obs_chain_batch_cna).
+
+    `r` may be any pytree whose leaves share the leading chain axis
+    (e.g. (r, w) pairs for per-chain wall-disorder realizations)."""
     b = batch if batch is not None else obs_chain_batch(n)
-    if r.shape[0] <= b:
+    lead = jax.tree_util.tree_leaves(r)[0].shape[0]
+    if lead <= b:
         return jax.vmap(fn)(r)
     return jax.lax.map(fn, r, batch_size=b)
+
+
+def wall_obs_chains(fn, r, w, n: int):
+    """Chain-vmapped wall-dependent observable fn(r_chain, w_chain),
+    HBM-bounded. `w` is the shared [M*M, 2] table, or [C, M*M, 2]
+    per-chain tables when the run carries quenched wall-disorder
+    realizations (system.build_wall_ensemble)."""
+    if w.ndim == 3:
+        return vmap_chains_bounded(lambda rw: fn(rw[0], rw[1]), (r, w), n)
+    return vmap_chains_bounded(lambda ri: fn(ri, w), r, n)
 
 
 def voxel_index(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:

@@ -104,23 +104,28 @@ def round_half_away(x: float) -> float:
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
 
-def reference_wall_draws(cfg) -> Tuple[np.ndarray, np.ndarray]:
+def reference_wall_draws(cfg, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     """The exact (x0, ym) site parameters the reference generates.
 
     initializeWalls (SMC.c:475-501): srand(42), Box-Muller fill of X0 then
     YM (each consuming 2*round(M^2/2) draws), x0 = X0 + x0m, ym = YM + ymm.
+
+    `seed` defaults to the reference's hard-coded 42 (bit-exact parity);
+    any other value draws a DIFFERENT disorder realization from the same
+    distribution family (the reference cannot do this at all — its wall
+    is frozen at srand(42) for every run and every MPI rank).
     """
-    g = GlibcRandom(42)
+    g = GlibcRandom(seed)
     mm = cfg.m * cfg.m
     x0 = g.box_muller(cfg.wall_x0_sigma, mm) + cfg.wall_x0_mean
     ym = g.box_muller(cfg.wall_ym_sigma, mm) + cfg.wall_ym_mean
     return x0, ym
 
 
-def reference_wall_params(cfg) -> np.ndarray:
+def reference_wall_params(cfg, seed: int = 42) -> np.ndarray:
     """Bit-exact W[M*M, 2] = (x0^12 * ym, x0^6 * ym) as the C code computes
     (SMC.c:495-496), in float64."""
-    x0, ym = reference_wall_draws(cfg)
+    x0, ym = reference_wall_draws(cfg, seed)
     a = np.power(x0, 12.0) * ym
     b = np.power(x0, 6.0) * ym
     return np.stack([a, b], axis=-1)

@@ -69,17 +69,39 @@ def fcc_lattice(cfg: SMCConfig) -> np.ndarray:
     return x
 
 
-def build_walls(cfg: SMCConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def build_walls(cfg: SMCConfig, seed: int = 42
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Wall coefficient table W[M*M, 2] plus the raw (x0, ym) site draws.
 
     Bit-exact with initializeWalls (SMC.c:475-501): srand(42) + glibc
     Box-Muller, a = x0^12*ym, b = x0^6*ym. Returns (W, x0, ym) in float64.
+    `seed` != 42 draws a different quenched-disorder realization.
     """
     from .rng import reference_wall_draws
 
-    x0, ym = reference_wall_draws(cfg)
-    w = reference_wall_params(cfg)
+    x0, ym = reference_wall_draws(cfg, seed)
+    w = reference_wall_params(cfg, seed)
     return w, x0, ym
+
+
+def build_wall_ensemble(cfg: SMCConfig, k: int, base_seed: int = 42
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """K quenched wall-disorder realizations: seeds base_seed..base_seed+K-1
+    through the same glibc Box-Muller pipeline as the reference's single
+    srand(42) wall, so realization 0 with the default base seed IS the
+    reference's wall bit-for-bit and every realization is drawn from the
+    identical N(x0m, x0sigma) x N(ym, ymsigma) site distribution
+    (main.c:74-77).
+
+    The reference has no disorder-averaging mode — its wall is frozen at
+    srand(42) for every run AND every MPI rank (SMC.c:477). Here the K
+    realizations become per-chain wall tables and ride the existing chain
+    vmap: one compiled program samples every realization simultaneously.
+
+    Returns (W [K, M*M, 2], x0 [K, M*M], ym [K, M*M]) in float64.
+    """
+    ws, x0s, yms = zip(*(build_walls(cfg, base_seed + i) for i in range(k)))
+    return np.stack(ws), np.stack(x0s), np.stack(yms)
 
 
 def bounds_check(r: np.ndarray, cfg: SMCConfig, lz_margin: float = 0.1) -> Tuple[int, int]:
