@@ -74,6 +74,7 @@ def test_disorder_cli_end_to_end(tmp_path, capsys):
     rc = main(["20", "60", "12", "1.10", "--n", "12", "--chains", "4",
                "--wall-realizations", "2", "--wall-seed", "42",
                "--seed", "3", "--platform", "cpu",
+               "--z-bins", "8", "--gr-bins", "6",
                "--data-dir", str(tmp_path)])
     assert rc == 0
     out = capsys.readouterr().out
@@ -94,12 +95,30 @@ def test_disorder_cli_end_to_end(tmp_path, capsys):
     assert first[0].strip() == "0"
     assert float(first[3]) == pytest.approx(x0[0], abs=1e-6)
 
-    # the analysis renderer handles the 5-column wall schema
+    # disorder-RESOLVED profiles: one row per (k, bin), and the mean over
+    # realizations equals the pooled (disorder-averaged) profile
+    zd = next(p for p in run.iterdir()
+              if p.name.startswith("zprofile_disorder"))
+    rows = np.genfromtxt(zd, delimiter=",", skip_header=1)
+    assert rows.shape == (2 * 8, 3)
+    pooled = np.genfromtxt(
+        next(p for p in run.iterdir() if p.name.startswith("zprofile_N")),
+        delimiter=",", skip_header=1)
+    per_k = rows[:, 2].reshape(2, 8)
+    np.testing.assert_allclose(per_k.mean(axis=0), pooled[:, 1],
+                               rtol=1e-5, atol=1e-9)   # CSV rounding
+    gd = next(p for p in run.iterdir() if p.name.startswith("gr_disorder"))
+    assert len(gd.read_text().strip().splitlines()) == 1 + 2 * 6
+
+    # the analysis renderer handles the 5-column wall schema and the
+    # disorder-profile panels
     from tpu_smc.analysis import load_run, render_all
 
     plots = tmp_path / "plots"
     written = render_all(load_run(run), plots)
     assert any(p.name.startswith("wall_") for p in written)
+    assert any(p.name.startswith("zprofile_disorder_") for p in written)
+    assert any(p.name.startswith("gr_disorder_") for p in written)
 
 
 def test_disorder_sharded_mesh(tmp_path, capsys):

@@ -851,6 +851,33 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Disorder-resolved profiles from wall-disorder runs (io.py
+    # write_disorder_profile_csv): one curve per quenched realization
+    for stem, xl, yl in (("zprofile_disorder", "z", "rho(z)"),
+                         ("gr_disorder", "r", "g(r)")):
+        f = run.run_dir / f"{stem}_{run.key}.csv"
+        if not f.exists():
+            continue
+        rows = np.atleast_2d(np.genfromtxt(f, delimiter=",", skip_header=1))
+        ks = np.unique(rows[:, 0].astype(int))
+        fig, ax = plt.subplots(figsize=(6, 4))
+        cmap = plt.get_cmap("viridis")
+        for k in ks:
+            sel = rows[rows[:, 0].astype(int) == k]
+            frac = 0.5 if len(ks) == 1 else k / (len(ks) - 1)
+            ax.plot(sel[:, 1], sel[:, 2], lw=1, color=cmap(frac),
+                    label=f"k={k}")
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        if len(ks) <= 10:
+            ax.legend(fontsize=7)
+        fig.suptitle(f"{yl} per wall realization {run.key}")
+        fig.tight_layout()
+        p = out / f"{stem}_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
     # Parallel-tempering swap acceptance per adjacent pair (pt.py CSV)
     ptf = run.run_dir / f"pt_{run.key}.csv"
     if ptf.exists():

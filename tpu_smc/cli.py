@@ -893,6 +893,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
 
     pooled_chains = agg.chains
     g_gr, g_zp = agg.gr, agg.zprofile
+    g_grc, g_zpc = agg.gr_chains, agg.zprofile_chains
     mean_e, std_e = agg.mean_energy, agg.std_energy
     mean_p, std_p = agg.mean_pressure, agg.std_pressure
     acc_mean = agg.acceptance_ratio
@@ -939,6 +940,10 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
             g_gr = allgather_chain_axis(g_gr[None]).mean(axis=0)
         if g_zp is not None:
             g_zp = allgather_chain_axis(g_zp[None]).mean(axis=0)
+        if g_grc is not None:
+            g_grc = allgather_chain_axis(g_grc)      # [C_total, bins]
+        if g_zpc is not None:
+            g_zpc = allgather_chain_axis(g_zpc)
 
     print(f"\n\nAggregate throughput: {sps:,.0f} sweeps/s "
           f"across {c * nproc} chains"
@@ -963,6 +968,25 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         se = (np.std(e_k, ddof=1) / np.sqrt(k_real)) if k_real > 1 else 0.0
         print(f"Disorder-averaged energy: {e_k.mean():f} ± {se:f} "
               "(between-realization SE)")
+        # disorder-RESOLVED structure: per-realization profiles (the
+        # pooled gr/zprofile CSVs above are the disorder averages)
+        if g_zpc is not None and args.z_bins:
+            prof = g_zpc.reshape(k_real, -1, g_zpc.shape[-1]).mean(axis=1)
+            dz = cfg.box_lz / args.z_bins
+            centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+            pth = smcio.write_disorder_profile_csv(
+                d, cfg, "zprofile_disorder", "z", centers, prof)
+            print(f"Per-realization z profiles written to {pth}")
+        if g_grc is not None and args.gr_bins:
+            from .observables import radial_distribution
+
+            prof = g_grc.reshape(k_real, -1, g_grc.shape[-1]).mean(axis=1)
+            centers = np.asarray(radial_distribution(
+                jax.numpy.asarray(agg.chains[0].r_final, cfg.jnp_dtype),
+                cfg, nbins=args.gr_bins)[0])
+            pth = smcio.write_disorder_profile_csv(
+                d, cfg, "gr_disorder", "r", centers, prof)
+            print(f"Per-realization g(r) written to {pth}")
 
     if proc_id == 0:
         if g_gr is not None:

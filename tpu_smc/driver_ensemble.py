@@ -211,6 +211,10 @@ class EnsembleResults(NamedTuple):
     zprofile: np.ndarray | None
     therm_acceptance: float
     sweeps_per_second: float        # aggregate across chains
+    # gather-averaged per-chain profiles [C, bins] (None unless sampled);
+    # lets wall-disorder runs resolve structure per realization
+    gr_chains: np.ndarray | None = None
+    zprofile_chains: np.ndarray | None = None
 
 
 def simulate_ensemble(
@@ -476,16 +480,15 @@ def simulate_ensemble(
 
     chain_means = np.asarray([c.mean_energy for c in per_chain])
     chain_ps = np.asarray([c.mean_pressure for c in per_chain])
-    gr = (
-        cat("gr").reshape(-1, n_chains, opts.gr_bins).mean(axis=(0, 1))
-        if opts.gr_bins
-        else None
-    )
-    zp = (
-        cat("zprof").reshape(-1, n_chains, opts.z_bins).mean(axis=(0, 1))
-        if opts.z_bins
-        else None
-    )
+    gr = gr_c = zp = zp_c = None
+    if opts.gr_bins:
+        g_all = cat("gr").reshape(-1, n_chains, opts.gr_bins)
+        gr = g_all.mean(axis=(0, 1))
+        gr_c = g_all.mean(axis=0)       # [C, bins]
+    if opts.z_bins:
+        z_all = cat("zprof").reshape(-1, n_chains, opts.z_bins)
+        zp = z_all.mean(axis=(0, 1))
+        zp_c = z_all.mean(axis=0)
 
     agg = EnsembleResults(
         chains=per_chain,
@@ -498,5 +501,7 @@ def simulate_ensemble(
         zprofile=zp,
         therm_acceptance=therm_acc,
         sweeps_per_second=sps,
+        gr_chains=gr_c,
+        zprofile_chains=zp_c,
     )
     return state, agg

@@ -81,6 +81,21 @@ def write_wall_csv(d: Path, cfg: SMCConfig, x0: np.ndarray, ym: np.ndarray) -> P
     return p
 
 
+def write_disorder_profile_csv(d: Path, cfg: SMCConfig, stem: str,
+                               axis_name: str, centers, prof) -> Path:
+    """Long-format per-realization profile from a wall-disorder run:
+    one row per (realization k, bin) with header `k, <axis>, value`
+    (e.g. zprofile_disorder_*.csv — rho(z) resolved per quenched wall)."""
+    p = _fname(d, stem, cfg)
+    prof = np.asarray(prof)
+    with open(p, "w") as f:
+        f.write(f"k, {axis_name}, value\n")
+        for k in range(prof.shape[0]):
+            for b in range(prof.shape[1]):
+                f.write(f"{k}, {centers[b]:0.6f}, {prof[k, b]:0.9f}\n")
+    return p
+
+
 class PositionsWriter:
     """positions csv: header x1,y1,z1,...; one %0.3lf-formatted row per
     snapshot, trailing comma like the reference (SMC.c:68-73)."""
