@@ -67,11 +67,14 @@ QUICK_EXCLUDE = {
     "test_zsorted_odd_call_lengths_keep_cadence",    # 25 s
     "test_sharded_zsorted_sweep_on_virtual_mesh",    # 14 s
     "test_sharded_zsorted_hbm_stream_ladder_bitwise",  # 24 s
-    # disorder CLI end-to-ends (subprocesses / full driver, 30-70 s):
+    # disorder CLI end-to-ends (subprocesses / full driver, 20-70 s):
     "test_disorder_cli_end_to_end",
     "test_disorder_sharded_mesh",
     "test_disorder_two_process_bitwise",
     "test_disorder_cli_guards",
+    "test_disorder_ladder_cli_end_to_end",
+    "test_reweight_disorder_k1_equals_plain",
+    "test_disorder_pt_keeps_slot_walls_consistent",
 }
 
 

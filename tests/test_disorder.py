@@ -204,6 +204,143 @@ def test_disorder_two_process_bitwise(tmp_path):
     assert err_s == pytest.approx(err_m, abs=1e-4)
 
 
+def test_ladder_per_chain_walls_identical_rows_bitwise():
+    """Plumbing identity: a ladder run with per-chain tables that are
+    all the SAME row is bitwise a run with the shared table."""
+    import jax.numpy as jnp
+
+    from tpu_smc.state import init_ensemble_state
+    from tpu_smc.tsweep import _multi_t_block
+
+    cfg = SMCConfig(n=16, box_l=10.0, box_lz=30.0, dtype="float32")
+    state, w = init_ensemble_state(cfg, jax.random.key(4), 6)
+    temps_c = jnp.asarray(np.repeat([1.0, 1.2], 3), cfg.jnp_dtype)
+    a, _ = _multi_t_block(state, w, cfg, temps_c, 1.0, 8)
+    w3 = jnp.broadcast_to(w, (6,) + w.shape)
+    b, _ = _multi_t_block(state, w3, cfg, temps_c, 1.0, 8)
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_array_equal(np.asarray(a.energy),
+                                  np.asarray(b.energy))
+
+
+def test_disorder_pt_keeps_slot_walls_consistent():
+    """PT with slot-indexed per-chain walls: swaps travel the
+    temperature axis within a replica column, so the carried energies
+    stay consistent with each slot's own wall table (recompute check)."""
+    from tpu_smc.config import RunParams
+    from tpu_smc.pt import simulate_parallel_tempering
+    from tpu_smc.tsweep import _per_chain_energy
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=40, maxsteps=160, numdata=40)
+    temps = [1.0, 1.2]
+    k, cpt = 2, 4
+    w_k, _, _ = build_wall_ensemble(cfg, k)
+    w = np.tile(np.repeat(w_k, cpt // k, axis=0), (len(temps), 1, 1))
+    lstate, res = simulate_parallel_tempering(
+        cfg, params, temps, jax.random.key(9), chains_per_t=cpt,
+        exchange_interval=5, w=w)
+    assert int(res.swap_attempts.sum()) > 0
+    exact = np.asarray(_per_chain_energy(
+        lstate.r, jax.numpy.asarray(w, cfg.jnp_dtype), cfg))
+    drift = np.abs(exact - np.asarray(lstate.energy)).max()
+    assert drift < 1e-2, f"energy inconsistent with slot walls: {drift}"
+
+
+def test_reweight_disorder_k1_equals_plain():
+    from tpu_smc.config import RunParams
+    from tpu_smc.reweight import (reweight_disorder_ladder,
+                                  reweight_from_ladder)
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
+    params = RunParams(eqsteps=60, maxsteps=200, numdata=50)
+    _, res = simulate_temperature_sweep(
+        cfg, params, [1.0, 1.2], jax.random.key(5), chains_per_t=8)
+    grid = [1.0, 1.1, 1.2]
+    plain = reweight_from_ladder(res, cfg, grid)
+    comb, parts = reweight_disorder_ladder(res, cfg, grid, 1)
+    assert len(parts) == 1
+    np.testing.assert_allclose(comb.mean_energy, plain.mean_energy,
+                               rtol=1e-6)
+    np.testing.assert_allclose(comb.free_energy, plain.free_energy,
+                               atol=1e-6)
+    np.testing.assert_array_equal(comb.err_energy, 0.0)
+
+    # K=2 partitions the replicas: each part reweights half
+    comb2, parts2 = reweight_disorder_ladder(res, cfg, grid, 2)
+    assert len(parts2) == 2
+    assert comb2.err_energy.shape == (3,)
+    assert (comb2.err_energy >= 0).all()
+    np.testing.assert_allclose(
+        comb2.mean_energy,
+        0.5 * (parts2[0].mean_energy + parts2[1].mean_energy), rtol=1e-6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divide"):
+        reweight_disorder_ladder(res, cfg, grid, 3)
+
+
+def test_disorder_ladder_cli_end_to_end(tmp_path, capsys):
+    from tpu_smc.cli import main
+
+    rc = main(["30", "90", "30", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "4",
+               "--wall-realizations", "2", "--reweight", "1.0:1.2:3",
+               "--z-bins", "8", "--seed", "5", "--platform", "cpu",
+               "--data-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Quenched wall disorder ladder: 2 realizations x 2 replicas" \
+        in out
+    assert "quenched average over 2 wall realizations" in out
+    run = next(tmp_path.iterdir())
+    rw = next(p for p in run.iterdir()
+              if p.name.startswith("reweight_N"))
+    header = rw.read_text().splitlines()[0]
+    assert "E_err" in header and "cv_err" in header  # disorder SE columns
+    assert any(p.name.startswith("reweight_pmf") for p in run.iterdir())
+    wall = next(p for p in run.iterdir() if p.name.startswith("wall_"))
+    assert wall.read_text().startswith("k, nx, ny, x0, ymin")
+
+    # PT variant composes too
+    rc = main(["30", "90", "30", "1.10", "--n", "12",
+               "--temperatures", "1.0,1.2", "--chains-per-t", "4",
+               "--wall-realizations", "2", "--pt-exchange", "5",
+               "--seed", "5", "--platform", "cpu",
+               "--data-dir", str(tmp_path / "pt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Replica-exchange swap acceptance" in out
+
+    # guard: chains-per-t must divide
+    with pytest.raises(SystemExit):
+        main(["10", "20", "4", "1.10", "--n", "12",
+              "--temperatures", "1.0,1.2", "--chains-per-t", "3",
+              "--wall-realizations", "2", "--platform", "cpu",
+              "--data-dir", str(tmp_path / "bad")])
+
+
+def test_wall_seed_single_chain(tmp_path):
+    """--wall-seed changes the single-chain wall (and the wall CSV);
+    the default reproduces the reference's srand(42) file byte-for-byte."""
+    from tpu_smc.cli import main
+
+    for seed, sub in ((None, "d42"), (7, "d7")):
+        args = ["10", "20", "4", "1.10", "--n", "12", "--seed", "3",
+                "--platform", "cpu", "--data-dir", str(tmp_path / sub)]
+        if seed is not None:
+            args += ["--wall-seed", str(seed)]
+        assert main(args) == 0
+    w42 = next(next((tmp_path / "d42").iterdir()).glob("wall_*.csv"))
+    w7 = next(next((tmp_path / "d7").iterdir()).glob("wall_*.csv"))
+    assert w42.read_text() != w7.read_text()
+    assert w42.read_text().startswith("nx, ny, x0, ymin\n")  # ref schema
+    cfg = SMCConfig.for_n(12, temperature=1.10)
+    _, x0, _ = build_walls(cfg)
+    assert f"{x0[0]:f}" in w42.read_text()
+
+
 def test_disorder_cli_guards(tmp_path):
     from tpu_smc.cli import main
 

@@ -322,8 +322,13 @@ def main(argv=None) -> int:
         if args.bulk:
             sys.exit("--wall-realizations: bulk mode has no walls")
         if args.temperatures:
-            sys.exit("--wall-realizations is a --chains ensemble feature "
-                     "(not available with --temperatures ladders)")
+            if nproc > 1:
+                sys.exit("--wall-realizations ladders are single-process "
+                         "(use more chains-per-t instead)")
+            if args.chains_per_t < wall_k or args.chains_per_t % wall_k:
+                sys.exit(f"--chains-per-t {args.chains_per_t} must be a "
+                         f"positive multiple of --wall-realizations "
+                         f"{wall_k}")
         if args.resume:
             sys.exit("--wall-realizations cannot be combined with --resume "
                      "(restart the disorder run with the same seeds "
@@ -332,7 +337,8 @@ def main(argv=None) -> int:
             sys.exit("--wall-realizations does not support "
                      "--target-acceptance yet (one tuned A would have to "
                      "serve every realization)")
-        if args.chains < wall_k or args.chains % wall_k:
+        if not args.temperatures and (args.chains < wall_k
+                                      or args.chains % wall_k):
             sys.exit(f"--chains {args.chains} must be a positive multiple "
                      f"of --wall-realizations {wall_k}")
         from .system import build_wall_ensemble
@@ -411,6 +417,23 @@ def main(argv=None) -> int:
         tsampler = _resolve_sampler(args.sampler, cfg, ladder_c,
                                     n_dev=n_dev if lmesh is not None else 1,
                                     ladder=True)
+        w_ladder = w_np
+        if wall_k > 1:
+            # slot-indexed per-chain walls: realization = replica index
+            # group, IDENTICAL across levels — PT swaps travel the
+            # temperature axis within a replica column, so a swap never
+            # crosses realizations (pt.exchange_step)
+            g_rep = cpt // wall_k
+            w_ladder = np.tile(np.repeat(w_k, g_rep, axis=0),
+                               (len(temps), 1, 1))
+            if tsampler != "xla":
+                if args.sampler not in ("auto", "xla"):
+                    sys.exit("--wall-realizations ladders require the xla "
+                             f"engine (got --sampler {args.sampler})")
+                tsampler = "xla"
+            print(f"Quenched wall disorder ladder: {wall_k} realizations "
+                  f"x {g_rep} replicas per level (wall seeds "
+                  f"{args.wall_seed}..{args.wall_seed + wall_k - 1})")
         # zsorted works for ladders since round 3 (cont.): the (A, T)
         # ladder rows are chain-indexed, untouched by the engine's
         # particle sorts; measured 1.76x the dense ladder at N=1024, so
@@ -451,7 +474,7 @@ def main(argv=None) -> int:
                       f"{args.pt_exchange} sweeps")
             lstate, pt_res = simulate_parallel_tempering(
                 cfg, params, temps, key, chains_per_t=cpt,
-                exchange_interval=args.pt_exchange, w=w_np,
+                exchange_interval=args.pt_exchange, w=w_ladder,
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
@@ -482,7 +505,7 @@ def main(argv=None) -> int:
         else:
             lstate, res = simulate_temperature_sweep(
                 cfg, params, temps, key, chains_per_t=cpt,
-                w=w_np, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
+                w=w_ladder, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins)
             if nproc > 1 and not global_ladder:
@@ -523,11 +546,24 @@ def main(argv=None) -> int:
         if rw_grid is not None and proc_id == 0:
             from .reweight import reweight_from_ladder, write_reweight_csv
 
-            rw = reweight_from_ladder(res, cfg, rw_grid,
-                                      n_boot=16, seed=seed)
+            if wall_k > 1:
+                # one MBAR solve per wall realization (mixing
+                # realizations in a level would violate MBAR's
+                # same-Hamiltonian assumption), quenched-averaged
+                from .reweight import reweight_disorder_ladder
+
+                rw, _ = reweight_disorder_ladder(res, cfg, rw_grid,
+                                                 wall_k)
+                print(f"\n###  MBAR reweighting ({rw.iterations} "
+                      f"iterations; quenched average over {wall_k} wall "
+                      "realizations, errors = between-realization SE)"
+                      "  ###")
+            else:
+                rw = reweight_from_ladder(res, cfg, rw_grid,
+                                          n_boot=16, seed=seed)
+                print(f"\n###  MBAR reweighting ({rw.iterations} "
+                      "iterations, 16 bootstrap draws)  ###")
             rw_path = write_reweight_csv(d, cfg, rw)
-            print(f"\n###  MBAR reweighting ({rw.iterations} iterations, "
-                  "16 bootstrap draws)  ###")
             has_p = rw.pressure is not None
             print("T        E_mean     +-err       cv   "
                   + ("      P      " if has_p else "") + "   ESS       f")

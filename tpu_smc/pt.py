@@ -253,6 +253,18 @@ def simulate_parallel_tempering(
                          f"got {exchange_interval!r}")
     interval = 10 if auto else max(1, int(exchange_interval))
     c = n_t * chains_per_t
+    per_chain_w = w is not None and np.ndim(w) == 3
+    if per_chain_w:
+        # disorder PT is sound because exchange_step swaps (r, E, rbin)
+        # along the TEMPERATURE axis within a replica column — with the
+        # realization axis in the replica index, a swap never moves a
+        # configuration to a different wall
+        if sampler != "xla":
+            raise ValueError("per-chain wall tables (disorder ladders) "
+                             f"require the xla engine; got {sampler!r}")
+        if np.shape(w)[0] != c:
+            raise ValueError(f"per-chain wall table rows ({np.shape(w)[0]})"
+                             f" != ladder chains ({c})")
     if state0 is not None:
         # resume a checkpointed ladder (same temperature-major layout;
         # pass eqsteps=0 — the chains are already thermalized)
@@ -266,7 +278,14 @@ def simulate_parallel_tempering(
         w_arr = jnp.asarray(
             w if w is not None else build_walls(cfg)[0], cfg.jnp_dtype)
     else:
-        state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+        state, w_arr = init_ensemble_state(
+            cfg, key, c, r0=r0, w=None if per_chain_w else w)
+        if per_chain_w:
+            from .tsweep import _per_chain_energy
+
+            w_arr = jnp.asarray(w, cfg.jnp_dtype)
+            state = state._replace(energy=_per_chain_energy(
+                state.r, w_arr, cfg).astype(state.energy.dtype))
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     betas_t = jnp.asarray(1.0 / temps, cfg.jnp_dtype)
     a_c = (None if a_per_t is None else jnp.asarray(

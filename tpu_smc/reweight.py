@@ -39,6 +39,7 @@ __all__ = [
     "ReweightResults", "mbar_free_energies", "reweight_observables",
     "reweight_paired_field", "reweight_from_ladder", "write_reweight_csv",
     "write_reweight_profile_csv", "parse_t_grid", "pmf_from_profile",
+    "subset_ladder_replicas", "reweight_disorder_ladder",
 ]
 
 
@@ -352,6 +353,83 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
         err_zprofile=(np.std([d.zprofile for d in draws], axis=0)
                       if have_zp else None),
     )
+
+
+def subset_ladder_replicas(res, sl):
+    """Restrict a TSweepResults' sample arrays to a replica slice
+    ([gathers, n_t, R] -> [gathers, n_t, R[sl]]); used to reweight one
+    quenched wall-disorder realization at a time (the realization axis
+    lives in the replica index)."""
+    ts = getattr(res, "tsweep", res)
+
+    def cut(a):
+        return None if a is None else a[:, :, sl]
+
+    return ts._replace(
+        energy_samples=cut(ts.energy_samples),
+        pressure_samples=cut(ts.pressure_samples),
+        energy_at_pressure=cut(ts.energy_at_pressure),
+        gr_samples=cut(ts.gr_samples),
+        zprofile_samples=cut(ts.zprofile_samples),
+    )
+
+
+def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
+                             ) -> tuple[ReweightResults, list]:
+    """Quenched-disorder MBAR: one MBAR solve PER wall realization
+    (mixing realizations inside a level would violate MBAR's
+    same-Boltzmann-state assumption — each realization is a different
+    Hamiltonian), then the quenched average over realizations.
+
+    Averaging the per-realization free-energy curves IS the quenched
+    free energy -<ln Z>_disorder; the err_* fields carry the
+    between-realization standard errors (the honest disorder error bar).
+    ESS is summed (independent solves). Returns (combined, per_k list).
+    """
+    ts = getattr(res, "tsweep", res)
+    r = ts.energy_samples.shape[2]
+    if k_real < 1 or r % k_real:
+        raise ValueError(f"replicas per level ({r}) must divide by the "
+                         f"realization count ({k_real})")
+    g = r // k_real
+    parts = [
+        reweight_from_ladder(
+            subset_ladder_replicas(ts, slice(i * g, (i + 1) * g)),
+            cfg, t_grid)
+        for i in range(k_real)
+    ]
+
+    def stack(name):
+        vals = [getattr(p, name) for p in parts]
+        return None if any(v is None for v in vals) else np.stack(vals)
+
+    def avg_se(name):
+        s = stack(name)
+        if s is None:
+            return None, None
+        se = (s.std(axis=0, ddof=1) / np.sqrt(k_real) if k_real > 1
+              else np.zeros_like(s[0]))
+        return s.mean(axis=0), se
+
+    e, e_se = avg_se("mean_energy")
+    cv, cv_se = avg_se("cv")
+    f, f_se = avg_se("free_energy")
+    p, p_se = avg_se("pressure")
+    gr, gr_se = avg_se("gr")
+    zp, zp_se = avg_se("zprofile")
+    combined = ReweightResults(
+        temps=parts[0].temps,
+        mean_energy=e, cv=cv,
+        ess=stack("ess").sum(axis=0),
+        free_energy=f,
+        ladder_f=stack("ladder_f").mean(axis=0),
+        iterations=max(pt.iterations for pt in parts),
+        err_energy=e_se, err_cv=cv_se, err_f=f_se,
+        pressure=p, err_pressure=p_se,
+        gr=gr, err_gr=gr_se,
+        zprofile=zp, err_zprofile=zp_se,
+    )
+    return combined, parts
 
 
 def parse_t_grid(spec: str) -> np.ndarray:

@@ -54,6 +54,18 @@ class TSweepResults(NamedTuple):
     zprofile_samples: np.ndarray | None = None
 
 
+@partial(jax.jit, static_argnames="cfg")
+def _per_chain_energy(r, w, cfg):
+    """Per-chain total energy with per-chain wall tables (disorder
+    ladders start chains of different realizations at different wall
+    energies)."""
+    from .observables import wall_obs_chains
+    from .potentials import total_energy
+
+    return wall_obs_chains(lambda ri, wc: total_energy(ri, wc, cfg),
+                           r, w, cfg.n)
+
+
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
                     collect_trace, a_c=None):
     """n_sweeps sweeps with a PER-CHAIN temperature array temps_c [C];
@@ -66,11 +78,23 @@ def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
     def body(st, _):
         okey = jax.random.fold_in(st.key[0], 0x5EED)
         offset = jax.random.randint(okey, (), 0, cfg.n)
-        st, stats = jax.vmap(
-            lambda s, t, a: sweep_state(
-                s, w, cfg, a_scale * a, offset=offset,
-                temperature=t)
-        )(st, temps_c, a_c)
+        if w.ndim == 3:
+            # per-chain wall tables (quenched disorder ladders): the
+            # realization axis lives in the replica index, so every
+            # level of one ladder instance shares one wall and PT swaps
+            # (which travel the temperature axis within a replica
+            # column) never cross realizations
+            st, stats = jax.vmap(
+                lambda s, wc, t, a: sweep_state(
+                    s, wc, cfg, a_scale * a, offset=offset,
+                    temperature=t)
+            )(st, w, temps_c, a_c)
+        else:
+            st, stats = jax.vmap(
+                lambda s, t, a: sweep_state(
+                    s, w, cfg, a_scale * a, offset=offset,
+                    temperature=t)
+            )(st, temps_c, a_c)
         return st, stats if collect_trace else None
 
     return jax.lax.scan(body, state, None, length=n_sweeps)
@@ -160,6 +184,14 @@ def simulate_temperature_sweep(
     temps = np.asarray(temps, dtype=np.float64)
     n_t = len(temps)
     c = n_t * chains_per_t
+    per_chain_w = w is not None and np.ndim(w) == 3
+    if per_chain_w:
+        if sampler != "xla":
+            raise ValueError("per-chain wall tables (disorder ladders) "
+                             f"require the xla engine; got {sampler!r}")
+        if np.shape(w)[0] != c:
+            raise ValueError(f"per-chain wall table rows ({np.shape(w)[0]})"
+                             f" != ladder chains ({c})")
     if state0 is not None:
         if state0.r.shape[0] != c:
             raise ValueError(
@@ -171,7 +203,12 @@ def simulate_temperature_sweep(
         w_arr = jnp.asarray(
             w if w is not None else build_walls(cfg)[0], cfg.jnp_dtype)
     else:
-        state, w_arr = init_ensemble_state(cfg, key, c, r0=r0, w=w)
+        state, w_arr = init_ensemble_state(
+            cfg, key, c, r0=r0, w=None if per_chain_w else w)
+        if per_chain_w:
+            w_arr = jnp.asarray(w, cfg.jnp_dtype)
+            state = state._replace(energy=_per_chain_energy(
+                state.r, w_arr, cfg).astype(state.energy.dtype))
     temps_c = jnp.asarray(np.repeat(temps, chains_per_t), cfg.jnp_dtype)
     a_c = (None if a_per_t is None else jnp.asarray(
         np.repeat(np.asarray(a_per_t, np.float64), chains_per_t),
@@ -295,10 +332,10 @@ def _pressure_fn(cfg: SMCConfig):
 
     @jax.jit
     def fn(r, w):
-        from .observables import vmap_chains_bounded
+        from .observables import wall_obs_chains
 
-        return vmap_chains_bounded(
-            lambda ri: total_pressure(ri, w, cfg), r, cfg.n)
+        return wall_obs_chains(
+            lambda ri, wc: total_pressure(ri, wc, cfg), r, w, cfg.n)
 
     return fn
 
