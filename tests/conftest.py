@@ -75,6 +75,10 @@ QUICK_EXCLUDE = {
     "test_disorder_ladder_cli_end_to_end",
     "test_reweight_disorder_k1_equals_plain",
     "test_disorder_pt_keeps_slot_walls_consistent",
+    # per-chain-wall kernel bitwise identities (interpret mode, 20-60 s):
+    "test_kernel_per_chain_walls_bitwise_vs_uniform",
+    "test_zsorted_per_chain_walls_bitwise_vs_uniform",
+    "test_sharded_per_chain_walls_bitwise",
 }
 
 

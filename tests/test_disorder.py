@@ -349,13 +349,11 @@ def test_disorder_cli_guards(tmp_path):
         main(["10", "20", "4", "1.10", "--n", "12", "--chains", "4",
               "--wall-realizations", "3", "--platform", "cpu",
               "--data-dir", str(tmp_path)])
-    # ladders unsupported
+    # ladder mode: K must divide chains-per-t
     with pytest.raises(SystemExit):
         main(["10", "20", "4", "1.10", "--n", "12",
-              "--temperatures", "1.0,1.2", "--wall-realizations", "2",
+              "--temperatures", "1.0,1.2", "--chains-per-t", "3",
+              "--wall-realizations", "2",
               "--platform", "cpu", "--data-dir", str(tmp_path)])
-    # explicit kernel engine unsupported
-    with pytest.raises(SystemExit):
-        main(["10", "20", "4", "1.10", "--n", "12", "--chains", "4",
-              "--wall-realizations", "2", "--sampler", "pallas",
-              "--platform", "cpu", "--data-dir", str(tmp_path)])
+    # (kernel engines accept per-chain walls since the per_chain_w
+    # kernel mode — tests/test_pallas.py pins them bitwise)

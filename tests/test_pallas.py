@@ -807,3 +807,95 @@ def test_sharded_zsorted_hbm_stream_ladder_bitwise():
                                   np.asarray(tr2.energy))
     np.testing.assert_array_equal(np.asarray(tr1.accepted),
                                   np.asarray(tr2.accepted))
+
+
+def test_kernel_per_chain_walls_bitwise_vs_uniform():
+    """Quenched wall disorder on the kernel engine: per-chain wall
+    coefficient planes (per_chain_w) with group tables [w0 x 64,
+    w1 x 64] must reproduce, bitwise, the uniform-wall kernel run with
+    w0 / w1 on the corresponding chain groups (same state, same seeds —
+    the noise stream does not depend on the wall table)."""
+    from tpu_smc.ensemble import ensemble_sweeps_pallas
+    from tpu_smc.system import build_wall_ensemble
+
+    state, _ = _dense_state(128)
+    w_k, _, _ = build_wall_ensemble(CFG, 2)
+    w_pc = jnp.asarray(np.repeat(w_k, 64, axis=0), CFG.jnp_dtype)
+    kw = dict(seed=11, c_tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        mixed, trm = ensemble_sweeps_pallas(
+            state, w_pc, CFG, CFG.proposal_a, 3, **kw)
+        for g in range(2):
+            uni, tru = ensemble_sweeps_pallas(
+                state, jnp.asarray(w_k[g], CFG.jnp_dtype), CFG,
+                CFG.proposal_a, 3, **kw)
+            sl = slice(g * 64, (g + 1) * 64)
+            np.testing.assert_array_equal(np.asarray(mixed.r[sl]),
+                                          np.asarray(uni.r[sl]))
+            np.testing.assert_array_equal(np.asarray(mixed.energy[sl]),
+                                          np.asarray(uni.energy[sl]))
+            np.testing.assert_array_equal(np.asarray(trm.accepted[:, sl]),
+                                          np.asarray(tru.accepted[:, sl]))
+    # the two walls actually differ: cross-group trajectories diverge
+    assert not np.array_equal(np.asarray(mixed.r[:64]),
+                              np.asarray(mixed.r[64:]))
+
+
+def test_zsorted_per_chain_walls_bitwise_vs_uniform():
+    """Same contract through the zsorted engine (sorts permute
+    PARTICLES within a chain; the chain-indexed wall planes are
+    untouched), including the HBM-streamed kernel."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
+    from tpu_smc.system import build_wall_ensemble
+
+    state, _ = _dense_state(128)
+    w_k, _, _ = build_wall_ensemble(CFG, 2)
+    w_pc = jnp.asarray(np.repeat(w_k, 64, axis=0), CFG.jnp_dtype)
+    for stream in (False, True):
+        kw = dict(seed=13, c_tile=128, row_block_rows=8,
+                  sweeps_per_sort=2, hbm_stream=stream)
+        with pltpu.force_tpu_interpret_mode():
+            mixed, _ = ensemble_sweeps_zsorted(
+                state, w_pc, CFG, CFG.proposal_a, 4, **kw)
+            for g in range(2):
+                uni, _ = ensemble_sweeps_zsorted(
+                    state, jnp.asarray(w_k[g], CFG.jnp_dtype), CFG,
+                    CFG.proposal_a, 4, **kw)
+                sl = slice(g * 64, (g + 1) * 64)
+                np.testing.assert_array_equal(np.asarray(mixed.r[sl]),
+                                              np.asarray(uni.r[sl]))
+                np.testing.assert_array_equal(
+                    np.asarray(mixed.energy[sl]),
+                    np.asarray(uni.energy[sl]))
+
+
+def test_sharded_per_chain_walls_bitwise():
+    """Per-chain wall tables under shard_map: the planes shard with
+    their chains, and the 2-device run is bitwise the same kernels run
+    per shard (the salted per-device seed stream is part of the
+    contract, so compare against the single-device engine run on each
+    half with the matching salt)."""
+    from tpu_smc import ensemble as ens
+    from tpu_smc.system import build_wall_ensemble
+
+    mesh = ens.make_mesh(2, axis_names=("chains",))
+    state, _ = _dense_state(256)
+    w_k, _, _ = build_wall_ensemble(CFG, 2)
+    w_pc = jnp.asarray(np.repeat(w_k, 128, axis=0), CFG.jnp_dtype)
+    sstate = ens.shard_ensemble(state, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        out, tr = ens.ensemble_sweeps_pallas_sharded(
+            sstate, w_pc, CFG, CFG.proposal_a, 2, seed=21, mesh=mesh,
+            c_tile=128)
+        for d in range(2):
+            sl = slice(d * 128, (d + 1) * 128)
+            half = jax.tree.map(lambda x: x[sl], state)
+            # reproduce _device_salted_seed's per-shard stream exactly
+            salt = (21 + d * 0x9E3779, d)
+            ref, _ = ens.ensemble_sweeps_pallas(
+                half, w_pc[sl], CFG, CFG.proposal_a, 2,
+                seed=jnp.asarray(salt, jnp.int32), c_tile=128)
+            np.testing.assert_array_equal(np.asarray(out.r[sl]),
+                                          np.asarray(ref.r))
+            np.testing.assert_array_equal(np.asarray(out.energy[sl]),
+                                          np.asarray(ref.energy))

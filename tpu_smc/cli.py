@@ -426,11 +426,6 @@ def main(argv=None) -> int:
             g_rep = cpt // wall_k
             w_ladder = np.tile(np.repeat(w_k, g_rep, axis=0),
                                (len(temps), 1, 1))
-            if tsampler != "xla":
-                if args.sampler not in ("auto", "xla"):
-                    sys.exit("--wall-realizations ladders require the xla "
-                             f"engine (got --sampler {args.sampler})")
-                tsampler = "xla"
             print(f"Quenched wall disorder ladder: {wall_k} realizations "
                   f"x {g_rep} replicas per level (wall seeds "
                   f"{args.wall_seed}..{args.wall_seed + wall_k - 1})")
@@ -871,13 +866,8 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     if sampler == "zsorted" and cfg.pbc_z:
         sys.exit("--sampler zsorted assumes confined z (bulk pbc_z "
                  "runs need --sampler pallas)")
-    if w.ndim == 3 and sampler != "xla":
-        # the Pallas kernels load ONE wall table per call
-        if args.sampler not in ("auto", "xla"):
-            sys.exit("--wall-realizations requires the xla engine "
-                     f"(per-chain wall tables; got --sampler {args.sampler})")
-        print("Note: wall-disorder ensemble -> xla engine")
-        sampler = "xla"
+    # per-chain wall tables (quenched disorder) run on every engine:
+    # the kernels take them as [s_pad, C] coefficient planes
     # --target-acceptance works on zsorted since round 3 (cont.): the
     # tuned A rides the ladder-mode (A, T) data rows, one compile key.
     print(f"Ensemble sweep engine: {sampler}")

@@ -243,12 +243,9 @@ def simulate_ensemble(
     gather_steps = params.gather_steps
     n_chains = state.r.shape[0]
     kinetic = 1.5 * cfg.n * cfg.temperature
-    if w.ndim == 3 and opts.sampler != "xla":
-        # the Pallas kernels load ONE wall table per call; per-chain
-        # tables (quenched disorder) run on the XLA engine
-        raise ValueError("per-chain wall tables (wall-disorder ensembles) "
-                         "require the xla sampler; got "
-                         f"sampler={opts.sampler!r}")
+    # per-chain wall tables (w [C, M*M, 2], quenched disorder) work on
+    # every engine: the XLA path vmaps them, the kernel engines load
+    # them as [s_pad, C] coefficient planes (sweep_pallas.per_chain_w)
 
     therm_acc = 0.0
     a_eff = cfg.proposal_a if opts.proposal_a is None else opts.proposal_a

@@ -287,7 +287,14 @@ def ensemble_sweeps_pallas(
     sw_seeds, offsets = _per_sweep_randomness(state, cfg, seed, n_sweeps)
 
     x, y, z = sp.to_planes(state.r, cfg)
-    wa, wb = sp.wall_coeff_rows(w, cfg)
+    if w.ndim == 3:
+        # per-chain wall tables (quenched disorder): [s_pad, C]
+        # coefficient planes, chain-indexed like the (A, T) rows
+        wa, wb = sp.wall_coeff_planes(w, cfg)
+        pcw = True
+    else:
+        wa, wb = sp.wall_coeff_rows(w, cfg)
+        pcw = False
     e = state.energy.reshape(1, c).astype(jnp.float32)
 
     kw = {}
@@ -301,7 +308,7 @@ def ensemble_sweeps_pallas(
 
     x, y, z, e, e_trace, a_trace = sp.pallas_sweep_block(
         x, y, z, e, wa, wb, offsets, sw_seeds,
-        cfg, n_sweeps, float(a), c_tile=c_tile, **kw,
+        cfg, n_sweeps, float(a), c_tile=c_tile, per_chain_w=pcw, **kw,
     )
 
     new_state = state._replace(
@@ -438,7 +445,14 @@ def ensemble_sweeps_zsorted(
     sw_seeds, offsets = _per_sweep_randomness(state, cfg, seed, n_sweeps)
 
     x, y, z = sp.to_planes(state.r, cfg)
-    wa, wb = sp.wall_coeff_rows(w, cfg)
+    if w.ndim == 3:
+        # per-chain wall tables (quenched disorder): chain-indexed
+        # planes, untouched by the per-chunk PARTICLE sorts below
+        wa, wb = sp.wall_coeff_planes(w, cfg)
+        pcw = True
+    else:
+        wa, wb = sp.wall_coeff_rows(w, cfg)
+        pcw = False
     e = state.energy.reshape(1, c).astype(jnp.float32)
     # Particle identity carried THROUGH the sorts: idx[j, c] = original
     # particle id of the row currently at position j in chain c. The
@@ -462,7 +476,7 @@ def ensemble_sweeps_zsorted(
         x, y, z, e, etr, atr = sp.pallas_sweep_block(
             x, y, z, e, wa, wb, off, sws, cfg, length, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
-            hbm_stream=hbm_stream, **at_kw,
+            hbm_stream=hbm_stream, per_chain_w=pcw, **at_kw,
         )
         return x, y, z, e, idx, etr, atr
 
@@ -609,13 +623,15 @@ def ensemble_sweeps_pallas_sharded(
     c = state.r.shape[0]
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
     per_chain = a_per_chain is not None
+    pcw = w.ndim == 3   # per-chain wall tables shard with their chains
 
-    def local(st, *rows):
+    def local(st, *ops):
         st = jax.tree.map(lambda x: x, st)
+        wv, rows = (ops[0], ops[1:]) if pcw else (w, ops)
         kw = dict(a_per_chain=rows[0], t_per_chain=rows[1]) if per_chain \
             else dict(uniform_at=uniform_at)
         return ensemble_sweeps_pallas(
-            st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
+            st, wv, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
             c_tile=c_tile, **kw,
         )
 
@@ -623,7 +639,8 @@ def ensemble_sweeps_pallas_sharded(
         r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
         accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
     )
-    in_specs = (specs,) + ((P(axis), P(axis)) if per_chain else ())
+    in_specs = (specs,) + ((P(axis),) if pcw else ()) \
+        + ((P(axis), P(axis)) if per_chain else ())
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=in_specs,
@@ -631,7 +648,8 @@ def ensemble_sweeps_pallas_sharded(
                                      accepted=P(None, axis))),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
-    args = (state,) + ((a_per_chain, t_per_chain) if per_chain else ())
+    args = (state,) + ((w,) if pcw else ()) \
+        + ((a_per_chain, t_per_chain) if per_chain else ())
     return fn(*args)
 
 
@@ -666,12 +684,14 @@ def ensemble_sweeps_zsorted_sharded(
     c = state.r.shape[0]
     assert c % nd == 0, f"chains {c} must divide over {nd} devices"
     per_chain = a_per_chain is not None
+    pcw = w.ndim == 3   # per-chain wall tables shard with their chains
 
-    def local(st, *rows):
+    def local(st, *ops):
+        wv, rows = (ops[0], ops[1:]) if pcw else (w, ops)
         kw = dict(a_per_chain=rows[0], t_per_chain=rows[1]) if per_chain \
             else dict(uniform_at=uniform_at)
         return ensemble_sweeps_zsorted(
-            st, w, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
+            st, wv, cfg, a, n_sweeps, seed=_device_salted_seed(seed, axis),
             c_tile=c_tile, row_block_rows=row_block_rows,
             sweeps_per_sort=sweeps_per_sort, hbm_stream=hbm_stream,
             **kw,
@@ -681,7 +701,8 @@ def ensemble_sweeps_zsorted_sharded(
         r=P(axis), energy=P(axis), key=P(axis), sweeps=P(axis),
         accepted=P(axis), rbin=P(axis), density=P(axis), mobility=P(axis),
     )
-    in_specs = (specs,) + ((P(axis), P(axis)) if per_chain else ())
+    in_specs = (specs,) + ((P(axis),) if pcw else ()) \
+        + ((P(axis), P(axis)) if per_chain else ())
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=in_specs,
@@ -689,7 +710,8 @@ def ensemble_sweeps_zsorted_sharded(
                                      accepted=P(None, axis))),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
-    args = (state,) + ((a_per_chain, t_per_chain) if per_chain else ())
+    args = (state,) + ((w,) if pcw else ()) \
+        + ((a_per_chain, t_per_chain) if per_chain else ())
     return fn(*args)
 
 

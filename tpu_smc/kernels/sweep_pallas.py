@@ -846,14 +846,15 @@ def _make_stream_kernel(cfg: SMCConfig, n_pad: int, c_tile: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_sweeps", "a", "c_tile", "zskip",
-                     "row_block_rows", "hbm_stream"),
+                     "row_block_rows", "hbm_stream", "per_chain_w"),
 )
 def pallas_sweep_block(
     x: jax.Array,          # [N_pad, C] f32
     y: jax.Array,
     z: jax.Array,
     e: jax.Array,          # [1, C] f32 running energy
-    wa: jax.Array,         # [1, MM_pad] f32 wall a-coefficients
+    wa: jax.Array,         # [1, MM_pad] f32 wall a-coefficients, or
+                           # [s_pad, C] per-chain planes (per_chain_w)
     wb: jax.Array,
     offsets: jax.Array,    # [n_sweeps] int32 cyclic offsets
     seed: jax.Array,       # [n_sweeps, 2] int32 per-sweep PRNG seed words
@@ -868,6 +869,7 @@ def pallas_sweep_block(
     a_row: jax.Array | None = None,
     invt_row: jax.Array | None = None,
     hbm_stream: bool = False,
+    per_chain_w: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run `n_sweeps` full SMC sweeps for every chain.
 
@@ -885,6 +887,13 @@ def pallas_sweep_block(
     static `a` is then ignored (pass 0.0); one compile serves every
     ladder AND its thermalization (A-doubling is a value change).
 
+    per_chain_w: wa/wb are [s_pad, C] PER-CHAIN wall-coefficient planes
+    (quenched disorder, wall_coeff_planes) — the kernel body is
+    unchanged (wall_terms already consumes [s_pad, c_tile] per-lane
+    tiles); only the wall BlockSpec follows the chain tile. Uniform
+    runs keep the exact original spec, so their Mosaic cache entries
+    stay valid.
+
     Returns (x, y, z, e, energy_trace [S, C], accept_trace [S, C])."""
     n_pad, c = x.shape
     assert c % c_tile == 0, (c, c_tile)
@@ -894,7 +903,8 @@ def pallas_sweep_block(
     if hbm_stream:
         return _pallas_sweep_block_stream(
             x, y, z, e, wa, wb, offsets, seed, cfg, n_sweeps, a,
-            c_tile, row_block_rows or ROW_BLOCK, a_row, invt_row)
+            c_tile, row_block_rows or ROW_BLOCK, a_row, invt_row,
+            per_chain_w=per_chain_w)
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a,
                           zskip=zskip, row_block=row_block_rows,
@@ -904,11 +914,20 @@ def pallas_sweep_block(
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
                              memory_space=pltpu.VMEM)
     s_pad = _round_up(cfg.m * cfg.m, 8)
-    # site-plane layout: coefficients on SUBLANES, broadcast over lanes
-    wa_cols = jnp.broadcast_to(wa[0, :s_pad][:, None], (s_pad, c_tile))
-    wb_cols = jnp.broadcast_to(wb[0, :s_pad][:, None], (s_pad, c_tile))
-    wall_block = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, 0),
-                              memory_space=pltpu.VMEM)
+    if per_chain_w:
+        # per-chain coefficient planes: each chain tile reads its own
+        # columns (quenched wall disorder)
+        assert wa.shape == (s_pad, c), (wa.shape, s_pad, c)
+        wa_cols, wb_cols = wa, wb
+        wall_block = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, g),
+                                  memory_space=pltpu.VMEM)
+    else:
+        # site-plane layout: coefficients on SUBLANES, broadcast over
+        # lanes
+        wa_cols = jnp.broadcast_to(wa[0, :s_pad][:, None], (s_pad, c_tile))
+        wb_cols = jnp.broadcast_to(wb[0, :s_pad][:, None], (s_pad, c_tile))
+        wall_block = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)
     trace_block = pl.BlockSpec((n_sweeps, c_tile), lambda g, *_: (0, g),
                                memory_space=pltpu.VMEM)
 
@@ -984,6 +1003,7 @@ def _seed_words(seed: jax.Array, n_sweeps: int) -> jax.Array:
 def _pallas_sweep_block_stream(
     x, y, z, e, wa, wb, offsets, seed, cfg: SMCConfig, n_sweeps: int,
     a: float, c_tile: int, row_block: int, a_row, invt_row,
+    per_chain_w: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """HBM-streamed call path of pallas_sweep_block (traced inside its
     jit). Planes are updated IN PLACE via input_output_aliases — no
@@ -1002,10 +1022,16 @@ def _pallas_sweep_block_stream(
     row_spec = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
                             memory_space=pltpu.VMEM)
     s_pad = _round_up(cfg.m * cfg.m, 8)
-    wa_cols = jnp.broadcast_to(wa[0, :s_pad][:, None], (s_pad, c_tile))
-    wb_cols = jnp.broadcast_to(wb[0, :s_pad][:, None], (s_pad, c_tile))
-    wall_spec = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, 0),
-                             memory_space=pltpu.VMEM)
+    if per_chain_w:
+        assert wa.shape == (s_pad, c), (wa.shape, s_pad, c)
+        wa_cols, wb_cols = wa, wb
+        wall_spec = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, g),
+                                 memory_space=pltpu.VMEM)
+    else:
+        wa_cols = jnp.broadcast_to(wa[0, :s_pad][:, None], (s_pad, c_tile))
+        wb_cols = jnp.broadcast_to(wb[0, :s_pad][:, None], (s_pad, c_tile))
+        wall_spec = pl.BlockSpec((s_pad, c_tile), lambda g, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
     trace_spec = pl.BlockSpec((n_sweeps, c_tile), lambda g, *_: (0, g),
                               memory_space=pltpu.VMEM)
 
@@ -1097,6 +1123,22 @@ def from_planes(
     stacked = jnp.stack([x[:n], y[:n], z[:n]], axis=0)  # [3, N, C]
     out = jnp.transpose(stacked, (2, 1, 0))
     return out.astype(dtype) if dtype is not None else out
+
+
+def wall_coeff_planes(w: jax.Array, cfg: SMCConfig
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Per-chain W [C, MM, 2] -> two [s_pad, C] per-site x per-chain
+    coefficient planes (quenched wall disorder on the kernel engines;
+    pad sites carry zeros so they contribute exactly 0 — same contract
+    as the uniform sublane layout in pallas_sweep_block)."""
+    mm = cfg.m * cfg.m
+    s_pad = _round_up(mm, 8)
+    c = w.shape[0]
+    wa = jnp.zeros((s_pad, c), jnp.float32).at[:mm].set(
+        w[:, :, 0].T.astype(jnp.float32))
+    wb = jnp.zeros((s_pad, c), jnp.float32).at[:mm].set(
+        w[:, :, 1].T.astype(jnp.float32))
+    return wa, wb
 
 
 def wall_coeff_rows(w: jax.Array, cfg: SMCConfig) -> Tuple[jax.Array, jax.Array]:

@@ -259,9 +259,6 @@ def simulate_parallel_tempering(
         # along the TEMPERATURE axis within a replica column — with the
         # realization axis in the replica index, a swap never moves a
         # configuration to a different wall
-        if sampler != "xla":
-            raise ValueError("per-chain wall tables (disorder ladders) "
-                             f"require the xla engine; got {sampler!r}")
         if np.shape(w)[0] != c:
             raise ValueError(f"per-chain wall table rows ({np.shape(w)[0]})"
                              f" != ladder chains ({c})")

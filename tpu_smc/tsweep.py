@@ -186,9 +186,7 @@ def simulate_temperature_sweep(
     c = n_t * chains_per_t
     per_chain_w = w is not None and np.ndim(w) == 3
     if per_chain_w:
-        if sampler != "xla":
-            raise ValueError("per-chain wall tables (disorder ladders) "
-                             f"require the xla engine; got {sampler!r}")
+        # supported on every engine (kernels: [s_pad, C] wall planes)
         if np.shape(w)[0] != c:
             raise ValueError(f"per-chain wall table rows ({np.shape(w)[0]})"
                              f" != ladder chains ({c})")
