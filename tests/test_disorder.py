@@ -300,6 +300,16 @@ def test_disorder_ladder_cli_end_to_end(tmp_path, capsys):
     header = rw.read_text().splitlines()[0]
     assert "E_err" in header and "cv_err" in header  # disorder SE columns
     assert any(p.name.startswith("reweight_pmf") for p in run.iterdir())
+    # per-realization curves: k column, mean over k = the combined curve
+    rwd = next(p for p in run.iterdir()
+               if p.name.startswith("reweight_disorder"))
+    dl = rwd.read_text().strip().splitlines()
+    assert dl[0].startswith("k, T, E_mean, cv")
+    assert len(dl) == 1 + 2 * 3   # 2 realizations x 3 grid temps
+    drows = np.genfromtxt(rwd, delimiter=",", skip_header=1)
+    crows = np.genfromtxt(rw, delimiter=",", skip_header=1)
+    np.testing.assert_allclose(
+        drows[:, 2].reshape(2, 3).mean(axis=0), crows[:, 1], atol=1e-6)
     wall = next(p for p in run.iterdir() if p.name.startswith("wall_"))
     assert wall.read_text().startswith("k, nx, ny, x0, ymin")
 

@@ -547,12 +547,16 @@ def main(argv=None) -> int:
                 # same-Hamiltonian assumption), quenched-averaged
                 from .reweight import reweight_disorder_ladder
 
-                rw, _ = reweight_disorder_ladder(res, cfg, rw_grid,
-                                                 wall_k)
+                from .reweight import write_reweight_disorder_csv
+
+                rw, rw_parts = reweight_disorder_ladder(res, cfg, rw_grid,
+                                                        wall_k)
+                rwd_path = write_reweight_disorder_csv(d, cfg, rw_parts)
                 print(f"\n###  MBAR reweighting ({rw.iterations} "
                       f"iterations; quenched average over {wall_k} wall "
                       "realizations, errors = between-realization SE)"
                       "  ###")
+                print(f"Per-realization curves written to {rwd_path}")
             else:
                 rw = reweight_from_ladder(res, cfg, rw_grid,
                                           n_boot=16, seed=seed)

@@ -432,6 +432,29 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
     return combined, parts
 
 
+def write_reweight_disorder_csv(d, cfg: SMCConfig, parts) -> "Path":
+    """Long-format per-realization reweight curves behind the quenched
+    average: one row per (realization k, target T) with the same
+    observable columns as reweight_*.csv (header-driven: optional
+    columns appear when every realization computed them)."""
+    from .io import _fname
+
+    p = _fname(d, "reweight_disorder", cfg)
+    have_p = all(pt.pressure is not None for pt in parts)
+    with open(p, "w") as f:
+        f.write("k, T, E_mean, cv" + (", P" if have_p else "")
+                + ", ess, f\n")
+        for k, pt in enumerate(parts):
+            for g in range(len(pt.temps)):
+                row = (f"{k}, {pt.temps[g]:0.4f}, "
+                       f"{pt.mean_energy[g]:0.9f}, {pt.cv[g]:0.9f}")
+                if have_p:
+                    row += f", {pt.pressure[g]:0.9f}"
+                row += f", {pt.ess[g]:0.1f}, {pt.free_energy[g]:0.9f}"
+                f.write(row + "\n")
+    return p
+
+
 def parse_t_grid(spec: str) -> np.ndarray:
     """CLI grid spec: 'tmin:tmax:num' (inclusive linspace) or a comma
     list 'T1,T2,...'."""
