@@ -313,6 +313,17 @@ def test_disorder_ladder_cli_end_to_end(tmp_path, capsys):
     wall = next(p for p in run.iterdir() if p.name.startswith("wall_"))
     assert wall.read_text().startswith("k, nx, ny, x0, ymin")
 
+    # the per-realization MBAR panel renders (needs the standard
+    # artifacts beside it — drop a same-key standard run first)
+    rc2 = main(["10", "40", "4", "1.10", "--n", "12", "--seed", "5",
+                "--platform", "cpu", "--data-dir", str(tmp_path)])
+    assert rc2 == 0
+    capsys.readouterr()
+    from tpu_smc.analysis import load_run, render_all
+
+    written = render_all(load_run(run), tmp_path / "plots")
+    assert any(p.name.startswith("reweight_disorder_") for p in written)
+
     # PT variant composes too
     rc = main(["30", "90", "30", "1.10", "--n", "12",
                "--temperatures", "1.0,1.2", "--chains-per-t", "4",

@@ -878,6 +878,38 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Per-realization MBAR curves from wall-disorder ladders
+    # (reweight.write_reweight_disorder_csv): E(T) and f(T) per quenched
+    # wall, the spread behind the combined curve's error bars
+    rdf = run.run_dir / f"reweight_disorder_{run.key}.csv"
+    if rdf.exists():
+        rows = np.atleast_2d(np.genfromtxt(rdf, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            ks = np.unique(rows[:, 0].astype(int))
+            fig, axes = plt.subplots(1, 2, figsize=(8, 3.4))
+            cmap = plt.get_cmap("viridis")
+            fcol = rows.shape[1] - 1
+            for k in ks:
+                sel = rows[rows[:, 0].astype(int) == k]
+                frac = 0.5 if len(ks) == 1 else k / (len(ks) - 1)
+                axes[0].plot(sel[:, 1], sel[:, 2], lw=1,
+                             color=cmap(frac), label=f"k={k}")
+                axes[1].plot(sel[:, 1], sel[:, fcol], lw=1,
+                             color=cmap(frac))
+            axes[0].set_xlabel("T")
+            axes[0].set_ylabel("E(T)")
+            axes[1].set_xlabel("T")
+            axes[1].set_ylabel("f(T)")
+            if len(ks) <= 10:
+                axes[0].legend(fontsize=7)
+            fig.suptitle(f"MBAR per wall realization {run.key}")
+            fig.tight_layout()
+            p = out / f"reweight_disorder_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Parallel-tempering swap acceptance per adjacent pair (pt.py CSV)
     ptf = run.run_dir / f"pt_{run.key}.csv"
     if ptf.exists():
