@@ -281,3 +281,37 @@ class TestStructureFactor:
         assert at_peak.size and np.all(at_peak > 0.9 * cfg.n)
         off = sk[np.asarray(k) < 0.9 * k_bragg]
         assert np.all(off < 1e-6 * cfg.n)
+
+
+def test_vmap_chains_bounded_map_path_matches_vmap():
+    """The lax.map batched lowering (the large-ensemble HBM-bounded
+    path) must equal the single-vmap lowering — for plain arrays AND
+    for pytree inputs (the (r, w) pairs of wall-disorder runs)."""
+    from tpu_smc.observables import vmap_chains_bounded, wall_obs_chains
+    from tpu_smc.potentials import total_energy
+    from tpu_smc.state import init_ensemble_state
+    from tpu_smc.system import build_wall_ensemble
+
+    cfg = SMCConfig(n=16, box_l=10.0, box_lz=30.0, dtype="float32")
+    state, w = init_ensemble_state(cfg, jax.random.key(2), 6)
+    r = state.r + 0.01 * jax.random.normal(jax.random.key(3), state.r.shape)
+
+    full = vmap_chains_bounded(lambda ri: total_energy(ri, w, cfg),
+                               r, cfg.n)
+    batched = vmap_chains_bounded(lambda ri: total_energy(ri, w, cfg),
+                                  r, cfg.n, batch=2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(batched),
+                               rtol=1e-12)
+
+    w_k, _, _ = build_wall_ensemble(cfg, 3)
+    w_pc = jnp.asarray(np.repeat(w_k, 2, axis=0), cfg.jnp_dtype)
+    fn = lambda rw: total_energy(rw[0], rw[1], cfg)
+    full_p = vmap_chains_bounded(fn, (r, w_pc), cfg.n)
+    batched_p = vmap_chains_bounded(fn, (r, w_pc), cfg.n, batch=2)
+    np.testing.assert_allclose(np.asarray(full_p),
+                               np.asarray(batched_p), rtol=1e-12)
+    # wall_obs_chains dispatches per-chain vs shared automatically
+    np.testing.assert_array_equal(
+        np.asarray(wall_obs_chains(
+            lambda ri, wc: total_energy(ri, wc, cfg), r, w_pc, cfg.n)),
+        np.asarray(full_p))
