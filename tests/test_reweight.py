@@ -277,14 +277,25 @@ def test_ladder_density_field_reweighting():
     params = RunParams(eqsteps=100, maxsteps=300, numdata=100)
     _, res = simulate_temperature_sweep(
         cfg, params, [1.0, 1.2], jax.random.key(4), chains_per_t=32,
-        z_bins=12, gr_bins=8)
+        z_bins=12, gr_bins=8, sk_kmax=3)
     assert res.zprofile_samples is not None
     assert res.zprofile_samples.shape[1:] == (2, 32, 12)
     assert res.gr_samples.shape[1:] == (2, 32, 8)
+    from tpu_smc.observables import structure_factor
+
+    shells = int(structure_factor(jax.numpy.zeros((cfg.n, 3)), cfg,
+                                  n_kmax=3)[0].shape[0])
+    assert res.sk_samples.shape[1:] == (2, 32, shells)
 
     rw = reweight_from_ladder(res, cfg, [1.0, 1.1, 1.2], n_boot=4)
     assert rw.zprofile.shape == (3, 12) and rw.gr.shape == (3, 8)
     assert rw.err_zprofile is not None and rw.err_gr is not None
+    assert rw.sk.shape == (3, shells) and rw.err_sk is not None
+    assert (rw.sk > 0).all()   # S(k) is a non-negative power spectrum
+    # endpoint self-consistency for S(k), like the zprofile check below
+    lvl = res.sk_samples[:, 0].reshape(-1, shells)
+    spread = lvl.mean(axis=0).std() + lvl.std(axis=0).max()
+    assert np.abs(rw.sk[0] - lvl.mean(axis=0)).max() < spread
 
     dz = cfg.box_lz / 12
     mass = rw.zprofile.sum(axis=1) * dz * cfg.box_l ** 2
@@ -337,7 +348,7 @@ def test_reweight_cli_writes_profile_artifacts(tmp_path):
     rc = main(["30", "60", "30", "1.10", "--n", "12",
                "--temperatures", "1.0,1.2", "--chains-per-t", "4",
                "--reweight", "1.0:1.2:3", "--seed", "5", "--z-bins", "8",
-               "--gr-bins", "6", "--platform", "cpu",
+               "--gr-bins", "6", "--sk-kmax", "2", "--platform", "cpu",
                "--data-dir", str(tmp_path)])
     assert rc == 0
     run = next(tmp_path.iterdir())
@@ -351,6 +362,18 @@ def test_reweight_cli_writes_profile_artifacts(tmp_path):
     glines = gr.read_text().strip().splitlines()
     assert glines[0] == "T, r, value, err"
     assert len(glines) == 1 + 3 * 6
+
+    # S(k; T) surface: same long-format schema on the k-shell grid
+    from tpu_smc.observables import structure_factor
+
+    cfg12 = SMCConfig.for_n(12, temperature=1.10)
+    shells = int(structure_factor(np.zeros((12, 3)), cfg12,
+                                  n_kmax=2)[0].shape[0])
+    sk = next(p for p in run.iterdir()
+              if p.name.startswith("reweight_sk"))
+    klines = sk.read_text().strip().splitlines()
+    assert klines[0] == "T, k, value, err"
+    assert len(klines) == 1 + 3 * shells
 
     # PMF surface: same schema, consistent with -T ln rho of the
     # zprofile file row by row (min-shifted per T, NaN where rho = 0)

@@ -822,7 +822,8 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     # reference could only draw at the simulated T (plotting.jl:123-201)
     for stem, xl, yl in (("reweight_zprofile", "z", "rho(z)"),
                          ("reweight_gr", "r", "g(r)"),
-                         ("reweight_pmf", "z", "F(z) = -T ln rho")):
+                         ("reweight_pmf", "z", "F(z) = -T ln rho"),
+                         ("reweight_sk", "k", "S(k)")):
         f = run.run_dir / f"{stem}_{run.key}.csv"
         if not f.exists():
             continue

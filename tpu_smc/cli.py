@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent chains (replaces MPI ranks)")
     p.add_argument("--gr-bins", type=int, default=0, help="accumulate g(r)")
     p.add_argument("--z-bins", type=int, default=0, help="accumulate z profile")
+    p.add_argument("--sk-kmax", type=int, default=0, metavar="K",
+                   help="with --temperatures + --reweight: sample the "
+                        "in-plane structure factor S(k) up to the (K, K) "
+                        "reciprocal-lattice shell and emit the continuous "
+                        "S(k; T) surface via MBAR (reweight_sk_*.csv)")
     p.add_argument("--no-trace", action="store_true",
                    help="skip per-sweep E/jj traces (big runs)")
     p.add_argument("--checkpoint", default=None,
@@ -472,7 +477,8 @@ def main(argv=None) -> int:
                 exchange_interval=args.pt_exchange, w=w_ladder,
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
-                gr_bins=args.gr_bins, z_bins=args.z_bins)
+                gr_bins=args.gr_bins, z_bins=args.z_bins,
+                sk_kmax=args.sk_kmax)
             if nproc > 1 and not global_ladder:
                 from .pt import pool_pt_across_processes
 
@@ -502,7 +508,8 @@ def main(argv=None) -> int:
                 cfg, params, temps, key, chains_per_t=cpt,
                 w=w_ladder, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
-                gr_bins=args.gr_bins, z_bins=args.z_bins)
+                gr_bins=args.gr_bins, z_bins=args.z_bins,
+                sk_kmax=args.sk_kmax)
             if nproc > 1 and not global_ladder:
                 # pooled replica axis: every process gets the full-R
                 # statistics (reweighting below then sees P x samples)
@@ -604,6 +611,15 @@ def main(argv=None) -> int:
                 gr_path = write_reweight_profile_csv(
                     d, cfg, "reweight_gr", "r", rc, rw, rw.gr, rw.err_gr)
                 print(f"g(r; T) surface written to {gr_path}")
+            if rw.sk is not None:
+                from .observables import structure_factor
+
+                kc = np.asarray(structure_factor(
+                    jax.numpy.asarray(lstate.r[0], cfg.jnp_dtype), cfg,
+                    n_kmax=args.sk_kmax)[0])
+                sk_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_sk", "k", kc, rw, rw.sk, rw.err_sk)
+                print(f"S(k; T) surface written to {sk_path}")
         return 0
 
     if resume_state is not None:

@@ -219,6 +219,7 @@ def simulate_parallel_tempering(
     state0: ChainState | None = None,
     gr_bins: int = 0,
     z_bins: int = 0,
+    sk_kmax: int = 0,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps ("auto": measure the swap acceptance on a short
@@ -319,10 +320,11 @@ def simulate_parallel_tempering(
         moves = np.zeros((c,), np.int64)
         samples = []
         p_samples, e_at_p = [], []
-        gr_s, zp_s = [], []
+        gr_s, zp_s, sk_s = [], [], []
         press_fn = _pressure_fn(cfg) if collect else None
-        fields_fn = (_fields_fn(cfg, gr_bins, z_bins)
-                     if collect and (gr_bins or z_bins) else None)
+        fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax)
+                     if collect and (gr_bins or z_bins or sk_kmax)
+                     else None)
 
         def harvest(st):
             nonlocal moves
@@ -332,11 +334,13 @@ def simulate_parallel_tempering(
                 p_samples.append(fetch(press_fn(st.r, w_arr)))
                 e_at_p.append(fetch(st.energy))
                 if fields_fn is not None:
-                    gr_b, zp_b = fields_fn(st.r)
+                    gr_b, zp_b, sk_b = fields_fn(st.r)
                     if gr_b is not None:
                         gr_s.append(fetch(gr_b))
                     if zp_b is not None:
                         zp_s.append(fetch(zp_b))
+                    if sk_b is not None:
+                        sk_s.append(fetch(sk_b))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -384,7 +388,7 @@ def simulate_parallel_tempering(
                 acc += fetch(a_blk).astype(np.int64)
                 att += fetch(t_blk).astype(np.int64)
         return (state, acc, att, samples, moves,
-                (p_samples, e_at_p, gr_s, zp_s), cycle0 + cycles)
+                (p_samples, e_at_p, gr_s, zp_s, sk_s), cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
     # speed equilibration) but are not counted.
@@ -406,7 +410,8 @@ def simulate_parallel_tempering(
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     lapse = max(1, params.gather_lapse)
-    state, acc, att, samples, prod_moves, (p_s, e_p, gr_s, zp_s), _ = \
+    state, acc, att, samples, prod_moves, \
+        (p_s, e_p, gr_s, zp_s, sk_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
                   lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
@@ -435,7 +440,10 @@ def simulate_parallel_tempering(
                     if gr_s else None),
         zprofile_samples=(np.stack(zp_s).reshape(-1, n_t, chains_per_t,
                                                  z_bins)
-                          if zp_s else None))
+                          if zp_s else None),
+        sk_samples=(np.stack(sk_s).reshape(
+            -1, n_t, chains_per_t, np.shape(sk_s[-1])[-1])
+            if sk_s else None))
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

@@ -69,6 +69,9 @@ class ReweightResults(NamedTuple):
     zprofile: np.ndarray | None = None     # [G, z_bins]
     err_gr: np.ndarray | None = None       # [G, gr_bins]
     err_zprofile: np.ndarray | None = None  # [G, z_bins]
+    # in-plane structure factor S(k; T) on the shell grid (sk_kmax > 0)
+    sk: np.ndarray | None = None           # [G, shells]
+    err_sk: np.ndarray | None = None       # [G, shells]
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -309,8 +312,10 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     have_p = p_s is not None and e_p is not None and p_s.size > 0
     gr_s = getattr(ts, "gr_samples", None)
     zp_s = getattr(ts, "zprofile_samples", None)
+    sk_s = getattr(ts, "sk_samples", None)
     have_gr = gr_s is not None and e_p is not None and gr_s.size > 0
     have_zp = zp_s is not None and e_p is not None and zp_s.size > 0
+    have_sk = sk_s is not None and e_p is not None and sk_s.size > 0
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
     ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
 
@@ -332,6 +337,9 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
         if have_zp:
             out = out._replace(zprofile=reweight_paired_field(
                 split(e_p, idx), split(zp_s, idx), ts.temps, t_grid))
+        if have_sk:
+            out = out._replace(sk=reweight_paired_field(
+                split(e_p, idx), split(sk_s, idx), ts.temps, t_grid))
         return out
 
     out = estimate()
@@ -352,6 +360,8 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                 if have_gr else None),
         err_zprofile=(np.std([d.zprofile for d in draws], axis=0)
                       if have_zp else None),
+        err_sk=(np.std([d.sk for d in draws], axis=0)
+                if have_sk else None),
     )
 
 
@@ -371,6 +381,7 @@ def subset_ladder_replicas(res, sl):
         energy_at_pressure=cut(ts.energy_at_pressure),
         gr_samples=cut(ts.gr_samples),
         zprofile_samples=cut(ts.zprofile_samples),
+        sk_samples=cut(ts.sk_samples),
     )
 
 
@@ -417,6 +428,7 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
     p, p_se = avg_se("pressure")
     gr, gr_se = avg_se("gr")
     zp, zp_se = avg_se("zprofile")
+    sk, sk_se = avg_se("sk")
     combined = ReweightResults(
         temps=parts[0].temps,
         mean_energy=e, cv=cv,
@@ -428,6 +440,7 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
         pressure=p, err_pressure=p_se,
         gr=gr, err_gr=gr_se,
         zprofile=zp, err_zprofile=zp_se,
+        sk=sk, err_sk=sk_se,
     )
     return combined, parts
 

@@ -52,6 +52,9 @@ class TSweepResults(NamedTuple):
     # only at the simulated T)
     gr_samples: np.ndarray | None = None
     zprofile_samples: np.ndarray | None = None
+    # paired in-plane structure-factor samples [B, T, chains_per_t,
+    # shells] (sk_kmax > 0) -> continuous S(k; T) via MBAR
+    sk_samples: np.ndarray | None = None
 
 
 @partial(jax.jit, static_argnames="cfg")
@@ -164,6 +167,7 @@ def simulate_temperature_sweep(
     state0: ChainState | None = None,
     gr_bins: int = 0,
     z_bins: int = 0,
+    sk_kmax: int = 0,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
@@ -244,10 +248,10 @@ def simulate_temperature_sweep(
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
     p_samples, e_at_p = [], []
-    gr_s, zp_s = [], []
+    gr_s, zp_s, sk_s = [], [], []
     press_fn = _pressure_fn(cfg)
-    fields_fn = _fields_fn(cfg, gr_bins, z_bins) if (gr_bins or z_bins) \
-        else None
+    fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax)
+                 if (gr_bins or z_bins or sk_kmax) else None)
     prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
@@ -261,11 +265,13 @@ def simulate_temperature_sweep(
         p_samples.append(fetch(press_fn(state.r, w_arr)))
         e_at_p.append(fetch(state.energy))
         if fields_fn is not None:
-            gr_b, zp_b = fields_fn(state.r)
+            gr_b, zp_b, sk_b = fields_fn(state.r)
             if gr_b is not None:
                 gr_s.append(fetch(gr_b))
             if zp_b is not None:
                 zp_s.append(fetch(zp_b))
+            if sk_b is not None:
+                sk_s.append(fetch(sk_b))
         prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -292,6 +298,8 @@ def simulate_temperature_sweep(
                     if gr_s else None),
         zprofile_samples=(np.stack(zp_s).reshape(*shape_f, z_bins)
                           if zp_s else None),
+        sk_samples=(np.stack(sk_s).reshape(*shape_f, np.shape(sk_s[-1])[-1])
+                    if sk_s else None),
     )
 
 
@@ -299,11 +307,15 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int):
-    """Jitted per-chain field sampler: per-configuration g(r) and/or
-    rho(z) histograms for paired-sample reweighting (reweight.py).
-    Returns fn(r) -> (gr [C, gr_bins] | None, zp [C, z_bins] | None)."""
-    from .observables import radial_distribution, z_density_profile
+def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
+               sk_kmax: int = 0):
+    """Jitted per-chain field sampler: per-configuration g(r) / rho(z)
+    histograms and/or the in-plane structure factor S(k) for
+    paired-sample reweighting (reweight.py). Returns fn(r) ->
+    (gr [C, gr_bins] | None, zp [C, z_bins] | None,
+     sk [C, shells] | None)."""
+    from .observables import (radial_distribution, structure_factor,
+                              z_density_profile)
 
     @jax.jit
     def fn(r):
@@ -316,7 +328,10 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int):
         zp = (jax.vmap(
             lambda ri: z_density_profile(ri, cfg, nbins=z_bins)[1])(r)
             if z_bins else None)
-        return gr, zp
+        sk = (jax.vmap(
+            lambda ri: structure_factor(ri, cfg, n_kmax=sk_kmax)[1])(r)
+            if sk_kmax else None)
+        return gr, zp, sk
 
     return fn
 
@@ -372,6 +387,7 @@ def pool_tsweep_across_processes(res: TSweepResults,
         energy_at_pressure=cat_replicas(res.energy_at_pressure),
         gr_samples=cat_replicas(res.gr_samples),
         zprofile_samples=cat_replicas(res.zprofile_samples),
+        sk_samples=cat_replicas(res.sk_samples),
     )
 
 
