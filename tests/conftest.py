@@ -79,6 +79,7 @@ QUICK_EXCLUDE = {
     "test_kernel_per_chain_walls_bitwise_vs_uniform",
     "test_zsorted_per_chain_walls_bitwise_vs_uniform",
     "test_sharded_per_chain_walls_bitwise",
+    "test_zsorted_per_chain_walls_with_ladder_rows_bitwise",
 }
 
 

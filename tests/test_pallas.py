@@ -899,3 +899,35 @@ def test_sharded_per_chain_walls_bitwise():
                                           np.asarray(ref.r))
             np.testing.assert_array_equal(np.asarray(out.energy[sl]),
                                           np.asarray(ref.energy))
+
+
+def test_zsorted_per_chain_walls_with_ladder_rows_bitwise():
+    """The production disorder-LADDER path on TPU: per_chain_w AND the
+    per-chain (A, T) ladder rows in ONE kernel call. Group tables with a
+    shared per-chain (A, T) layout must reproduce the uniform-wall
+    kernel per chain group, bitwise — pins the combined in_specs/args
+    wiring that every kernel ladder at N>=1024 with --wall-realizations
+    auto-selects."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
+    from tpu_smc.system import build_wall_ensemble
+
+    state, _ = _dense_state(128)
+    w_k, _, _ = build_wall_ensemble(CFG, 2)
+    w_pc = jnp.asarray(np.repeat(w_k, 64, axis=0), CFG.jnp_dtype)
+    # a 2-level ladder INSIDE each wall group (realization = replica
+    # blocks of the slot layout): identical (A, T) rows across runs
+    t_c = jnp.asarray(np.tile(np.repeat([1.0, 1.2], 32), 2), jnp.float32)
+    a_c = CFG.gamma * t_c
+    kw = dict(seed=17, c_tile=128, row_block_rows=8, sweeps_per_sort=2,
+              a_per_chain=a_c, t_per_chain=t_c)
+    with pltpu.force_tpu_interpret_mode():
+        mixed, _ = ensemble_sweeps_zsorted(state, w_pc, CFG, 0.0, 4, **kw)
+        for g in range(2):
+            uni, _ = ensemble_sweeps_zsorted(
+                state, jnp.asarray(w_k[g], CFG.jnp_dtype), CFG, 0.0, 4,
+                **kw)
+            sl = slice(g * 64, (g + 1) * 64)
+            np.testing.assert_array_equal(np.asarray(mixed.r[sl]),
+                                          np.asarray(uni.r[sl]))
+            np.testing.assert_array_equal(np.asarray(mixed.energy[sl]),
+                                          np.asarray(uni.energy[sl]))

@@ -40,11 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "srand(42), SMC.c:477; any other value draws a fresh "
                         "realization from the same site distribution)")
     p.add_argument("--wall-realizations", type=int, default=1, metavar="K",
-                   help="quenched wall-disorder ensemble: --chains split "
-                        "into K groups, group k simulating wall seed S+k in "
-                        "ONE compiled program; per-realization and "
-                        "disorder-averaged results (K must divide --chains; "
-                        "xla engine)")
+                   help="quenched wall-disorder ensemble: --chains (or "
+                        "--chains-per-t in ladder mode) split into K "
+                        "groups, group k simulating wall seed S+k in ONE "
+                        "compiled program; per-realization and "
+                        "disorder-averaged results (K must divide the "
+                        "chain count; every engine)")
     p.add_argument("--gamma", type=float, default=None,
                    help="A = gamma*T (main.c:51; default 1.0, or the bulk "
                         "variant's A=4e-8 equivalent under --bulk)")
@@ -361,6 +362,12 @@ def main(argv=None) -> int:
 
     if args.reweight and not args.temperatures:
         print("Note: --reweight needs the --temperatures ladder; ignored.")
+    if args.sk_kmax and not (args.temperatures and args.reweight):
+        # don't silently pay the per-gather S(k) sampling for output
+        # nothing will consume
+        print("Note: --sk-kmax needs --temperatures AND --reweight; "
+              "ignored.")
+        args.sk_kmax = 0
 
     if args.temperatures:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv
@@ -552,9 +559,8 @@ def main(argv=None) -> int:
                 # one MBAR solve per wall realization (mixing
                 # realizations in a level would violate MBAR's
                 # same-Hamiltonian assumption), quenched-averaged
-                from .reweight import reweight_disorder_ladder
-
-                from .reweight import write_reweight_disorder_csv
+                from .reweight import (reweight_disorder_ladder,
+                                       write_reweight_disorder_csv)
 
                 rw, rw_parts = reweight_disorder_ladder(res, cfg, rw_grid,
                                                         wall_k)
