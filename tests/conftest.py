@@ -51,6 +51,7 @@ def pytest_configure(config):
 QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
+    "test_umbrella",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -80,6 +81,10 @@ QUICK_EXCLUDE = {
     "test_zsorted_per_chain_walls_bitwise_vs_uniform",
     "test_sharded_per_chain_walls_bitwise",
     "test_zsorted_per_chain_walls_with_ladder_rows_bitwise",
+    # umbrella end-to-ends (full driver / statistical, 30-150 s):
+    "test_strong_spring_localizes_only_the_tag",
+    "test_umbrella_matches_direct_histogram_in_overlap",
+    "test_parse_centers_and_cli",
 }
 
 

@@ -879,6 +879,28 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Umbrella-sampling PMF (umbrella.write_umbrella_csv): the MBAR-
+    # unbiased F(z) with its replica-bootstrap band
+    upf = run.run_dir / f"umbrella_pmf_{run.key}.csv"
+    if upf.exists():
+        rows = np.atleast_2d(np.genfromtxt(
+            upf, delimiter=",", skip_header=1, comments="#"))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(rows[:, 0], rows[:, 1], lw=1.2, color="tab:purple")
+            if rows.shape[1] > 2 and np.isfinite(rows[:, 2]).any():
+                ax.fill_between(rows[:, 0], rows[:, 1] - rows[:, 2],
+                                rows[:, 1] + rows[:, 2],
+                                color="tab:purple", alpha=0.2, lw=0)
+            ax.set_xlabel("z")
+            ax.set_ylabel("F(z) / T-units")
+            fig.suptitle(f"umbrella PMF {run.key}")
+            fig.tight_layout()
+            p = out / f"umbrella_pmf_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Per-realization MBAR curves from wall-disorder ladders
     # (reweight.write_reweight_disorder_csv): E(T) and f(T) per quenched
     # wall, the spread behind the combined curve's error bars

@@ -121,6 +121,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "on short blocks; production holds the tuned A "
                         "fixed). The reference's A = gamma*T lands at "
                         "~0.97; 0.5-0.7 decorrelates faster")
+    p.add_argument("--umbrella", default=None, metavar="Z0MIN:Z0MAX:K",
+                   help="umbrella-sampling mode: K harmonic windows "
+                        "restraining a tagged particle's z at centers "
+                        "spanning the range (inclusive linspace, or a "
+                        "comma list); all windows x replicas run in one "
+                        "compiled ensemble and MBAR stitches the biased "
+                        "histograms into the unbiased adsorption PMF "
+                        "F(z) (umbrella_pmf_*.csv) — resolves barriers "
+                        "where the equilibrium density vanishes")
+    p.add_argument("--umbrella-spring", type=float, default=4.0,
+                   metavar="K", help="harmonic bias spring constant")
+    p.add_argument("--umbrella-tag", type=int, default=0, metavar="I",
+                   help="index of the restrained particle")
+    p.add_argument("--umbrella-replicas", type=int, default=4,
+                   metavar="R", help="independent chains per window")
+    p.add_argument("--umbrella-bins", type=int, default=48, metavar="B",
+                   help="z bins of the unbiased PMF grid")
     p.add_argument("--reweight", default=None, metavar="TMIN:TMAX:NUM",
                    help="with --temperatures: MBAR-reweight the ladder's "
                         "energy samples onto this temperature grid "
@@ -368,6 +385,51 @@ def main(argv=None) -> int:
         print("Note: --sk-kmax needs --temperatures AND --reweight; "
               "ignored.")
         args.sk_kmax = 0
+
+    if args.umbrella:
+        from .umbrella import (parse_centers, simulate_umbrella,
+                               umbrella_pmf, write_umbrella_csv)
+
+        if args.temperatures:
+            sys.exit("--umbrella and --temperatures are separate run "
+                     "modes")
+        if args.bulk:
+            sys.exit("--umbrella needs the confined geometry (walls)")
+        if nproc > 1:
+            sys.exit("--umbrella is single-process (scale with "
+                     "--umbrella-replicas)")
+        if wall_k > 1:
+            sys.exit("--umbrella does not combine with "
+                     "--wall-realizations yet")
+        centers = parse_centers(args.umbrella)
+        print(f"Umbrella sampling: {len(centers)} windows x "
+              f"{args.umbrella_replicas} replicas, spring "
+              f"{args.umbrella_spring}, tagged particle "
+              f"{args.umbrella_tag} (one compiled ensemble)")
+        r0 = smcio.load_last_state(d, cfg)
+        if r0 is None:
+            r0 = fcc_lattice(cfg)
+        lstate, ures = simulate_umbrella(
+            cfg, params, centers, key,
+            k_spring=args.umbrella_spring, tag=args.umbrella_tag,
+            replicas=args.umbrella_replicas, r0=r0, w=w_np)
+        ures = umbrella_pmf(ures, n_bins=args.umbrella_bins, seed=seed)
+        print("\n###  Umbrella windows  ###")
+        print("z0        f_window   acceptance")
+        for i, z0 in enumerate(ures.centers):
+            print(f"{z0:8.3f}  {ures.window_f[i]:9.4f}   "
+                  f"{ures.acceptance[i]:0.4f}")
+        path = write_umbrella_csv(d, cfg, ures)
+        fin = np.isfinite(ures.pmf)
+        print(f"\nPMF resolved over {fin.sum()}/{len(fin)} bins "
+              f"(z in [{ures.z_grid[fin].min():0.2f}, "
+              f"{ures.z_grid[fin].max():0.2f}]); barrier "
+              f"{np.nanmax(ures.pmf):0.3f} T-units")
+        print(f"Written to {path}")
+        if args.checkpoint:
+            ck = smcio.save_checkpoint(args.checkpoint, lstate, cfg)
+            print(f"Full ensemble state checkpointed to {ck}")
+        return 0
 
     if args.temperatures:
         from .tsweep import simulate_temperature_sweep, write_tsweep_csv

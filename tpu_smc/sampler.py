@@ -68,6 +68,7 @@ def sweep(
     a: float | jax.Array,
     offset: jax.Array | None = None,
     temperature: float | jax.Array | None = None,
+    umbrella: tuple | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One SMC sweep over all N particles (oneParticleMoves, SMC.c:278-351).
 
@@ -86,12 +87,28 @@ def sweep(
     ensembles in one compiled program (tsweep.py) — the reference would
     need one recompiled binary per T.
 
+    `umbrella` = (tag, k_spring, z0): harmonic umbrella bias
+    b(z) = k/2 (z_tag - z0)^2 on the TAGGED particle's z (umbrella.py).
+    `tag` is a static int; `k_spring`/`z0` may be traced (per-chain
+    window centers under vmap). The bias enters ONLY the Metropolis
+    acceptance — the force-biased proposal is unchanged, so the move is
+    still an exact Metropolis-Hastings step for the biased target
+    exp(-(U + b)/T) (the proposal log-ratio terms are what they always
+    were). The carried `energy` stays the PHYSICAL U: the common
+    exp(-beta U) factor cancels sample-wise in the umbrella MBAR, which
+    therefore needs only b_k(z_m).
+
     Returns (r, energy, key, n_accepted).
     """
     dtype = cfg.jnp_dtype
     t = jnp.asarray(
         cfg.temperature if temperature is None else temperature, dtype)
     a = jnp.asarray(a, dtype)
+    if umbrella is not None:
+        u_tag, u_k, u_z0 = umbrella
+        u_tag = int(u_tag)
+        u_k = jnp.asarray(u_k, dtype)
+        u_z0 = jnp.asarray(u_z0, dtype)
 
     key, k_noise, k_unif, k_off = jax.random.split(key, 4)
     # 3N Gaussians with sigma = sqrt(2A) (SMC.c:284)
@@ -140,6 +157,11 @@ def sweep(
         df = fn - fm
         dw = (jnp.sum(df * df) + 2.0 * jnp.sum(df * fm)) * a / (4.0 * t)
         log_ap = -(un - um + 0.5 * jnp.sum(delta * (fn + fm)) + dw) / t
+        if umbrella is not None:
+            # harmonic window bias on the tagged particle's z: exact MH
+            # correction -(b(z') - b(z))/T on its moves only
+            db = 0.5 * u_k * ((rp[2] - u_z0) ** 2 - (ri[2] - u_z0) ** 2)
+            log_ap = log_ap - jnp.where(i == u_tag, db, 0.0) / t
 
         # Metropolis test: u < ap  <=>  log(u) < log_ap; the exp form
         # matches the reference (SMC.c:329-335) and never overflows since
@@ -165,10 +187,12 @@ def sweep_state(
     a: float | jax.Array,
     offset: jax.Array | None = None,
     temperature: float | jax.Array | None = None,
+    umbrella: tuple | None = None,
 ) -> Tuple[ChainState, SweepStats]:
     """One sweep expressed on the ChainState pytree."""
     r, e, key, acc = sweep(state.r, state.energy, state.key, w, cfg, a,
-                           offset=offset, temperature=temperature)
+                           offset=offset, temperature=temperature,
+                           umbrella=umbrella)
     new = state._replace(
         r=r,
         energy=e,
