@@ -87,9 +87,7 @@ def test_umbrella_matches_direct_histogram_in_overlap():
     """A short biased run vs the direct -T ln rho(z_tag) histogram from
     an UNBIASED ensemble of the same system: the PMFs must agree within
     a loose statistical budget in the well-sampled overlap region."""
-    from tpu_smc.ensemble import ensemble_sweeps
     from tpu_smc.reweight import pmf_from_profile
-    from tpu_smc.state import batch_chain_state
 
     cfg = SMCConfig(n=4, box_l=10.0, box_lz=16.0, dtype="float32")
     params = RunParams(eqsteps=200, maxsteps=600, numdata=300)
@@ -99,16 +97,12 @@ def test_umbrella_matches_direct_histogram_in_overlap():
         replicas=8)
     res = umbrella_pmf(res, n_bins=24, z_range=(-7.0, 7.0), n_boot=0)
 
-    seed_state, w = init_chain_state(cfg, jax.random.key(5))
-    st = batch_chain_state(seed_state, 64)
-    st, _ = ensemble_sweeps(st, w, cfg, cfg.proposal_a, 200,
-                            stream_seed=9)
-    zs = []
-    for _ in range(60):
-        st, _ = ensemble_sweeps(st, w, cfg, cfg.proposal_a, 5,
-                                stream_seed=9)
-        zs.append(np.asarray(st.r[:, 1, 2]))
-    hist, edges = np.histogram(np.concatenate(zs),
+    # unbiased reference through the SAME jitted driver: one window at
+    # zero spring is exactly the plain sampler (bitwise identity above)
+    _, flat = simulate_umbrella(
+        cfg, RunParams(200, 300, 150), [0.0],
+        jax.random.key(5), k_spring=0.0, tag=1, replicas=64)
+    hist, edges = np.histogram(flat.z_samples.reshape(-1),
                                bins=24, range=(-7.0, 7.0))
     direct, _ = pmf_from_profile([cfg.temperature],
                                  hist[None, :].astype(np.float64))
