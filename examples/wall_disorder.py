@@ -49,11 +49,11 @@ state = batch_chain_state(seed_state, chains)
 w = jnp.asarray(np.repeat(w_k, PER_K, axis=0), cfg.jnp_dtype)
 
 # realizations start at different wall energies: recompute E0 per chain
-from tpu_smc.observables import wall_obs_chains
-from tpu_smc.potentials import total_energy
+from tpu_smc.state import per_chain_wall_energy
 
-state = state._replace(energy=jax.jit(lambda r: wall_obs_chains(
-    lambda ri, wc: total_energy(ri, wc, cfg), r, w, cfg.n))(state.r))
+state = state._replace(
+    energy=per_chain_wall_energy(state.r, w, cfg).astype(
+        state.energy.dtype))
 
 state, agg = simulate_ensemble(
     cfg, params, state, w,

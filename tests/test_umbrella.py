@@ -145,15 +145,14 @@ def test_parse_centers_and_cli(tmp_path, capsys):
     win_rows = [l for l in lines if l.startswith("# ") and "," in l]
     assert len(win_rows) == 5 + 1   # header + 5 windows
 
-    # the PMF panel renders (standard artifacts dropped beside it first)
-    rc2 = main(["10", "40", "4", "1.10", "--n", "12", "--seed", "7",
-                "--platform", "cpu", "--data-dir", str(tmp_path)])
-    assert rc2 == 0
-    capsys.readouterr()
+    # the PMF panel renders on the PURE umbrella run dir (load_run
+    # treats the standard trace/local artifacts as optional)
     from tpu_smc.analysis import load_run, render_all
 
     written = render_all(load_run(run), tmp_path / "plots")
     assert any(p.name.startswith("umbrella_pmf_") for p in written)
+    assert any(p.name.startswith("wall_") for p in written)
+    assert not any(p.name.startswith("traces_") for p in written)
 
     # guards
     with pytest.raises(SystemExit):

@@ -72,26 +72,37 @@ def load_run(run_dir: str | Path, rank: int = 0) -> RunData:
         suffix = f"_rank{rank}" if ranked else ""
         return run_dir / f"{stem}_{key}{suffix}.csv"
 
+    # The standard-run artifacts are OPTIONAL: ladder (--temperatures)
+    # and umbrella (--umbrella) run dirs carry their own CSVs instead,
+    # and render_all skips the panels whose data is absent.
     pos_rows = []
-    with open(rd("positions")) as f:
-        next(f)
-        for line in f:
-            vals = [float(v) for v in line.strip().split(",") if v]
-            if len(vals) == 3 * n:
-                pos_rows.append(vals)
+    if rd("positions").exists():
+        with open(rd("positions")) as f:
+            next(f)
+            for line in f:
+                vals = [float(v) for v in line.strip().split(",") if v]
+                if len(vals) == 3 * n:
+                    pos_rows.append(vals)
     positions = np.asarray(pos_rows).reshape(-1, n, 3)
 
-    data = np.genfromtxt(rd("data"), delimiter=",", skip_header=1)
-    data = np.atleast_2d(data)
+    data = (np.atleast_2d(np.genfromtxt(rd("data"), delimiter=",",
+                                        skip_header=1))
+            if rd("data").exists() else np.zeros((0, 3)))
 
-    local_raw = np.genfromtxt(rd("local"), delimiter=",", skip_header=1)
-    ncx = int(local_raw[:, 0].max()) + 1
-    ncz = int(local_raw[:, 2].max()) + 1
-    local = np.zeros((ncx, ncx, ncz, 2))
-    i, j, k = (local_raw[:, 0].astype(int), local_raw[:, 1].astype(int),
-               local_raw[:, 2].astype(int))
-    local[i, j, k, 0] = local_raw[:, 3]
-    local[i, j, k, 1] = local_raw[:, 4]
+    if rd("local").exists():
+        local_raw = np.genfromtxt(rd("local"), delimiter=",",
+                                  skip_header=1)
+        ncx = int(local_raw[:, 0].max()) + 1
+        ncz = int(local_raw[:, 2].max()) + 1
+        local = np.zeros((ncx, ncx, ncz, 2))
+        i, j, k = (local_raw[:, 0].astype(int),
+                   local_raw[:, 1].astype(int),
+                   local_raw[:, 2].astype(int))
+        local[i, j, k, 0] = local_raw[:, 3]
+        local[i, j, k, 1] = local_raw[:, 4]
+    else:
+        ncx = ncz = 1
+        local = np.zeros((1, 1, 1, 2))
 
     acf_path = rd("autocorrelation")
     acf = (np.genfromtxt(acf_path, skip_header=1)
@@ -555,46 +566,53 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     out.mkdir(parents=True, exist_ok=True)
     written = []
 
-    bands = z_band_maps(run)
-    freqs, spec = spectrum(run)
-    acf2 = acf_check(run)
+    # ladder/umbrella run dirs carry no standard trace/local artifacts
+    # (load_run loads them as empty) — skip those panels, render theirs
+    has_trace = run.energy.size > 0
+    has_local = run.local.size > 2   # the empty placeholder is (1,1,1,2)
+    bands = z_band_maps(run) if has_local else {}
+    freqs, spec = spectrum(run) if has_trace else (np.zeros(1),
+                                                   np.zeros(1))
+    acf2 = acf_check(run) if has_trace else np.zeros(0)
 
     if not HAVE_MPL:  # pragma: no cover
         p = out / f"analysis_{run.key}.npz"
-        np.savez(p, density_bands=bands["density"],
-                 mobility_bands=bands["mobility"], freqs=freqs,
-                 spectrum=spec, acf_recomputed=acf2)
+        np.savez(p, density_bands=bands.get("density", np.zeros(0)),
+                 mobility_bands=bands.get("mobility", np.zeros(0)),
+                 freqs=freqs, spectrum=spec, acf_recomputed=acf2)
         return [p]
 
     # E / P / acceptance traces (plotting.jl:247-264)
-    fig, axes = plt.subplots(3, 1, figsize=(9, 8), sharex=True)
-    for ax, (series, label) in zip(axes, (
-        (run.energy, "E"), (run.pressure, "P"), (run.accepted, "accepted"),
-    )):
-        ax.plot(series, lw=0.6)
-        ax.set_ylabel(label)
-    axes[-1].set_xlabel("gather")
-    fig.suptitle(f"traces {run.key}")
-    p = out / f"traces_{run.key}.png"
-    fig.savefig(p, dpi=120)
-    plt.close(fig)
-    written.append(p)
+    if has_trace:
+        fig, axes = plt.subplots(3, 1, figsize=(9, 8), sharex=True)
+        for ax, (series, label) in zip(axes, (
+            (run.energy, "E"), (run.pressure, "P"),
+            (run.accepted, "accepted"),
+        )):
+            ax.plot(series, lw=0.6)
+            ax.set_ylabel(label)
+        axes[-1].set_xlabel("gather")
+        fig.suptitle(f"traces {run.key}")
+        p = out / f"traces_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
 
-    # ACF + spectrum (plotting.jl:58-87)
-    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
-    if run.acf.size:
-        a1.plot(run.acf[:400], label="stored (reference recipe)")
-    a1.plot(acf2, label="recomputed (Wiener-Khinchin)", ls="--")
-    a1.set_xlabel("lag")
-    a1.set_ylabel("ACF")
-    a1.legend()
-    a2.loglog(freqs[1:], spec[1:], lw=0.6)
-    a2.set_xlabel("frequency")
-    a2.set_ylabel("|E(f)|^2")
-    p = out / f"acf_{run.key}.png"
-    fig.savefig(p, dpi=120)
-    plt.close(fig)
-    written.append(p)
+        # ACF + spectrum (plotting.jl:58-87)
+        fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+        if run.acf.size:
+            a1.plot(run.acf[:400], label="stored (reference recipe)")
+        a1.plot(acf2, label="recomputed (Wiener-Khinchin)", ls="--")
+        a1.set_xlabel("lag")
+        a1.set_ylabel("ACF")
+        a1.legend()
+        a2.loglog(freqs[1:], spec[1:], lw=0.6)
+        a2.set_xlabel("frequency")
+        a2.set_ylabel("|E(f)|^2")
+        p = out / f"acf_{run.key}.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
 
     # density / mobility z-band contour grids (plotting.jl:123-201)
     for name, maps in bands.items():

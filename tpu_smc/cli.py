@@ -401,6 +401,15 @@ def main(argv=None) -> int:
         if wall_k > 1:
             sys.exit("--umbrella does not combine with "
                      "--wall-realizations yet")
+        if args.resume:
+            sys.exit("--umbrella does not support --resume yet (rerun "
+                     "the windows; they rethermalize inside their own "
+                     "restraints)")
+        if args.target_acceptance:
+            sys.exit("--umbrella does not support --target-acceptance")
+        if args.chains > 1:
+            sys.exit("--umbrella sizes its own ensemble "
+                     "(windows x --umbrella-replicas); drop --chains")
         centers = parse_centers(args.umbrella)
         print(f"Umbrella sampling: {len(centers)} windows x "
               f"{args.umbrella_replicas} replicas, spring "
@@ -905,14 +914,11 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         # realizations start at different wall energies — recompute E0
         # per chain with its own table (batch_chain_state broadcast the
         # seed chain's single-table energy)
-        from .observables import wall_obs_chains
-        from .potentials import total_energy
+        from .state import per_chain_wall_energy
 
         assert w.shape[0] == c, (w.shape, c)
-        state = state._replace(energy=jax.jit(
-            lambda r: wall_obs_chains(
-                lambda ri, wc: total_energy(ri, wc, cfg), r, w, cfg.n)
-        )(state.r).astype(state.energy.dtype))
+        state = state._replace(energy=per_chain_wall_energy(
+            state.r, w, cfg).astype(state.energy.dtype))
 
     pos_writers = [smcio.PositionsWriter(d, cfg, rank=rank0 + ci)
                    for ci in range(c)]

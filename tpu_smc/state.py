@@ -71,6 +71,23 @@ def init_chain_state(
     return state, w
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames="cfg")
+def per_chain_wall_energy(r: jax.Array, w: jax.Array,
+                          cfg: SMCConfig) -> jax.Array:
+    """Per-chain total energy with per-chain wall tables [C, M*M, 2]
+    (quenched disorder: chains of different realizations start at
+    different wall energies — every driver recomputes E0 through this
+    one helper). HBM-bounded like all O(N^2) observables."""
+    from .observables import wall_obs_chains
+    from .potentials import total_energy
+
+    return wall_obs_chains(lambda ri, wc: total_energy(ri, wc, cfg),
+                           r, w, cfg.n)
+
+
 def batch_chain_state(state: ChainState, n_chains: int,
                       chain_offset: int = 0) -> ChainState:
     """Broadcast a single-chain state to [C, ...] with per-chain keys

@@ -57,16 +57,8 @@ class TSweepResults(NamedTuple):
     sk_samples: np.ndarray | None = None
 
 
-@partial(jax.jit, static_argnames="cfg")
-def _per_chain_energy(r, w, cfg):
-    """Per-chain total energy with per-chain wall tables (disorder
-    ladders start chains of different realizations at different wall
-    energies)."""
-    from .observables import wall_obs_chains
-    from .potentials import total_energy
-
-    return wall_obs_chains(lambda ri, wc: total_energy(ri, wc, cfg),
-                           r, w, cfg.n)
+# canonical per-chain-wall E0 recompute (shared by cli/pt/dryrun)
+from .state import per_chain_wall_energy as _per_chain_energy
 
 
 def _multi_t_sweeps(state, w, cfg, temps_c, a_scale, n_sweeps,
@@ -328,8 +320,11 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
         zp = (jax.vmap(
             lambda ri: z_density_profile(ri, cfg, nbins=z_bins)[1])(r)
             if z_bins else None)
-        sk = (jax.vmap(
-            lambda ri: structure_factor(ri, cfg, n_kmax=sk_kmax)[1])(r)
+        # HBM-bounded like gr: the phase matrix materializes [N, nk]
+        # per chain (~14 GB whole-ensemble at N=16k x 512 x nk=144)
+        sk = (vmap_chains_bounded(
+            lambda ri: structure_factor(ri, cfg, n_kmax=sk_kmax)[1],
+            r, cfg.n)
             if sk_kmax else None)
         return gr, zp, sk
 
