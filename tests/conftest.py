@@ -85,6 +85,7 @@ QUICK_EXCLUDE = {
     "test_strong_spring_localizes_only_the_tag",
     "test_umbrella_matches_direct_histogram_in_overlap",
     "test_parse_centers_and_cli",
+    "test_reus_run_swaps_and_matches_plain_pmf",
     # keep the quick subset under 3 min:
     "test_per_chain_walls_bitwise_vs_separate_runs",   # 10 s
     "test_wall_seed_single_chain",                     # 8 s

@@ -118,6 +118,67 @@ def test_umbrella_matches_direct_histogram_in_overlap():
     assert np.abs((a - a[r0]) - (b - b[r0])).max() < 1.5
 
 
+def test_reus_exchange_step_slot_semantics():
+    """Window exchange: bias stays with the slot, configuration (r, E,
+    rbin) travels; a swap between windows i and j never changes the
+    PHYSICAL energy; forced swaps (identical z) accept with probability
+    one; disjoint windows with huge bias gaps reject."""
+    import jax.numpy as jnp
+
+    from tpu_smc.state import batch_chain_state, init_chain_state
+    from tpu_smc.umbrella import exchange_windows_step
+
+    cfg = SMCConfig(n=8, box_l=10.0, box_lz=30.0, dtype="float32")
+    st0, w = init_chain_state(cfg, jax.random.key(6))
+    st = batch_chain_state(st0, 6)     # 3 windows x 2 replicas
+    centers = jnp.asarray([-5.0, 0.0, 5.0], jnp.float32)
+    # all slots hold the same configuration -> delta = 0 -> accept all
+    new, acc, att = exchange_windows_step(
+        st, centers, 10.0, 0, 1.0 / cfg.temperature, 2,
+        jax.random.key(0), 0)
+    assert int(att.sum()) > 0
+    assert int(acc[0]) == int(att[0])  # identical z: log P = 0, accept
+    np.testing.assert_array_equal(np.asarray(new.energy),
+                                  np.asarray(st.energy))
+
+    # localized configurations + strong springs: swapping costs
+    # k*|dz0|*|dz| >> T -> every attempt rejected
+    z_slot = jnp.asarray(np.repeat([-5.0, 0.0, 5.0], 2), jnp.float32)
+    st2 = st._replace(r=st.r.at[:, 0, 2].set(z_slot))
+    _, acc2, att2 = exchange_windows_step(
+        st2, centers, 50.0, 0, 1.0 / cfg.temperature, 2,
+        jax.random.key(1), 0)
+    assert int(att2.sum()) > 0 and int(acc2.sum()) == 0
+
+
+def test_reus_run_swaps_and_matches_plain_pmf():
+    """A REUS run reports nonzero swap acceptance for overlapping
+    windows, and its MBAR PMF agrees with the no-exchange run's in the
+    covered range (the estimator is attribution-based, so exchanges must
+    not shift the answer)."""
+    cfg = SMCConfig(n=8, box_l=10.0, box_lz=24.0, dtype="float32")
+    params = RunParams(eqsteps=150, maxsteps=450, numdata=150)
+    centers = np.linspace(-8.0, 8.0, 9)
+    _, plain = simulate_umbrella(
+        cfg, params, centers, jax.random.key(7), k_spring=1.0, tag=0,
+        replicas=6)
+    _, reus = simulate_umbrella(
+        cfg, params, centers, jax.random.key(7), k_spring=1.0, tag=0,
+        replicas=6, exchange_interval=3)
+    assert reus.swap_acceptance is not None
+    assert reus.exchange_interval == 3
+    assert reus.swap_acceptance.mean() > 0.05   # overlapping windows swap
+
+    rng = (-9.0, 9.0)
+    p1 = umbrella_pmf(plain, n_bins=18, z_range=rng, n_boot=0)
+    p2 = umbrella_pmf(reus, n_bins=18, z_range=rng, n_boot=0)
+    both = np.isfinite(p1.pmf) & np.isfinite(p2.pmf)
+    assert both.sum() >= 10
+    a, b = p1.pmf[both], p2.pmf[both]
+    r0 = np.argmin(a)
+    assert np.abs((a - a[r0]) - (b - b[r0])).max() < 1.0
+
+
 def test_parse_centers_and_cli(tmp_path, capsys):
     assert len(parse_centers("-5:5:6")) == 6
     assert list(parse_centers("1.0,2.5")) == [1.0, 2.5]
@@ -129,11 +190,13 @@ def test_parse_centers_and_cli(tmp_path, capsys):
     rc = main(["40", "120", "40", "1.10", "--n", "12",
                "--umbrella=-8:8:5", "--umbrella-replicas", "3",
                "--umbrella-spring", "6.0", "--umbrella-tag", "2",
-               "--umbrella-bins", "20", "--seed", "7",
+               "--umbrella-bins", "20", "--umbrella-exchange", "5",
+               "--seed", "7",
                "--platform", "cpu", "--data-dir", str(tmp_path)])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Umbrella sampling: 5 windows x 3 replicas" in out
+    assert "Window-exchange swap acceptance (REUS, every 5 sweeps)" in out
     assert "PMF resolved over" in out
     run = next(tmp_path.iterdir())
     pf = next(p for p in run.iterdir()

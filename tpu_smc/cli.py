@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="R", help="independent chains per window")
     p.add_argument("--umbrella-bins", type=int, default=48, metavar="B",
                    help="z bins of the unbiased PMF grid")
+    p.add_argument("--umbrella-exchange", type=int, default=None,
+                   metavar="K",
+                   help="replica exchange between adjacent windows every "
+                        "K sweeps (REUS): configurations percolate along "
+                        "the window ladder, decorrelating the restrained "
+                        "samples; per-pair swap acceptance reported")
     p.add_argument("--reweight", default=None, metavar="TMIN:TMAX:NUM",
                    help="with --temperatures: MBAR-reweight the ladder's "
                         "energy samples onto this temperature grid "
@@ -421,13 +427,21 @@ def main(argv=None) -> int:
         lstate, ures = simulate_umbrella(
             cfg, params, centers, key,
             k_spring=args.umbrella_spring, tag=args.umbrella_tag,
-            replicas=args.umbrella_replicas, r0=r0, w=w_np)
+            replicas=args.umbrella_replicas, r0=r0, w=w_np,
+            exchange_interval=args.umbrella_exchange)
         ures = umbrella_pmf(ures, n_bins=args.umbrella_bins, seed=seed)
         print("\n###  Umbrella windows  ###")
         print("z0        f_window   acceptance")
         for i, z0 in enumerate(ures.centers):
             print(f"{z0:8.3f}  {ures.window_f[i]:9.4f}   "
                   f"{ures.acceptance[i]:0.4f}")
+        if ures.swap_acceptance is not None:
+            print("\nWindow-exchange swap acceptance (REUS, every "
+                  f"{ures.exchange_interval} sweeps):")
+            for i in range(len(ures.swap_acceptance)):
+                print(f"  z0 {ures.centers[i]:0.2f} <-> "
+                      f"{ures.centers[i + 1]:0.2f}: "
+                      f"{ures.swap_acceptance[i]:0.3f}")
         path = write_umbrella_csv(d, cfg, ures)
         fin = np.isfinite(ures.pmf)
         print(f"\nPMF resolved over {fin.sum()}/{len(fin)} bins "

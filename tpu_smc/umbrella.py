@@ -59,6 +59,9 @@ class UmbrellaResults(NamedTuple):
     pmf: np.ndarray | None = None          # [B], min-shifted, NaN empty
     err_pmf: np.ndarray | None = None      # [B] replica-bootstrap SE
     window_f: np.ndarray | None = None     # [K] MBAR window free energies
+    # replica exchange between windows (REUS; None without it)
+    swap_acceptance: np.ndarray | None = None   # [K-1] per adjacent pair
+    exchange_interval: int | None = None
 
 
 def _umbrella_sweeps(state, w, cfg, z0_c, k_spring, tag, a, n_sweeps):
@@ -84,6 +87,87 @@ _umbrella_block = jax.jit(
     static_argnames=("cfg", "k_spring", "tag", "a", "n_sweeps"))
 
 
+def exchange_windows_step(state, centers_w, k_spring, tag, beta,
+                          replicas, key, parity):
+    """One replica-exchange attempt between ADJACENT umbrella windows
+    (REUS). Window-major [K, R] layout like pt.exchange_step's
+    temperature-major one; the bias belongs to the SLOT, configurations
+    travel. The physical U is unchanged by a swap, so the acceptance is
+    purely the bias cross-difference:
+
+        log P = -beta [ b_i(z_j) + b_j(z_i) - b_i(z_i) - b_j(z_j) ]
+              = -beta k (z0_j - z0_i)(z_j - z_i)
+              = +beta k (z0_i - z0_j)(z_j - z_i)
+
+    (the quadratic terms cancel; sanity: z_i near z0_j and z_j near
+    z0_i makes the swap favorable and log P > 0). Returns
+    (state, accepts, attempts) per adjacent pair, shape [K-1]."""
+    n_w = centers_w.shape[0]
+
+    def lvl(x):
+        return x.reshape((n_w, replicas) + x.shape[1:])
+
+    z = lvl(state.r[:, tag, 2])                      # [K, R]
+    idx = jnp.arange(n_w)
+    parity = jnp.asarray(parity, jnp.int32)
+    is_lo = ((idx % 2) == (parity % 2)) & (idx + 1 < n_w)
+    up = jnp.minimum(idx + 1, n_w - 1)
+    dz0 = (centers_w - centers_w[up])[:, None]       # z0_i - z0_j
+    delta = beta * k_spring * dz0 * (z[up] - z)      # [K, R]
+    u = jax.random.uniform(key, (n_w, replicas))
+    accept_lo = is_lo[:, None] & (jnp.log(u) < delta)
+
+    accept_from_below = jnp.pad(accept_lo, ((1, 0), (0, 0)))[:n_w]
+    partner = jnp.where(
+        accept_lo, idx[:, None] + 1,
+        jnp.where(accept_from_below, idx[:, None] - 1, idx[:, None]))
+
+    def swap_leaf(x):
+        xl = lvl(x)
+        p = partner.reshape((n_w, replicas) + (1,) * (xl.ndim - 2))
+        out = jnp.take_along_axis(xl, jnp.broadcast_to(p, xl.shape),
+                                  axis=0)
+        return out.reshape(x.shape)
+
+    new = state._replace(
+        r=swap_leaf(state.r),
+        energy=swap_leaf(state.energy),   # U unchanged by the swap
+        rbin=swap_leaf(state.rbin),
+    )
+    accepts = accept_lo.sum(axis=1)[:-1].astype(jnp.int32)
+    attempts = (is_lo.astype(jnp.int32) * replicas)[:-1]
+    return new, accepts, attempts
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_spring", "tag", "a",
+                                   "replicas", "interval", "n_cycles"))
+def _umbrella_reus_window(state, w, cfg, z0_c, centers_w, k_spring, tag,
+                          a, replicas, interval, n_cycles, cycle0):
+    """n_cycles x (interval biased sweeps + one window exchange), fully
+    on device; z sampled once per cycle (the REUS gather cadence).
+    Exchange keys/parity fold the ABSOLUTE cycle counter — chunk-
+    invariant like pt._pt_block."""
+    beta = 1.0 / cfg.temperature
+
+    def cycle(carry, k):
+        st, nacc, natt = carry
+        st = _umbrella_sweeps(st, w, cfg, z0_c, k_spring, tag, a,
+                              interval)
+        abs_k = cycle0 + k
+        ekey = jax.random.fold_in(
+            jax.random.fold_in(st.key[0], 0xB1A5), abs_k)
+        st, acc, att = exchange_windows_step(
+            st, centers_w, k_spring, tag, beta, replicas, ekey,
+            abs_k % 2)
+        return (st, nacc + acc, natt + att), st.r[:, tag, 2]
+
+    n_w = centers_w.shape[0]
+    zeros = jnp.zeros((max(n_w - 1, 0),), jnp.int32)
+    (state, acc, att), z_tr = jax.lax.scan(
+        cycle, (state, zeros, zeros), jnp.arange(n_cycles))
+    return state, acc, att, z_tr
+
+
 @partial(jax.jit, static_argnames=("cfg", "k_spring", "tag", "a",
                                    "lapse", "n_gathers"))
 def _umbrella_window(state, w, cfg, z0_c, k_spring, tag, a, lapse,
@@ -105,6 +189,7 @@ def simulate_umbrella(
     replicas: int = 4,
     r0: np.ndarray | None = None,
     w: np.ndarray | None = None,
+    exchange_interval: int | None = None,
 ) -> tuple[ChainState, UmbrellaResults]:
     """Run K umbrella windows x `replicas` chains each, all in one
     compiled ensemble (window-major layout like tsweep's temperature-
@@ -112,7 +197,13 @@ def simulate_umbrella(
     on, so each window equilibrates inside its own restraint.
 
     z samples are taken at the gather cadence (params.numdata rules,
-    like every other driver)."""
+    like every other driver).
+
+    exchange_interval: replica exchange between ADJACENT windows every
+    that many sweeps (REUS) — configurations percolate along the window
+    ladder, decorrelating each window's restrained samples; the bias
+    stays with the slot so the MBAR attribution is unchanged. The z
+    cadence then follows the exchange cycles (one sample per cycle)."""
     from .driver import therm_chunk
     from .ensemble import fetch
 
@@ -139,28 +230,56 @@ def simulate_umbrella(
         done += k
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
-    lapse = max(1, params.gather_lapse)
-    n_gathers = max(1, params.maxsteps // lapse)
-    # watchdog-safe: bound gathers per device call like the main driver
-    per_call = max(1, chunk // lapse)
-    z_rows = []
-    left = n_gathers
-    while left > 0:
-        g = min(left, per_call)
-        state, z_blk = _umbrella_window(
-            state, w_arr, cfg, z0_c, float(k_spring), int(tag),
-            float(cfg.proposal_a), lapse, g)
-        z_rows.append(fetch(z_blk))          # [g, C]
-        left -= g
-    z_all = np.concatenate(z_rows)           # [gathers, C]
+    swap_acc = None
+    if exchange_interval:
+        interval = max(1, int(exchange_interval))
+        cycles = max(1, params.maxsteps // interval)
+        per_call = max(1, chunk // interval)
+        centers_w = jnp.asarray(centers, cfg.jnp_dtype)
+        z_rows = []
+        acc_sw = np.zeros((max(n_w - 1, 0),), np.int64)
+        att_sw = np.zeros_like(acc_sw)
+        done_c = 0
+        while done_c < cycles:
+            g = min(cycles - done_c, per_call)
+            state, a_blk, t_blk, z_blk = _umbrella_reus_window(
+                state, w_arr, cfg, z0_c, centers_w, float(k_spring),
+                int(tag), float(cfg.proposal_a), replicas, interval, g,
+                jnp.int32(done_c))
+            z_rows.append(fetch(z_blk))
+            acc_sw += fetch(a_blk).astype(np.int64)
+            att_sw += fetch(t_blk).astype(np.int64)
+            done_c += g
+        z_all = np.concatenate(z_rows)
+        total_sweeps = cycles * interval
+        swap_acc = acc_sw / np.maximum(att_sw, 1)
+    else:
+        lapse = max(1, params.gather_lapse)
+        n_gathers = max(1, params.maxsteps // lapse)
+        # watchdog-safe: bound gathers per call like the main driver
+        per_call = max(1, chunk // lapse)
+        z_rows = []
+        left = n_gathers
+        while left > 0:
+            g = min(left, per_call)
+            state, z_blk = _umbrella_window(
+                state, w_arr, cfg, z0_c, float(k_spring), int(tag),
+                float(cfg.proposal_a), lapse, g)
+            z_rows.append(fetch(z_blk))          # [g, C]
+            left -= g
+        z_all = np.concatenate(z_rows)           # [gathers, C]
+        total_sweeps = n_gathers * lapse
     moves = fetch(state.accepted).astype(np.int64)
     acc = (moves.reshape(n_w, replicas).mean(axis=1)
-           / (n_gathers * lapse * cfg.n))
+           / (total_sweeps * cfg.n))
     return state, UmbrellaResults(
         centers=centers, k_spring=float(k_spring), tag=int(tag),
         temperature=float(cfg.temperature),
         z_samples=z_all.reshape(-1, n_w, replicas),
         acceptance=np.asarray(acc),
+        swap_acceptance=swap_acc,
+        exchange_interval=(int(exchange_interval)
+                           if exchange_interval else None),
     )
 
 
