@@ -21,7 +21,8 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 RUN_ARGS = ["20", "60", "12", "1.10", "--chains", "8", "--seed", "7",
-            "--platform", "cpu", "--gr-bins", "16", "--z-bins", "16"]
+            "--platform", "cpu", "--gr-bins", "16", "--z-bins", "16",
+            "--widom", "4", "--widom-bins", "8"]
 
 
 def _free_port() -> int:
@@ -118,6 +119,17 @@ def test_pooled_profiles_match(runs):
                           delimiter=",", skip_header=1)
         np.testing.assert_allclose(s, m, rtol=1e-6, atol=1e-9,
                                    err_msg=f"{stem} differs")
+
+
+def test_pooled_widom_bitwise_matches_single_process(runs):
+    """Insertion streams fold the chain's key (GLOBAL chain indices) with
+    the ABSOLUTE gather index, and the pooled-du allgather restores
+    global chain order — so the rank-0 widom CSV is bitwise the
+    single-process one (estimator bootstrap included, fixed seed)."""
+    single, multi, _ = runs
+    s = next(single.glob("widom_*.csv")).read_text()
+    m = next(multi.glob("widom_*.csv")).read_text()
+    assert s == m
 
 
 def test_coordinator_rejects_bad_usage(tmp_path):

@@ -897,6 +897,39 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         plt.close(fig)
         written.append(p)
 
+    # Widom mu_ex(z) profile (io.write_widom_csv): the z-resolved excess
+    # chemical potential with its chain-bootstrap band; the skipped bins
+    # (no insertions landed / zero mean weight) are nan and left blank
+    wfile = _ranked("widom")
+    if wfile.exists():
+        rows = np.atleast_2d(np.genfromtxt(
+            wfile, delimiter=",", skip_header=2))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(6, 4))
+            m = np.isfinite(rows[:, 1])
+            ax.plot(rows[m, 0], rows[m, 1], lw=1.2, color="tab:green")
+            if rows.shape[1] > 2 and np.isfinite(rows[m, 2]).any():
+                ax.fill_between(rows[m, 0], rows[m, 1] - rows[m, 2],
+                                rows[m, 1] + rows[m, 2],
+                                color="tab:green", alpha=0.2, lw=0)
+            # the volume-averaged scalar rides the header comment line
+            try:
+                head = wfile.read_text().splitlines()[0]
+                mu_g = float(head.split(",")[1])
+                ax.axhline(mu_g, color="gray", lw=0.6, ls=":",
+                           label=f"volume avg {mu_g:0.4f}")
+                ax.legend(fontsize=8)
+            except (ValueError, IndexError):
+                pass
+            ax.set_xlabel("z")
+            ax.set_ylabel("mu_ex(z)")
+            fig.suptitle(f"Widom excess chemical potential {run.key}")
+            fig.tight_layout()
+            p = out / f"widom_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Umbrella-sampling PMF (umbrella.write_umbrella_csv): the MBAR-
     # unbiased F(z) with its replica-bootstrap band
     upf = run.run_dir / f"umbrella_pmf_{run.key}.csv"

@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent chains (replaces MPI ranks)")
     p.add_argument("--gr-bins", type=int, default=0, help="accumulate g(r)")
     p.add_argument("--z-bins", type=int, default=0, help="accumulate z profile")
+    p.add_argument("--widom", type=int, default=0, metavar="K",
+                   help="Widom test-particle insertion: K ghost insertions "
+                        "per chain per gather. Prints the excess chemical "
+                        "potential mu_ex and writes widom_*.csv with the "
+                        "z-resolved profile mu_ex(z). Trajectories are "
+                        "unaffected (the ghosts never enter the chain).")
+    p.add_argument("--widom-bins", type=int, default=64, metavar="B",
+                   help="z bins for the mu_ex(z) profile (default 64)")
     p.add_argument("--sk-kmax", type=int, default=0, metavar="K",
                    help="with --temperatures + --reweight: sample the "
                         "in-plane structure factor S(k) up to the (K, K) "
@@ -806,6 +814,7 @@ def main(argv=None) -> int:
         gr_bins=args.gr_bins, z_bins=args.z_bins,
         collect_sweep_trace=not args.no_trace,
         proposal_a=tuned_a,
+        widom_k=args.widom,
     )
     state, res = simulate(cfg, params, state, w, opts=opts,
                           on_window=on_window, acf_mode=args.acf_mode,
@@ -840,12 +849,29 @@ def main(argv=None) -> int:
         centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
         smcio.write_profile_csv(d, cfg, "zprofile", centers, res.zprofile,
                                 "z, density")
+    if res.widom_du is not None:
+        _report_widom(d, cfg, res.widom_du, res.widom_z, args.widom_bins)
 
     if args.checkpoint:
         ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
         print(f"Full chain state checkpointed to {ck_path}")
 
     return 0
+
+
+def _report_widom(d, cfg, du, z, nbins, rank: int = 0):
+    """Print the scalar mu_ex and write the widom_*.csv profile."""
+    from . import io as smcio
+    from . import widom as _widom
+
+    mu, merr = _widom.mu_ex(du, cfg.temperature)
+    print(f"Widom excess chemical potential: mu_ex = {mu:f} ± {merr:f} "
+          f"({du.size} insertions, volume-averaged)")
+    centers, muz, ez, cnts = _widom.mu_ex_profile(
+        du, z, cfg.temperature, cfg, nbins=nbins)
+    pth = smcio.write_widom_csv(d, cfg, centers, muz, ez, cnts, mu, merr,
+                                rank=rank)
+    print(f"mu_ex(z) profile written to {pth}")
 
 
 def _install_signal_stop():
@@ -996,6 +1022,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         collect_sweep_trace=not args.no_trace,
         sampler=sampler,
         stream_seed=stream,
+        widom_k=args.widom,
     )
     if getattr(args, "target_acceptance", None):
         import dataclasses
@@ -1028,6 +1055,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     pooled_chains = agg.chains
     g_gr, g_zp = agg.gr, agg.zprofile
     g_grc, g_zpc = agg.gr_chains, agg.zprofile_chains
+    g_wdu, g_wz = agg.widom_du, agg.widom_z
     mean_e, std_e = agg.mean_energy, agg.std_energy
     mean_p, std_p = agg.mean_pressure, agg.std_pressure
     acc_mean = agg.acceptance_ratio
@@ -1078,6 +1106,23 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
             g_grc = allgather_chain_axis(g_grc)      # [C_total, bins]
         if g_zpc is not None:
             g_zpc = allgather_chain_axis(g_zpc)
+        if g_wdu is not None:
+            # pool the raw insertion samples over the chain axis so the
+            # rank-0 bootstrap sees every process's chains. Agree on the
+            # gather count first (a graceful stop can leave ranks at
+            # different windows; unequal shapes would wedge the
+            # collective — same hazard as the trace pooling above).
+            sg = int(allgather_chain_axis(
+                np.asarray([[len(g_wdu)]], np.int64)).min())
+            if sg > 0:
+                g_wdu = np.moveaxis(
+                    allgather_chain_axis(np.moveaxis(g_wdu[:sg], 1, 0)),
+                    0, 1)
+                g_wz = np.moveaxis(
+                    allgather_chain_axis(np.moveaxis(g_wz[:sg], 1, 0)),
+                    0, 1)
+            else:
+                g_wdu = g_wz = None
 
     print(f"\n\nAggregate throughput: {sps:,.0f} sweeps/s "
           f"across {c * nproc} chains"
@@ -1135,6 +1180,8 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
             centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
             smcio.write_profile_csv(d, cfg, "zprofile", centers, g_zp,
                                     "z, density")
+        if g_wdu is not None:
+            _report_widom(d, cfg, g_wdu, g_wz, args.widom_bins)
         smcio.write_ensemble_data_csv(d, cfg, pooled_chains,
                                       params.gather_lapse)
         smcio.write_info_csv(d, cfg, params, agg.chains[0])

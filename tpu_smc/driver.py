@@ -143,6 +143,11 @@ class GatherOut(NamedTuple):
     l3: jax.Array             # [7] num3 histogram
     gr: jax.Array             # [gr_bins] g(r) accumulator contribution
     zprof: jax.Array          # [z_bins] z-density contribution
+    # Widom ghost-insertion samples ([widom_k] dU / z per gather; empty
+    # arrays when disabled). None defaults keep import free of any
+    # backend-touching array creation; the gather steps always fill them.
+    widom_du: jax.Array | None = None
+    widom_z: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -170,6 +175,11 @@ class ObservableOptions:
     # across processes — required for multi-process (--coordinator) runs
     # to be bitwise identical to the single-process ensemble.
     stream_seed: int | None = None
+    # Widom ghost insertions per chain per gather (0 disables). The
+    # insertion stream folds the chain's CURRENT key with the absolute
+    # gather index — trajectories are untouched (the key is read, never
+    # replaced) and the samples are window-split invariant.
+    widom_k: int = 0
 
 
 def _gather_step(
@@ -244,7 +254,18 @@ def _gather_step(
         e_tr = jnp.zeros((0,), dtype)
         a_tr = jnp.zeros((0,), jnp.int32)
 
-    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp)
+    if opts.widom_k:
+        from .widom import widom_delta_u
+
+        wdu, wz = widom_delta_u(
+            state.r, w, cfg,
+            jax.random.fold_in(state.key, gather_index), opts.widom_k,
+        )
+    else:
+        wdu = jnp.zeros((0,), dtype)
+        wz = jnp.zeros((0,), dtype)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz)
 
 
 @partial(
@@ -297,6 +318,11 @@ class SimResults(NamedTuple):
     zprofile: Optional[np.ndarray]
     therm_acceptance: float
     sweeps_per_second: float
+    # Widom ghost-insertion samples, [gathers, 1, widom_k] (the singleton
+    # is the chain axis the widom.py estimators bootstrap over); None
+    # unless opts.widom_k was set.
+    widom_du: Optional[np.ndarray] = None
+    widom_z: Optional[np.ndarray] = None
 
 
 def simulate(
@@ -474,6 +500,10 @@ def simulate(
 
     gr = cat("gr").reshape(gather_steps, -1).mean(axis=0) if opts.gr_bins else None
     zp = cat("zprof").reshape(gather_steps, -1).mean(axis=0) if opts.z_bins else None
+    wdu = (cat("widom_du").reshape(gather_steps, 1, opts.widom_k)
+           if opts.widom_k else None)
+    wz = (cat("widom_z").reshape(gather_steps, 1, opts.widom_k)
+          if opts.widom_k else None)
 
     results = SimResults(
         mean_energy=me,
@@ -499,5 +529,7 @@ def simulate(
         zprofile=zp,
         therm_acceptance=therm_acc,
         sweeps_per_second=sps,
+        widom_du=wdu,
+        widom_z=wz,
     )
     return state, results

@@ -177,7 +177,25 @@ def _gather_step_batched(
         e_tr = jnp.zeros((0, c), dtype)
         a_tr = jnp.zeros((0, c), jnp.int32)
 
-    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp)
+    if opts.widom_k:
+        from .widom import widom_delta_u
+
+        keys = jax.vmap(
+            lambda kc: jax.random.fold_in(kc, gather_index)
+        )(state.key)
+        if w.ndim == 3:  # quenched per-chain wall tables [C, M*M, 2]
+            wdu, wz = jax.vmap(
+                lambda r, kc, wc: widom_delta_u(r, wc, cfg, kc, opts.widom_k)
+            )(state.r, keys, w)
+        else:
+            wdu, wz = jax.vmap(
+                lambda r, kc: widom_delta_u(r, w, cfg, kc, opts.widom_k)
+            )(state.r, keys)
+    else:
+        wdu = jnp.zeros((c, 0), dtype)
+        wz = jnp.zeros((c, 0), dtype)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gather_lapse", "n_gathers",
@@ -215,6 +233,10 @@ class EnsembleResults(NamedTuple):
     # lets wall-disorder runs resolve structure per realization
     gr_chains: np.ndarray | None = None
     zprofile_chains: np.ndarray | None = None
+    # Widom ghost samples [gathers, chains, widom_k] (None unless
+    # opts.widom_k): feed widom.mu_ex / mu_ex_profile directly.
+    widom_du: np.ndarray | None = None
+    widom_z: np.ndarray | None = None
 
 
 def simulate_ensemble(
@@ -486,6 +508,10 @@ def simulate_ensemble(
         z_all = cat("zprof").reshape(-1, n_chains, opts.z_bins)
         zp = z_all.mean(axis=(0, 1))
         zp_c = z_all.mean(axis=0)
+    wdu = (cat("widom_du").reshape(-1, n_chains, opts.widom_k)
+           if opts.widom_k else None)
+    wz = (cat("widom_z").reshape(-1, n_chains, opts.widom_k)
+          if opts.widom_k else None)
 
     agg = EnsembleResults(
         chains=per_chain,
@@ -500,5 +526,7 @@ def simulate_ensemble(
         sweeps_per_second=sps,
         gr_chains=gr_c,
         zprofile_chains=zp_c,
+        widom_du=wdu,
+        widom_z=wz,
     )
     return state, agg

@@ -250,6 +250,23 @@ def write_profile_csv(
     return p
 
 
+def write_widom_csv(
+    d: Path, cfg: SMCConfig, centers: np.ndarray, mu: np.ndarray,
+    err: np.ndarray, counts: np.ndarray, mu_global: float,
+    err_global: float, rank: int = 0,
+) -> Path:
+    """Widom mu_ex(z) profile + the volume-averaged scalar in the header
+    (free-energy layer; no reference counterpart)."""
+    p = _fname(d, "widom", cfg, rank)
+    with open(p, "w") as f:
+        f.write(f"# mu_ex_global, {mu_global:0.9f}, {err_global:0.9f}\n")
+        f.write("z, mu_ex, err, insertions\n")
+        for zc, m, e, n in zip(np.asarray(centers), np.asarray(mu),
+                               np.asarray(err), np.asarray(counts)):
+            f.write(f"{zc:0.6f}, {m:0.9f}, {e:0.9f}, {int(n)}\n")
+    return p
+
+
 def write_info_csv(
     d: Path, cfg: SMCConfig, params: RunParams, results, gamma: float | None = None
 ) -> Path:
