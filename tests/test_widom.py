@@ -214,3 +214,75 @@ def test_activity_identity_across_z():
     med = np.median(act)
     assert med > 0
     assert np.all(np.abs(act / med - 1.0) < 0.15), act / med
+
+
+# ----------------------------------------------------------------------
+# Ladder composition: paired Widom samples + MBAR mu_ex(T)
+# ----------------------------------------------------------------------
+
+def test_ladder_collects_paired_widom_samples():
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = SMCConfig.bulk(n=32, temperature=1.0, rho=0.1, dtype="float32")
+    temps = [0.9, 1.1]
+    state, res = simulate_temperature_sweep(
+        cfg, RunParams(eqsteps=10, maxsteps=40, numdata=10), temps,
+        jax.random.key(0), chains_per_t=4, widom_k=8)
+    assert res.widom_samples is not None
+    b, n_t, cpt, k = res.widom_samples.shape
+    assert (n_t, cpt, k) == (2, 4, 8)
+    assert b == res.energy_at_pressure.shape[0]  # paired boundaries
+    assert np.isfinite(res.widom_samples).mean() > 0.9
+
+
+def test_pt_collects_paired_widom_samples():
+    from tpu_smc.pt import simulate_parallel_tempering
+
+    cfg = SMCConfig.bulk(n=32, temperature=1.0, rho=0.1, dtype="float32")
+    state, res = simulate_parallel_tempering(
+        cfg, RunParams(eqsteps=10, maxsteps=60, numdata=10),
+        [0.9, 1.1, 1.3], jax.random.key(1), chains_per_t=4,
+        exchange_interval=10, widom_k=4)
+    ts = res.tsweep
+    assert ts.widom_samples is not None
+    assert ts.widom_samples.shape[1:] == (3, 4, 4)
+    assert ts.widom_samples.shape[0] == ts.energy_at_pressure.shape[0]
+
+
+@pytest.mark.slow
+def test_reweighted_mu_ex_matches_direct_simulation():
+    """mu_ex(T') from the MBAR-reweighted ladder (config weights AND
+    insertion factors re-evaluated at beta') agrees with a direct
+    simulation at T' — the free-energy surface is consistent with the
+    sampler it came from."""
+    from tpu_smc.reweight import reweight_from_ladder
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    rho, t_mid = 0.1, 1.0
+    cfg = SMCConfig.bulk(n=32, temperature=t_mid, rho=rho,
+                         dtype="float32")
+    temps = [0.85, 1.0, 1.15]   # t_mid ON a level would be too easy;
+    # reweight from the BRACKETING levels only
+    state, res = simulate_temperature_sweep(
+        cfg, RunParams(eqsteps=150, maxsteps=900, numdata=150), temps,
+        jax.random.key(3), chains_per_t=8, widom_k=64)
+    rw = reweight_from_ladder(res, cfg, np.asarray([t_mid]),
+                              n_boot=32, seed=0)
+    assert rw.mu_ex is not None and rw.err_mu_ex is not None
+    mu_rw, err_rw = float(rw.mu_ex[0]), float(rw.err_mu_ex[0])
+
+    # direct run at t_mid
+    cfg_d = SMCConfig.bulk(n=32, temperature=t_mid, rho=rho,
+                           dtype="float32")
+    st, w = init_ensemble_state(cfg_d, jax.random.key(9), n_chains=8)
+    opts = ObservableOptions(pressure=False, clusters=False,
+                             collect_sweep_trace=False, widom_k=64)
+    st, dres = simulate_ensemble(
+        cfg_d, RunParams(eqsteps=150, maxsteps=900, numdata=150),
+        st, w, opts=opts, max_fault_retries=0)
+    mu_d, err_d = widom.mu_ex(dres.widom_du, t_mid)
+
+    tol = 4.0 * np.hypot(err_rw, err_d) + 0.05 * abs(mu_d)
+    assert abs(mu_rw - mu_d) < tol, (mu_rw, err_rw, mu_d, err_d)
+    # the signal is real: mu_ex is strongly nonzero at this density
+    assert mu_d < -0.5

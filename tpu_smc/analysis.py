@@ -787,7 +787,8 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             rw = np.atleast_2d(
                 np.genfromtxt(rw_file, delimiter=",", skip_header=1))
         has_p = rw is not None and "P" in rw_cols
-        n_panels = 4 if has_p else 3
+        has_mu = rw is not None and "mu_ex" in rw_cols
+        n_panels = 3 + int(has_p) + int(has_mu)
         fig, axes = plt.subplots(1, n_panels,
                                  figsize=(4 * n_panels, 3.4))
         if rw is not None:
@@ -818,16 +819,30 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         axes[2].plot(data[:, 0], data[:, 3], marker="o", ms=3, lw=1)
         axes[2].set_xlabel("T")
         axes[2].set_ylabel("acceptance")
+        nax = 3
         if has_p:
             # MBAR equation-of-state panel (reweight.py paired samples)
             pv = rw[:, rw_cols["P"]]
-            axes[3].plot(rw[:, 0], pv, lw=1, color="C1")
+            axes[nax].plot(rw[:, 0], pv, lw=1, color="C1")
             if "P_err" in rw_cols:
                 pe = rw[:, rw_cols["P_err"]]
-                axes[3].fill_between(rw[:, 0], pv - pe, pv + pe,
-                                     color="C1", alpha=0.25, lw=0)
-            axes[3].set_xlabel("T")
-            axes[3].set_ylabel("P")
+                axes[nax].fill_between(rw[:, 0], pv - pe, pv + pe,
+                                       color="C1", alpha=0.25, lw=0)
+            axes[nax].set_xlabel("T")
+            axes[nax].set_ylabel("P")
+            nax += 1
+        if has_mu:
+            # Widom mu_ex(T) via MBAR (reweight.py + widom.py): the
+            # insertion factor re-evaluated at each target beta
+            mv = rw[:, rw_cols["mu_ex"]]
+            axes[nax].plot(rw[:, 0], mv, lw=1, color="tab:green")
+            if "mu_ex_err" in rw_cols:
+                me = rw[:, rw_cols["mu_ex_err"]]
+                axes[nax].fill_between(rw[:, 0], mv - me, mv + me,
+                                       color="tab:green", alpha=0.25,
+                                       lw=0)
+            axes[nax].set_xlabel("T")
+            axes[nax].set_ylabel("mu_ex")
         fig.suptitle(f"temperature sweep {run.key}")
         fig.tight_layout()
         p = out / f"tsweep_{run.key}.png"

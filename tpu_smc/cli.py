@@ -578,7 +578,7 @@ def main(argv=None) -> int:
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins,
-                sk_kmax=args.sk_kmax)
+                sk_kmax=args.sk_kmax, widom_k=args.widom)
             if nproc > 1 and not global_ladder:
                 from .pt import pool_pt_across_processes
 
@@ -609,7 +609,7 @@ def main(argv=None) -> int:
                 w=w_ladder, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins,
-                sk_kmax=args.sk_kmax)
+                sk_kmax=args.sk_kmax, widom_k=args.widom)
             if nproc > 1 and not global_ladder:
                 # pooled replica axis: every process gets the full-R
                 # statistics (reweighting below then sees P x samples)
@@ -642,6 +642,13 @@ def main(argv=None) -> int:
             print(f"{t:0.3f}  {res.mean_energy[i]:10.4f}  "
                   f"{res.err_energy[i]:8.4f}  {res.acceptance[i]:0.4f}  "
                   f"{res.cv[i]:8.4f}")
+        if args.widom and res.widom_samples is not None:
+            from .widom import mu_ex as _mu_ex_est
+
+            print("\n###  Widom mu_ex per level  ###")
+            for i, t in enumerate(res.temps):
+                mu_l, me_l = _mu_ex_est(res.widom_samples[:, i], float(t))
+                print(f"T {t:0.3f}: mu_ex = {mu_l:f} ± {me_l:f}")
         if proc_id == 0:
             print(f"\nWritten to {path}")
         # reweighting is pure post-processing: rank 0 only
@@ -670,13 +677,17 @@ def main(argv=None) -> int:
                       "iterations, 16 bootstrap draws)  ###")
             rw_path = write_reweight_csv(d, cfg, rw)
             has_p = rw.pressure is not None
+            has_mu = rw.mu_ex is not None
             print("T        E_mean     +-err       cv   "
-                  + ("      P      " if has_p else "") + "   ESS       f")
+                  + ("      P      " if has_p else "")
+                  + ("    mu_ex    " if has_mu else "")
+                  + "   ESS       f")
             for i, t in enumerate(rw.temps):
                 pcol = f"{rw.pressure[i]:12.6g} " if has_p else ""
+                mcol = f"{rw.mu_ex[i]:12.6g} " if has_mu else ""
                 print(f"{t:0.3f}  {rw.mean_energy[i]:10.4f}  "
                       f"{rw.err_energy[i]:8.4f}  "
-                      f"{rw.cv[i]:8.4f} {pcol} {rw.ess[i]:8.1f}  "
+                      f"{rw.cv[i]:8.4f} {pcol}{mcol} {rw.ess[i]:8.1f}  "
                       f"{rw.free_energy[i]:8.4f}")
             print(f"\nWritten to {rw_path}")
             # Reweighted density FIELDS on the continuous T grid —

@@ -220,6 +220,7 @@ def simulate_parallel_tempering(
     gr_bins: int = 0,
     z_bins: int = 0,
     sk_kmax: int = 0,
+    widom_k: int = 0,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps ("auto": measure the swap acceptance on a short
@@ -320,27 +321,34 @@ def simulate_parallel_tempering(
         moves = np.zeros((c,), np.int64)
         samples = []
         p_samples, e_at_p = [], []
-        gr_s, zp_s, sk_s = [], [], []
+        gr_s, zp_s, sk_s, wd_s = [], [], [], []
         press_fn = _pressure_fn(cfg) if collect else None
-        fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax)
-                     if collect and (gr_bins or z_bins or sk_kmax)
+        fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
+                                widom_k=widom_k)
+                     if collect and (gr_bins or z_bins or sk_kmax
+                                     or widom_k)
                      else None)
+        n_harvest = 0
 
         def harvest(st):
-            nonlocal moves
+            nonlocal moves, n_harvest
             moves += fetch(st.accepted).astype(np.int64)
             if collect:
                 # paired (P, E) sample at the call boundary (reweight.py)
                 p_samples.append(fetch(press_fn(st.r, w_arr)))
                 e_at_p.append(fetch(st.energy))
                 if fields_fn is not None:
-                    gr_b, zp_b, sk_b = fields_fn(st.r)
+                    gr_b, zp_b, sk_b, wd_b = fields_fn(
+                        st.r, st.key, jnp.int32(n_harvest), w_arr)
+                    n_harvest += 1
                     if gr_b is not None:
                         gr_s.append(fetch(gr_b))
                     if zp_b is not None:
                         zp_s.append(fetch(zp_b))
                     if sk_b is not None:
                         sk_s.append(fetch(sk_b))
+                    if wd_b is not None:
+                        wd_s.append(fetch(wd_b))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -388,7 +396,8 @@ def simulate_parallel_tempering(
                 acc += fetch(a_blk).astype(np.int64)
                 att += fetch(t_blk).astype(np.int64)
         return (state, acc, att, samples, moves,
-                (p_samples, e_at_p, gr_s, zp_s, sk_s), cycle0 + cycles)
+                (p_samples, e_at_p, gr_s, zp_s, sk_s, wd_s),
+                cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
     # speed equilibration) but are not counted.
@@ -411,7 +420,7 @@ def simulate_parallel_tempering(
 
     lapse = max(1, params.gather_lapse)
     state, acc, att, samples, prod_moves, \
-        (p_s, e_p, gr_s, zp_s, sk_s), _ = \
+        (p_s, e_p, gr_s, zp_s, sk_s, wd_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
                   lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
@@ -443,7 +452,10 @@ def simulate_parallel_tempering(
                           if zp_s else None),
         sk_samples=(np.stack(sk_s).reshape(
             -1, n_t, chains_per_t, np.shape(sk_s[-1])[-1])
-            if sk_s else None))
+            if sk_s else None),
+        widom_samples=(np.stack(wd_s).reshape(-1, n_t, chains_per_t,
+                                              widom_k)
+                       if wd_s else None))
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

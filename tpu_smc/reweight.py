@@ -72,6 +72,12 @@ class ReweightResults(NamedTuple):
     # in-plane structure factor S(k; T) on the shell grid (sk_kmax > 0)
     sk: np.ndarray | None = None           # [G, shells]
     err_sk: np.ndarray | None = None       # [G, shells]
+    # Widom excess chemical potential mu_ex(T) from paired ghost
+    # energies (widom_k > 0): the insertion Boltzmann factor is
+    # re-evaluated at each target beta', so the curve is exact MBAR,
+    # not an interpolation (widom.mu_ex_reweighted)
+    mu_ex: np.ndarray | None = None        # [G]
+    err_mu_ex: np.ndarray | None = None    # [G]
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -313,9 +319,11 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     gr_s = getattr(ts, "gr_samples", None)
     zp_s = getattr(ts, "zprofile_samples", None)
     sk_s = getattr(ts, "sk_samples", None)
+    wd_s = getattr(ts, "widom_samples", None)
     have_gr = gr_s is not None and e_p is not None and gr_s.size > 0
     have_zp = zp_s is not None and e_p is not None and zp_s.size > 0
     have_sk = sk_s is not None and e_p is not None and sk_s.size > 0
+    have_wd = wd_s is not None and e_p is not None and wd_s.size > 0
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
     ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
 
@@ -340,6 +348,12 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
         if have_sk:
             out = out._replace(sk=reweight_paired_field(
                 split(e_p, idx), split(sk_s, idx), ts.temps, t_grid))
+        if have_wd:
+            from .widom import mu_ex_reweighted
+
+            mus, _ = mu_ex_reweighted(
+                split(wd_s, idx), split(e_p, idx), ts.temps, t_grid)
+            out = out._replace(mu_ex=mus)
         return out
 
     out = estimate()
@@ -362,6 +376,8 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                       if have_zp else None),
         err_sk=(np.std([d.sk for d in draws], axis=0)
                 if have_sk else None),
+        err_mu_ex=(np.std([d.mu_ex for d in draws], axis=0)
+                   if have_wd else None),
     )
 
 
@@ -382,6 +398,7 @@ def subset_ladder_replicas(res, sl):
         gr_samples=cut(ts.gr_samples),
         zprofile_samples=cut(ts.zprofile_samples),
         sk_samples=cut(ts.sk_samples),
+        widom_samples=cut(ts.widom_samples),
     )
 
 
@@ -526,6 +543,10 @@ def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):
         cols.append(("P", res.pressure, "0.9f"))
         if res.err_pressure is not None:
             cols.append(("P_err", res.err_pressure, "0.9f"))
+    if res.mu_ex is not None:
+        cols.append(("mu_ex", res.mu_ex, "0.9f"))
+        if res.err_mu_ex is not None:
+            cols.append(("mu_ex_err", res.err_mu_ex, "0.9f"))
     cols += [("ess", res.ess, "0.1f"), ("f", res.free_energy, "0.9f")]
     with open(p, "w") as f:
         f.write(", ".join(name for name, _, _ in cols) + "\n")

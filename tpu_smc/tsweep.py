@@ -55,6 +55,12 @@ class TSweepResults(NamedTuple):
     # paired in-plane structure-factor samples [B, T, chains_per_t,
     # shells] (sk_kmax > 0) -> continuous S(k; T) via MBAR
     sk_samples: np.ndarray | None = None
+    # paired Widom ghost energies [B, T, chains_per_t, widom_k]
+    # (widom_k > 0): both the configuration weight AND the insertion
+    # factor reweight exactly to any T' (widom.mu_ex_reweighted), giving
+    # a continuous mu_ex(T) — free-energy machinery with no reference
+    # analog
+    widom_samples: np.ndarray | None = None
 
 
 # canonical per-chain-wall E0 recompute (shared by cli/pt/dryrun)
@@ -160,6 +166,7 @@ def simulate_temperature_sweep(
     gr_bins: int = 0,
     z_bins: int = 0,
     sk_kmax: int = 0,
+    widom_k: int = 0,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
@@ -240,10 +247,11 @@ def simulate_temperature_sweep(
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
     p_samples, e_at_p = [], []
-    gr_s, zp_s, sk_s = [], [], []
+    gr_s, zp_s, sk_s, wd_s = [], [], [], []
     press_fn = _pressure_fn(cfg)
-    fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax)
-                 if (gr_bins or z_bins or sk_kmax) else None)
+    fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
+                            widom_k=widom_k)
+                 if (gr_bins or z_bins or sk_kmax or widom_k) else None)
     prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
@@ -257,13 +265,16 @@ def simulate_temperature_sweep(
         p_samples.append(fetch(press_fn(state.r, w_arr)))
         e_at_p.append(fetch(state.energy))
         if fields_fn is not None:
-            gr_b, zp_b, sk_b = fields_fn(state.r)
+            gr_b, zp_b, sk_b, wd_b = fields_fn(
+                state.r, state.key, jnp.int32(done), w_arr)
             if gr_b is not None:
                 gr_s.append(fetch(gr_b))
             if zp_b is not None:
                 zp_s.append(fetch(zp_b))
             if sk_b is not None:
                 sk_s.append(fetch(sk_b))
+            if wd_b is not None:
+                wd_s.append(fetch(wd_b))
         prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -292,6 +303,8 @@ def simulate_temperature_sweep(
                           if zp_s else None),
         sk_samples=(np.stack(sk_s).reshape(*shape_f, np.shape(sk_s[-1])[-1])
                     if sk_s else None),
+        widom_samples=(np.stack(wd_s).reshape(*shape_f, widom_k)
+                       if wd_s else None),
     )
 
 
@@ -300,17 +313,24 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
-               sk_kmax: int = 0):
+               sk_kmax: int = 0, widom_k: int = 0):
     """Jitted per-chain field sampler: per-configuration g(r) / rho(z)
-    histograms and/or the in-plane structure factor S(k) for
-    paired-sample reweighting (reweight.py). Returns fn(r) ->
-    (gr [C, gr_bins] | None, zp [C, z_bins] | None,
-     sk [C, shells] | None)."""
+    histograms, the in-plane structure factor S(k), and/or Widom ghost
+    energies for paired-sample reweighting (reweight.py). Returns
+    fn(r, key, idx, w) -> (gr [C, gr_bins] | None, zp [C, z_bins] | None,
+     sk [C, shells] | None, wdu [C, widom_k] | None).
+
+    `key`/`idx`: per-chain keys and the call-boundary counter seeding
+    the insertion stream (read-only fold — trajectories untouched, and
+    a key an engine left stale still yields fresh draws per boundary).
+    `w`: wall table for the ghost wall term ([M*M, 2] shared or
+    [C, M*M, 2] quenched per-chain) — a traced ARGUMENT, not part of
+    this builder's lru_cache key (arrays don't hash)."""
     from .observables import (radial_distribution, structure_factor,
                               z_density_profile)
 
     @jax.jit
-    def fn(r):
+    def fn(r, key, idx, w):
         from .observables import vmap_chains_bounded
 
         gr = (vmap_chains_bounded(
@@ -326,7 +346,21 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
             lambda ri: structure_factor(ri, cfg, n_kmax=sk_kmax)[1],
             r, cfg.n)
             if sk_kmax else None)
-        return gr, zp, sk
+        wdu = None
+        if widom_k:
+            from .widom import widom_delta_u
+
+            keys = jax.vmap(
+                lambda kc: jax.random.fold_in(kc, idx))(key)
+            if w.ndim == 3:
+                wdu = jax.vmap(
+                    lambda ri, kc, wc: widom_delta_u(
+                        ri, wc, cfg, kc, widom_k)[0])(r, keys, w)
+            else:
+                wdu = jax.vmap(
+                    lambda ri, kc: widom_delta_u(
+                        ri, w, cfg, kc, widom_k)[0])(r, keys)
+        return gr, zp, sk, wdu
 
     return fn
 
@@ -383,6 +417,7 @@ def pool_tsweep_across_processes(res: TSweepResults,
         gr_samples=cat_replicas(res.gr_samples),
         zprofile_samples=cat_replicas(res.zprofile_samples),
         sk_samples=cat_replicas(res.sk_samples),
+        widom_samples=cat_replicas(res.widom_samples),
     )
 
 
