@@ -51,7 +51,7 @@ def pytest_configure(config):
 QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
-    "test_umbrella",
+    "test_umbrella", "test_widom",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -90,6 +90,14 @@ QUICK_EXCLUDE = {
     "test_per_chain_walls_bitwise_vs_separate_runs",   # 10 s
     "test_wall_seed_single_chain",                     # 8 s
     "test_ladder_per_chain_walls_identical_rows_bitwise",  # 7 s
+    # widom statistical / full-driver end-to-ends (25-70 s each):
+    "test_dilute_bulk_matches_second_virial",
+    "test_activity_identity_across_z",
+    "test_reweighted_mu_ex_matches_direct_simulation",
+    "test_widom_sampling_leaves_trajectory_untouched",
+    "test_widom_window_split_invariance",
+    "test_ladder_collects_paired_widom_samples",
+    "test_pt_collects_paired_widom_samples",
 }
 
 

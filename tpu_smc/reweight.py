@@ -446,6 +446,7 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
     gr, gr_se = avg_se("gr")
     zp, zp_se = avg_se("zprofile")
     sk, sk_se = avg_se("sk")
+    mu, mu_se = avg_se("mu_ex")
     combined = ReweightResults(
         temps=parts[0].temps,
         mean_energy=e, cv=cv,
@@ -458,6 +459,7 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
         gr=gr, err_gr=gr_se,
         zprofile=zp, err_zprofile=zp_se,
         sk=sk, err_sk=sk_se,
+        mu_ex=mu, err_mu_ex=mu_se,
     )
     return combined, parts
 
@@ -471,8 +473,10 @@ def write_reweight_disorder_csv(d, cfg: SMCConfig, parts) -> "Path":
 
     p = _fname(d, "reweight_disorder", cfg)
     have_p = all(pt.pressure is not None for pt in parts)
+    have_mu = all(pt.mu_ex is not None for pt in parts)
     with open(p, "w") as f:
         f.write("k, T, E_mean, cv" + (", P" if have_p else "")
+                + (", mu_ex" if have_mu else "")
                 + ", ess, f\n")
         for k, pt in enumerate(parts):
             for g in range(len(pt.temps)):
@@ -480,6 +484,8 @@ def write_reweight_disorder_csv(d, cfg: SMCConfig, parts) -> "Path":
                        f"{pt.mean_energy[g]:0.9f}, {pt.cv[g]:0.9f}")
                 if have_p:
                     row += f", {pt.pressure[g]:0.9f}"
+                if have_mu:
+                    row += f", {pt.mu_ex[g]:0.9f}"
                 row += f", {pt.ess[g]:0.1f}, {pt.free_energy[g]:0.9f}"
                 f.write(row + "\n")
     return p
