@@ -51,7 +51,7 @@ def pytest_configure(config):
 QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
-    "test_umbrella", "test_widom",
+    "test_umbrella", "test_widom", "test_gcmc",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -98,6 +98,11 @@ QUICK_EXCLUDE = {
     "test_widom_window_split_invariance",
     "test_ladder_collects_paired_widom_samples",
     "test_pt_collects_paired_widom_samples",
+    # gcmc end-to-ends (compiled GC sweeps, 40-160 s each):
+    "test_gcmc_bookkeeping_and_counts",
+    "test_gcmc_dilute_matches_ideal_gas",
+    "test_widom_gcmc_closed_loop",
+    "test_gcmc_walls_smoke",
 }
 
 

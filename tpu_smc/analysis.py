@@ -945,6 +945,45 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Grand-canonical run (gcmc.write_gcmc_csv): N(t)/E(t) traces with
+    # the imposed mu and <N> from the header comment; plus the density
+    # profile when the run collected one
+    gcf = run.run_dir / f"gcmc_{run.key}.csv"
+    if gcf.exists():
+        rows = np.atleast_2d(np.genfromtxt(gcf, delimiter=",",
+                                           skip_header=2))
+        if rows.size:
+            zpf = _ranked("gcmc_zprofile")
+            n_panels = 3 if zpf.exists() else 2
+            fig, axes = plt.subplots(1, n_panels,
+                                     figsize=(4.2 * n_panels, 3.4))
+            axes[0].plot(rows[:, 0], rows[:, 1], lw=0.8)
+            try:
+                head = gcf.read_text().splitlines()[0].split(",")
+                mu_v, mean_n = float(head[1]), float(head[3])
+                axes[0].axhline(mean_n, color="gray", lw=0.6, ls=":",
+                                label=f"<N>={mean_n:0.2f} @ mu={mu_v:g}")
+                axes[0].legend(fontsize=8)
+            except (ValueError, IndexError):
+                pass
+            axes[0].set_xlabel("GC sweep")
+            axes[0].set_ylabel("N")
+            axes[1].plot(rows[:, 0], rows[:, 2], lw=0.8, color="C1")
+            axes[1].set_xlabel("GC sweep")
+            axes[1].set_ylabel("E")
+            if zpf.exists():
+                zp = np.atleast_2d(np.genfromtxt(zpf, delimiter=",",
+                                                 skip_header=1))
+                axes[2].plot(zp[:, 0], zp[:, 1], lw=1, color="C2")
+                axes[2].set_xlabel("z")
+                axes[2].set_ylabel("density")
+            fig.suptitle(f"grand-canonical {run.key}")
+            fig.tight_layout()
+            p = out / f"gcmc_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Umbrella-sampling PMF (umbrella.write_umbrella_csv): the MBAR-
     # unbiased F(z) with its replica-bootstrap band
     upf = run.run_dir / f"umbrella_pmf_{run.key}.csv"

@@ -67,6 +67,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "unaffected (the ghosts never enter the chain).")
     p.add_argument("--widom-bins", type=int, default=64, metavar="B",
                    help="z bins for the mu_ex(z) profile (default 64)")
+    p.add_argument("--gcmc", type=float, default=None, metavar="MU",
+                   help="grand-canonical mode: sample N at chemical "
+                        "potential MU (Lambda=1 reduced units — a Widom-"
+                        "measured mu = T ln rho + mu_ex plugs straight "
+                        "in). Prints <N>/density/acceptances and writes "
+                        "gcmc_*.csv; --z-bins adds the density profile. "
+                        "eqsteps/maxsteps count GC sweeps")
+    p.add_argument("--gcmc-cap", type=int, default=0, metavar="CAP",
+                   help="particle capacity (static shape; default 2x "
+                        "--n). Insertions reject at capacity — size it "
+                        "comfortably above the expected <N>")
+    p.add_argument("--gcmc-exchanges", type=int, default=None,
+                   metavar="K",
+                   help="insertion/deletion attempts per sweep "
+                        "(default cap//4)")
     p.add_argument("--sk-kmax", type=int, default=0, metavar="K",
                    help="with --temperatures + --reweight: sample the "
                         "in-plane structure factor S(k) up to the (K, K) "
@@ -399,6 +414,48 @@ def main(argv=None) -> int:
         print("Note: --sk-kmax needs --temperatures AND --reweight; "
               "ignored.")
         args.sk_kmax = 0
+
+    if args.gcmc is not None:
+        from .gcmc import box_volume, simulate_gcmc, write_gcmc_csv
+
+        if args.temperatures or args.umbrella:
+            sys.exit("--gcmc is its own run mode (no --temperatures/"
+                     "--umbrella)")
+        if nproc > 1:
+            sys.exit("--gcmc is single-process (scale with --chains)")
+        if wall_k > 1:
+            sys.exit("--gcmc does not combine with --wall-realizations "
+                     "yet")
+        if args.resume or args.target_acceptance:
+            sys.exit("--gcmc does not support --resume/"
+                     "--target-acceptance yet")
+        cap = args.gcmc_cap or 2 * cfg.n
+        print(f"Grand-canonical MC: mu = {args.gcmc:g}, capacity {cap}, "
+              f"{args.chains} chain(s), "
+              f"{args.gcmc_exchanges or max(1, cap // 4)} exchange "
+              f"attempts/sweep (V = {box_volume(cfg):g})")
+        gstate, gres = simulate_gcmc(
+            cfg, args.gcmc, cap, params.eqsteps, params.maxsteps, key,
+            n_chains=args.chains, n_exchange=args.gcmc_exchanges,
+            z_bins=args.z_bins)
+        print("\n###  Grand-canonical results  ###")
+        print(f"Mean N: {gres.mean_n:f} ± {gres.err_n:f} "
+              f"(density {gres.mean_density:g})")
+        print(f"Mean potential energy: {gres.mean_energy:f}")
+        print(f"Acceptance (displace/insert/delete): "
+              f"{gres.disp_acceptance:0.4f} / "
+              f"{gres.insert_acceptance:0.4f} / "
+              f"{gres.delete_acceptance:0.4f}")
+        path = write_gcmc_csv(d, cfg, args.gcmc, gres)
+        print(f"Written to {path}")
+        if gres.zprofile is not None and args.z_bins:
+            dz = cfg.box_lz / args.z_bins
+            centers = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)
+            zp = smcio.write_profile_csv(d, cfg, "gcmc_zprofile",
+                                         centers, gres.zprofile,
+                                         "z, density")
+            print(f"Density profile written to {zp}")
+        return 0
 
     if args.umbrella:
         from .umbrella import (parse_centers, simulate_umbrella,

@@ -1,0 +1,432 @@
+"""Grand-canonical Monte Carlo: adsorption isotherms from a chemical
+potential.
+
+Beyond-reference capability closing the loop the Widom layer opened
+(widom.py measures mu at fixed N; this samples N at fixed mu — together
+they give isotherms mu <-> coverage, the core question a wall-adsorption
+code exists to answer). The reference is strictly NVT (SMC.c).
+
+TPU-native design: XLA needs static shapes, so the particle count is a
+CAPACITY `cap` with an active mask — all pair physics is mask algebra
+on fixed [cap] arrays, insertions claim the first free slot, deletions
+clear one. Everything stays inside jit (`lax.fori_loop` over moves,
+fixed-shape scans over sweeps); chains vmap exactly like ensemble.py.
+
+Moves per GC sweep: one smart-MC displacement pass over the capacity
+(inactive slots are masked no-ops — same force-biased proposal and
+acceptance as sampler.sweep, SMC.c:278-351) followed by `n_exchange`
+insertion/deletion attempts with the standard textbook acceptances
+(Frenkel & Smit ch. 5; Lambda = 1 reduced units):
+
+    insert: min(1, z V / (N+1) * exp(-dU/T))
+    delete: min(1, N / (z V)   * exp(+dU/T)),      z = exp(mu/T)
+
+V is the full box volume L*L*Lz (insertion positions are uniform over
+it; identical convention to widom.widom_delta_u, so a Widom-measured
+mu = T ln rho + mu_ex feeds straight back in — tests/test_gcmc.py
+closes that loop numerically).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SMCConfig
+from .potentials import _min_image, wall_energy_force_single
+from .sampler import _wrap_proposal
+
+
+class GCMCState(NamedTuple):
+    """One grand-canonical chain (vmap for ensembles)."""
+
+    r: jax.Array        # [cap, 3] positions (parked slots hold stale data)
+    active: jax.Array   # [cap] bool
+    energy: jax.Array   # running potential energy of the ACTIVE set
+    key: jax.Array
+    sweeps: jax.Array       # int32
+    disp_acc: jax.Array     # int32 accepted displacement moves
+    disp_att: jax.Array     # int32 attempted (= active count per sweep)
+    ins_acc: jax.Array      # int32
+    ins_att: jax.Array
+    del_acc: jax.Array
+    del_att: jax.Array
+
+
+def _pair_masked(r, active, i, ri, cfg: SMCConfig):
+    """Energy of and force on a particle at `ri` from the ACTIVE set,
+    excluding slot i (pass i=-1 for a ghost). Mirrors
+    potentials.pair_energy_force_single with the mask extended by
+    `active` — parked slots can hold anything, including exact overlaps
+    (the mask is applied before 1/dr2, so no inf*0)."""
+    cap = r.shape[0]
+    d = ri[None, :] - r
+    dx = _min_image(d[:, 0], cfg.box_l)
+    dy = _min_image(d[:, 1], cfg.box_l)
+    dz = _min_image(d[:, 2], cfg.box_lz) if cfg.pbc_z else d[:, 2]
+    d = jnp.stack([dx, dy, dz], axis=-1)
+    dr2 = jnp.sum(d * d, axis=-1)
+    mask = active & (jnp.arange(cap) != i) & (dr2 < cfg.cutoff2)
+    safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
+    inv2 = 1.0 / safe
+    inv6 = inv2 * inv2 * inv2
+    inv12 = inv6 * inv6
+    u = 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0))
+    dv = (48.0 * inv12 - 24.0 * inv6) * inv2
+    f = jnp.sum(jnp.where(mask[:, None], dv[:, None] * d, 0.0), axis=0)
+    return u, f
+
+
+def _site_energy_force(r, active, i, ri, w, cfg: SMCConfig):
+    u, f = _pair_masked(r, active, i, ri, cfg)
+    if cfg.use_walls:
+        uw, fw = wall_energy_force_single(ri, w, cfg)
+        u, f = u + uw, f + fw
+    return u, f
+
+
+def total_energy_masked(r, active, w, cfg: SMCConfig) -> jax.Array:
+    """Exact active-set energy (bookkeeping cross-check)."""
+    cap = r.shape[0]
+
+    def row(i):
+        u, _ = _pair_masked(r, active, i, r[i], cfg)
+        return jnp.where(active[i], u, 0.0)
+
+    u = 0.5 * jnp.sum(jax.vmap(row)(jnp.arange(cap)))
+    if cfg.use_walls:
+        uw = jax.vmap(
+            lambda ri: wall_energy_force_single(ri, w, cfg)[0])(r)
+        u = u + jnp.sum(jnp.where(active, uw, 0.0))
+    return u
+
+
+def box_volume(cfg: SMCConfig) -> float:
+    return float(cfg.box_l * cfg.box_l * cfg.box_lz)
+
+
+def gc_sweep(
+    state: GCMCState,
+    w: jax.Array,
+    cfg: SMCConfig,
+    mu: float | jax.Array,
+    a: float | jax.Array,
+    n_exchange: int,
+) -> GCMCState:
+    """One grand-canonical sweep: a masked smart-MC displacement pass
+    over the capacity, then `n_exchange` insert/delete attempts."""
+    dtype = cfg.jnp_dtype
+    cap = state.r.shape[0]
+    t = jnp.asarray(cfg.temperature, dtype)
+    a = jnp.asarray(a, dtype)
+    mu = jnp.asarray(mu, dtype)
+    vol = jnp.asarray(box_volume(cfg), dtype)
+
+    key, k_noise, k_unif, k_off, k_ex = jax.random.split(state.key, 5)
+    noise = jnp.sqrt(2.0 * a) * jax.random.normal(k_noise, (cap, 3), dtype)
+    unif = jax.random.uniform(k_unif, (cap,), dtype)
+    offset = jax.random.randint(k_off, (), 0, cap)
+
+    # --- displacement pass (sampler.sweep with the active mask) ---
+    def move(nn, carry):
+        r, active, energy, acc = carry
+        i = (nn + offset) % cap
+        ri = r[i]
+        um, fm = _site_energy_force(r, active, i, ri, w, cfg)
+        delta = fm * (a / t) + noise[i]
+        rp = _wrap_proposal(ri + delta, cfg)
+        un, fn = _site_energy_force(r, active, i, rp, w, cfg)
+        df = fn - fm
+        dw = (jnp.sum(df * df) + 2.0 * jnp.sum(df * fm)) * a / (4.0 * t)
+        log_ap = -(un - um + 0.5 * jnp.sum(delta * (fn + fm)) + dw) / t
+        accept = (unif[nn] < jnp.exp(jnp.minimum(log_ap, 0.0))) \
+            | (log_ap >= 0.0)
+        accept = accept & active[i]
+        r = r.at[i].set(jnp.where(accept, rp, ri))
+        energy = energy + jnp.where(accept, un - um, jnp.zeros((), dtype))
+        acc = acc + accept.astype(jnp.int32)
+        return r, active, energy, acc
+
+    r, active, energy, dacc = jax.lax.fori_loop(
+        0, cap, move,
+        (state.r, state.active, state.energy, jnp.zeros((), jnp.int32)))
+
+    # --- insertion / deletion attempts ---
+    ex_kind = jax.random.bernoulli(
+        jax.random.fold_in(k_ex, 0), 0.5, (n_exchange,))
+    ex_pos_xy = jax.random.uniform(
+        jax.random.fold_in(k_ex, 1), (n_exchange, 2), dtype,
+        -cfg.box_l / 2.0, cfg.box_l / 2.0)
+    ex_pos_z = jax.random.uniform(
+        jax.random.fold_in(k_ex, 2), (n_exchange,), dtype,
+        -cfg.box_lz / 2.0, cfg.box_lz / 2.0)
+    ex_unif = jax.random.uniform(
+        jax.random.fold_in(k_ex, 3), (n_exchange,), dtype)
+    ex_pick = jax.random.uniform(
+        jax.random.fold_in(k_ex, 4), (n_exchange,), dtype)
+
+    def attempt(carry, j):
+        r, active, energy, ia, it, da, dt = carry
+        n = jnp.sum(active).astype(dtype)
+
+        def do_insert(_):
+            gi = jnp.concatenate([ex_pos_xy[j], ex_pos_z[j][None]])
+            du, _ = _site_energy_force(r, active, jnp.int32(-1), gi, w,
+                                       cfg)
+            slot = jnp.argmin(active)   # first free slot (False < True)
+            room = ~active[slot]        # full capacity -> auto-reject
+            log_ap = (jnp.log(vol) - jnp.log1p(n) + (mu - du) / t)
+            ok = room & ((ex_unif[j] < jnp.exp(jnp.minimum(log_ap, 0.0)))
+                         | (log_ap >= 0.0))
+            r2 = r.at[slot].set(jnp.where(ok, gi, r[slot]))
+            act2 = active.at[slot].set(active[slot] | ok)
+            e2 = energy + jnp.where(ok, du, jnp.zeros((), dtype))
+            return (r2, act2, e2, ia + ok.astype(jnp.int32),
+                    it + jnp.int32(1), da, dt)
+
+        def do_delete(_):
+            # the k-th active particle, k uniform in [0, n)
+            k = jnp.floor(ex_pick[j] * n).astype(jnp.int32)
+            slot = jnp.argmax(jnp.cumsum(active.astype(jnp.int32))
+                              == k + 1)
+            have = n > 0.5
+            du, _ = _site_energy_force(r, active, slot, r[slot], w, cfg)
+            log_ap = (jnp.log(jnp.maximum(n, 1.0)) - jnp.log(vol)
+                      + (du - mu) / t)
+            ok = have & ((ex_unif[j] < jnp.exp(jnp.minimum(log_ap, 0.0)))
+                         | (log_ap >= 0.0))
+            act2 = active.at[slot].set(active[slot] & ~ok)
+            e2 = energy - jnp.where(ok, du, jnp.zeros((), dtype))
+            return (r, act2, e2, ia, it, da + ok.astype(jnp.int32),
+                    dt + jnp.int32(1))
+
+        out = jax.lax.cond(ex_kind[j], do_insert, do_delete, None)
+        return out, None
+
+    init = (r, active, energy, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (r, active, energy, ia, it, da, dt), _ = jax.lax.scan(
+        attempt, init, jnp.arange(n_exchange))
+
+    return GCMCState(
+        r=r, active=active, energy=energy, key=key,
+        sweeps=state.sweeps + 1,
+        disp_acc=state.disp_acc + dacc,
+        disp_att=state.disp_att + jnp.sum(state.active).astype(jnp.int32),
+        ins_acc=state.ins_acc + ia, ins_att=state.ins_att + it,
+        del_acc=state.del_acc + da, del_att=state.del_att + dt,
+    )
+
+
+def init_gcmc_state(cfg: SMCConfig, key: jax.Array, cap: int,
+                    n0: int | None = None) -> Tuple[GCMCState, jax.Array]:
+    """Start from n0 active particles (default cap//2) on a simple-cubic
+    grid sized to the box. The reference FCC builder (fcc_lattice,
+    SMC.c:413-465) assumes the slab geometry and degenerates for
+    arbitrary (n, box) combinations — its wrapped z-layers can land on
+    top of each other, and hard overlaps among the initial ACTIVE set
+    leave a permanent f32 cancellation offset in the tracked energy
+    (measured: drift 0.88 at cap=24 in a cubic box). A ceil(n0^(1/3))^3
+    grid never overlaps; equilibration erases the init anyway. Parked
+    slots repeat active positions; they are masked out of all physics
+    until an insertion overwrites them."""
+    import math
+
+    from .state import init_chain_state
+
+    cfg_cap = _with_n(cfg, cap)
+    n0 = cap // 2 if n0 is None else n0
+    if not 0 < n0 <= cap:
+        raise ValueError(f"n0 ({n0}) must be in (0, cap={cap}]")
+    m = max(1, math.ceil(n0 ** (1.0 / 3.0)))
+    ax_xy = (np.arange(m) + 0.5) / m * cfg.box_l - cfg.box_l / 2.0
+    zspan = cfg.box_lz if cfg.pbc_z else max(cfg.box_lz - 2.0, 1.0)
+    ax_z = (np.arange(m) + 0.5) / m * zspan - zspan / 2.0
+    grid = np.stack(np.meshgrid(ax_xy, ax_xy, ax_z,
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    r0 = grid[:n0]
+    # keys/wall table from the standard initializer, grid positions
+    chain, w = init_chain_state(_with_n(cfg, n0), key, r0=r0)
+    reps = -(-cap // n0)
+    r = jnp.asarray(np.tile(r0, (reps, 1))[:cap], cfg.jnp_dtype)
+    active = jnp.arange(cap) < n0
+    st = GCMCState(
+        r=r, active=active,
+        energy=total_energy_masked(r, active, w, cfg_cap),
+        key=chain.key,
+        sweeps=jnp.zeros((), jnp.int32),
+        disp_acc=jnp.zeros((), jnp.int32),
+        disp_att=jnp.zeros((), jnp.int32),
+        ins_acc=jnp.zeros((), jnp.int32),
+        ins_att=jnp.zeros((), jnp.int32),
+        del_acc=jnp.zeros((), jnp.int32),
+        del_att=jnp.zeros((), jnp.int32),
+    )
+    return st, w
+
+
+def _with_n(cfg: SMCConfig, cap: int) -> SMCConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, n=cap)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "n_exchange"))
+def gc_block(state: GCMCState, w, cfg: SMCConfig, mu, a, n_sweeps: int,
+             n_exchange: int):
+    """n_sweeps GC sweeps as one compiled scan; traces (N, E) per sweep."""
+
+    def body(st, _):
+        st = gc_sweep(st, w, cfg, mu, a, n_exchange)
+        return st, (jnp.sum(st.active).astype(jnp.int32), st.energy)
+
+    return jax.lax.scan(body, state, None, length=n_sweeps)
+
+
+class GCMCResults(NamedTuple):
+    mean_n: float
+    err_n: float            # chain-spread error bar (ensemble runs)
+    mean_density: float     # <N>/V
+    mean_energy: float      # potential E (no kinetic: N fluctuates)
+    disp_acceptance: float
+    insert_acceptance: float
+    delete_acceptance: float
+    n_trace: np.ndarray     # [sweeps, C]
+    energy_trace: np.ndarray
+    zprofile: np.ndarray | None
+    r_final: np.ndarray
+    active_final: np.ndarray
+
+
+def simulate_gcmc(
+    cfg: SMCConfig,
+    mu: float | np.ndarray,
+    cap: int,
+    eqsteps: int,
+    maxsteps: int,
+    key: jax.Array,
+    n_chains: int = 1,
+    n_exchange: int | None = None,
+    n0: int | None = None,
+    z_bins: int = 0,
+    chunk: int = 200,
+) -> Tuple[GCMCState, GCMCResults]:
+    """Grand-canonical driver: thermalization + production, vmapped over
+    independent chains; device calls chunked under the TPU watchdog.
+    `n_exchange` defaults to cap//4 attempts per sweep.
+
+    `mu` may be a PER-CHAIN array [n_chains]: the chemical-potential
+    axis rides the chain batch exactly like temperature ladders do
+    (tsweep.py) — a whole adsorption isotherm mu -> <N> runs as ONE
+    compiled program (examples/adsorption_isotherm.py). The pooled
+    scalar summary fields only average meaningfully for a shared mu;
+    isotherm runs read the per-chain `n_trace` columns."""
+    if n_exchange is None:
+        n_exchange = max(1, cap // 4)
+    cfg_cap = _with_n(cfg, cap)
+    a = cfg.proposal_a
+    mus = jnp.broadcast_to(
+        jnp.asarray(mu, cfg.jnp_dtype), (n_chains,))
+
+    keys = jax.random.split(key, n_chains)
+    pairs = [init_gcmc_state(cfg, k, cap, n0=n0) for k in keys]
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in pairs])
+    w = pairs[0][1]
+
+    run = jax.jit(jax.vmap(
+        lambda st, m: gc_block(st, w, cfg_cap, m, a, chunk, n_exchange)),
+        static_argnums=())
+    resync = jax.jit(jax.vmap(
+        lambda r, act: total_energy_masked(r, act, w, cfg_cap)))
+
+    def do(state, n_sweeps, collect):
+        traces = []
+        done = 0
+        while done < n_sweeps:
+            k = min(chunk, n_sweeps - done)
+            if k != chunk:
+                st_tr = jax.jit(jax.vmap(
+                    lambda st, m: gc_block(st, w, cfg_cap, m, a, k,
+                                           n_exchange)))(state, mus)
+            else:
+                st_tr = run(state, mus)
+            state, tr = st_tr
+            # Exact energy re-sync per chunk (the NVT drivers'
+            # recompute_every analog): every insertion/deletion adds one
+            # f32 rounding at the CURRENT energy scale, and a long run
+            # would accumulate it into the acceptance arithmetic.
+            state = state._replace(energy=resync(state.r, state.active))
+            np.asarray(state.energy)  # sync (watchdog-safe chunks)
+            if collect:
+                traces.append(jax.tree.map(np.asarray, tr))
+            done += k
+        return state, traces
+
+    state, _ = do(state, eqsteps, collect=False)
+    zero = jnp.zeros_like(state.disp_acc)
+    state = state._replace(disp_acc=zero, disp_att=zero, ins_acc=zero,
+                           ins_att=zero, del_acc=zero, del_att=zero)
+    state, traces = do(state, maxsteps, collect=True)
+
+    n_tr = np.concatenate([t[0] for t in traces], axis=1).T \
+        if traces else np.zeros((0, n_chains))   # [S, C]
+    e_tr = np.concatenate([t[1] for t in traces], axis=1).T \
+        if traces else np.zeros((0, n_chains))
+
+    chain_n = n_tr.mean(axis=0) if n_tr.size else np.zeros(n_chains)
+    zp = None
+    if z_bins:
+        z = np.asarray(state.r[..., 2])
+        act = np.asarray(state.active)
+        lz = cfg.box_lz
+        b = np.clip(((z / lz + 0.5) * z_bins).astype(int), 0, z_bins - 1)
+        zp = np.bincount(b[act], minlength=z_bins).astype(float)
+        zp /= (cfg.box_l ** 2 * (lz / z_bins) * max(1, n_chains))
+
+    def rate(acc, att):
+        acc = int(np.asarray(acc).sum())
+        att = int(np.asarray(att).sum())
+        return acc / att if att else float("nan")
+
+    res = GCMCResults(
+        mean_n=float(chain_n.mean()),
+        err_n=float(chain_n.std() / np.sqrt(max(1, n_chains - 1)))
+        if n_chains > 1 else float(n_tr.std() / np.sqrt(max(1, len(n_tr)))),
+        mean_density=float(chain_n.mean()) / box_volume(cfg),
+        mean_energy=float(e_tr.mean()) if e_tr.size else float("nan"),
+        disp_acceptance=rate(state.disp_acc, state.disp_att),
+        insert_acceptance=rate(state.ins_acc, state.ins_att),
+        delete_acceptance=rate(state.del_acc, state.del_att),
+        n_trace=n_tr,
+        energy_trace=e_tr,
+        zprofile=zp,
+        r_final=np.asarray(state.r),
+        active_final=np.asarray(state.active),
+    )
+    return state, res
+
+
+def write_gcmc_csv(d, cfg: SMCConfig, mu: float, res: GCMCResults):
+    """gcmc_*.csv: run summary in the header comment, then the pooled
+    per-sweep (N, E) trace (chain means)."""
+    from .io import _fname
+
+    p = _fname(d, "gcmc", cfg)
+    with open(p, "w") as f:
+        f.write(f"# mu, {mu:0.9f}, mean_N, {res.mean_n:0.6f}, "
+                f"err_N, {res.err_n:0.6f}, density, "
+                f"{res.mean_density:0.9f}, acc_disp, "
+                f"{res.disp_acceptance:0.4f}, acc_ins, "
+                f"{res.insert_acceptance:0.4f}, acc_del, "
+                f"{res.delete_acceptance:0.4f}\n")
+        f.write("sweep, N_mean, E_mean\n")
+        n_m = res.n_trace.mean(axis=1)
+        e_m = res.energy_trace.mean(axis=1)
+        for i in range(len(n_m)):
+            f.write(f"{i}, {n_m[i]:0.4f}, {e_m[i]:0.6f}\n")
+    return p
