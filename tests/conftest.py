@@ -103,6 +103,7 @@ QUICK_EXCLUDE = {
     "test_gcmc_dilute_matches_ideal_gas",
     "test_widom_gcmc_closed_loop",
     "test_gcmc_walls_smoke",
+    "test_gcmc_isotherm_cli",
 }
 
 

@@ -138,3 +138,30 @@ def test_gcmc_walls_smoke():
                                  n_chains=2, z_bins=10, chunk=40)
     assert res.zprofile is not None and res.zprofile.shape == (10,)
     assert np.all(res.n_trace <= 48) and np.isfinite(res.mean_energy)
+
+
+def test_gcmc_isotherm_cli(tmp_path):
+    """--gcmc-grid: one compiled isotherm; monotone <N>(mu) in the
+    dilute regime and a well-formed CSV."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", "60", "200", "40", "2.0",
+         "--platform", "cpu", "--bulk", "--n", "32",
+         "--gcmc-grid=-9.5:-7:3", "--chains", "2", "--seed", "6",
+         "--data-dir", str(tmp_path / "Data")],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Adsorption isotherm" in proc.stdout
+    f = next((tmp_path / "Data").glob("*/gcmc_isotherm_*.csv"))
+    rows = np.genfromtxt(f, delimiter=",", skip_header=1)
+    assert rows.shape == (3, 4)
+    n = rows[:, 1]
+    assert np.all(np.diff(n) > 0), n  # dilute branch: strictly rising

@@ -945,6 +945,24 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Grand-canonical isotherm (--gcmc-grid): coverage vs mu
+    iso = run.run_dir / f"gcmc_isotherm_{run.key}.csv"
+    if iso.exists():
+        rows = np.atleast_2d(np.genfromtxt(iso, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(5.2, 3.8))
+            ax.errorbar(rows[:, 0], rows[:, 1], yerr=rows[:, 2],
+                        marker="o", ms=3, lw=1, capsize=2)
+            ax.set_xlabel("mu")
+            ax.set_ylabel("<N>")
+            fig.suptitle(f"adsorption isotherm {run.key}")
+            fig.tight_layout()
+            p = out / f"gcmc_isotherm_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Grand-canonical run (gcmc.write_gcmc_csv): N(t)/E(t) traces with
     # the imposed mu and <N> from the header comment; plus the density
     # profile when the run collected one

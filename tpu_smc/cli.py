@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="K",
                    help="insertion/deletion attempts per sweep "
                         "(default cap//4)")
+    p.add_argument("--gcmc-grid", default=None, metavar="MU1:MU2:K",
+                   help="adsorption isotherm: K chemical potentials "
+                        "(inclusive linspace, or a comma list), "
+                        "--chains replicas each, ALL as one compiled "
+                        "program (the mu axis rides the chain batch). "
+                        "Writes gcmc_isotherm_*.csv. Negative mu needs "
+                        "the = form: --gcmc-grid=-9:-6:7")
     p.add_argument("--sk-kmax", type=int, default=0, metavar="K",
                    help="with --temperatures + --reweight: sample the "
                         "in-plane structure factor S(k) up to the (K, K) "
@@ -415,12 +422,14 @@ def main(argv=None) -> int:
               "ignored.")
         args.sk_kmax = 0
 
-    if args.gcmc is not None:
+    if args.gcmc is not None or args.gcmc_grid:
         from .gcmc import box_volume, simulate_gcmc, write_gcmc_csv
 
         if args.temperatures or args.umbrella:
             sys.exit("--gcmc is its own run mode (no --temperatures/"
                      "--umbrella)")
+        if args.gcmc is not None and args.gcmc_grid:
+            sys.exit("--gcmc and --gcmc-grid are exclusive")
         if nproc > 1:
             sys.exit("--gcmc is single-process (scale with --chains)")
         if wall_k > 1:
@@ -430,6 +439,8 @@ def main(argv=None) -> int:
             sys.exit("--gcmc does not support --resume/"
                      "--target-acceptance yet")
         cap = args.gcmc_cap or 2 * cfg.n
+        if args.gcmc_grid:
+            return _run_gcmc_isotherm(args, cfg, params, key, d, cap)
         print(f"Grand-canonical MC: mu = {args.gcmc:g}, capacity {cap}, "
               f"{args.chains} chain(s), "
               f"{args.gcmc_exchanges or max(1, cap // 4)} exchange "
@@ -924,6 +935,60 @@ def main(argv=None) -> int:
         ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
         print(f"Full chain state checkpointed to {ck_path}")
 
+    return 0
+
+
+def _run_gcmc_isotherm(args, cfg, params, key, d, cap):
+    """--gcmc-grid: the whole mu -> <N> isotherm as ONE compiled
+    ensemble (per-chain mu; --chains replicas per grid point)."""
+    import numpy as np
+
+    from . import io as smcio
+    from .gcmc import box_volume, simulate_gcmc
+
+    # mu grids allow negatives (parse_t_grid guards positive T)
+    spec = args.gcmc_grid
+    if ":" in spec:
+        pieces = spec.split(":")
+        if len(pieces) != 3:
+            sys.exit(f"bad mu grid spec {spec!r} "
+                     "(want MU1:MU2:K or a comma list)")
+        lo, hi, num = float(pieces[0]), float(pieces[1]), int(pieces[2])
+        if num < 1:
+            sys.exit("mu grid needs K >= 1")
+        grid = np.linspace(lo, hi, num)
+    else:
+        grid = np.asarray([float(v) for v in spec.split(",")],
+                          np.float64)
+    reps = max(1, args.chains)
+    mu_c = np.repeat(grid, reps)
+    print(f"Grand-canonical isotherm: {len(grid)} chemical potentials "
+          f"x {reps} replicas, capacity {cap}, one compiled ensemble "
+          f"(V = {box_volume(cfg):g})")
+    state, res = simulate_gcmc(
+        cfg, mu_c, cap, params.eqsteps, params.maxsteps, key,
+        n_chains=len(mu_c), n_exchange=args.gcmc_exchanges)
+    n_chain = res.n_trace.mean(axis=0).reshape(len(grid), reps)
+    n_mean = n_chain.mean(axis=1)
+    n_err = (n_chain.std(axis=1) / np.sqrt(max(1, reps - 1))
+             if reps > 1 else np.zeros(len(grid)))
+    v = box_volume(cfg)
+    print("\n###  Adsorption isotherm  ###")
+    print("mu        <N>        +-err     density")
+    for i, mu in enumerate(grid):
+        print(f"{mu:8.3f}  {n_mean[i]:9.3f}  {n_err[i]:8.3f}  "
+              f"{n_mean[i] / v:9.6f}")
+    if n_mean.max() > 0.9 * cap:
+        print(f"WARNING: <N> within 10% of capacity {cap} — raise "
+              "--gcmc-cap (insertions reject at capacity, biasing the "
+              "top of the isotherm)")
+    p = smcio._fname(d, "gcmc_isotherm", cfg)
+    with open(p, "w") as f:
+        f.write("mu, N_mean, N_err, density\n")
+        for i, mu in enumerate(grid):
+            f.write(f"{mu:0.6f}, {n_mean[i]:0.6f}, {n_err[i]:0.6f}, "
+                    f"{n_mean[i] / v:0.9f}\n")
+    print(f"\nWritten to {p}")
     return 0
 
 
