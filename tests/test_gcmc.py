@@ -123,6 +123,10 @@ def test_widom_gcmc_closed_loop():
     tol = (4 * res.err_n + dn + 0.06 * rho * gcmc.box_volume(cfg))
     assert abs(res.mean_n - rho * gcmc.box_volume(cfg)) < tol, \
         (res.mean_n, rho * gcmc.box_volume(cfg), tol, muex, muerr)
+    # and the run's own insertion attempts close the identity too:
+    # T ln <rho> + mu_ex(in-run) == the imposed mu
+    mu_back = t * math.log(res.mean_density) + res.mu_ex
+    assert abs(mu_back - mu) < 0.1, (mu_back, mu, res.mu_ex)
 
 
 def test_gcmc_walls_smoke():

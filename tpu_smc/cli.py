@@ -457,6 +457,12 @@ def main(argv=None) -> int:
               f"{gres.disp_acceptance:0.4f} / "
               f"{gres.insert_acceptance:0.4f} / "
               f"{gres.delete_acceptance:0.4f}")
+        if np.isfinite(gres.mu_ex) and gres.mean_density > 0:
+            mu_back = (cfg.temperature * np.log(gres.mean_density)
+                       + gres.mu_ex)
+            print(f"Self-consistency: in-run Widom mu_ex = "
+                  f"{gres.mu_ex:0.4f}, T ln(rho) + mu_ex = "
+                  f"{mu_back:0.4f} (imposed mu {args.gcmc:g})")
         path = write_gcmc_csv(d, cfg, args.gcmc, gres)
         print(f"Written to {path}")
         if gres.zprofile is not None and args.z_bins:

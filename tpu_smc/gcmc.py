@@ -55,6 +55,11 @@ class GCMCState(NamedTuple):
     ins_att: jax.Array
     del_acc: jax.Array
     del_att: jax.Array
+    # Widom-for-free: every insertion attempt is a ghost sample, so the
+    # run measures its own mu_ex = -T ln <exp(-dU/T)> as it goes —
+    # mu = T ln rho + mu_ex is an in-run self-consistency identity
+    boltz_sum: jax.Array    # f32/f64 running sum of exp(-dU/T)
+    boltz_cnt: jax.Array    # int32 insertion attempts counted
 
 
 def _pair_masked(r, active, i, ri, cfg: SMCConfig):
@@ -170,7 +175,7 @@ def gc_sweep(
         jax.random.fold_in(k_ex, 4), (n_exchange,), dtype)
 
     def attempt(carry, j):
-        r, active, energy, ia, it, da, dt = carry
+        r, active, energy, ia, it, da, dt, bs, bc = carry
         n = jnp.sum(active).astype(dtype)
 
         def do_insert(_):
@@ -185,8 +190,13 @@ def gc_sweep(
             r2 = r.at[slot].set(jnp.where(ok, gi, r[slot]))
             act2 = active.at[slot].set(active[slot] | ok)
             e2 = energy + jnp.where(ok, du, jnp.zeros((), dtype))
+            # the attempt doubles as a Widom ghost sample (nan/overflow
+            # -> hard overlap -> weight 0)
+            bw = jnp.exp(-du / t)
+            bw = jnp.where(jnp.isfinite(bw), bw, jnp.zeros((), dtype))
             return (r2, act2, e2, ia + ok.astype(jnp.int32),
-                    it + jnp.int32(1), da, dt)
+                    it + jnp.int32(1), da, dt, bs + bw,
+                    bc + jnp.int32(1))
 
         def do_delete(_):
             # the k-th active particle, k uniform in [0, n)
@@ -202,15 +212,16 @@ def gc_sweep(
             act2 = active.at[slot].set(active[slot] & ~ok)
             e2 = energy - jnp.where(ok, du, jnp.zeros((), dtype))
             return (r, act2, e2, ia, it, da + ok.astype(jnp.int32),
-                    dt + jnp.int32(1))
+                    dt + jnp.int32(1), bs, bc)
 
         out = jax.lax.cond(ex_kind[j], do_insert, do_delete, None)
         return out, None
 
     init = (r, active, energy, jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
             jnp.zeros((), jnp.int32))
-    (r, active, energy, ia, it, da, dt), _ = jax.lax.scan(
+    (r, active, energy, ia, it, da, dt, bs, bc), _ = jax.lax.scan(
         attempt, init, jnp.arange(n_exchange))
 
     return GCMCState(
@@ -220,6 +231,8 @@ def gc_sweep(
         disp_att=state.disp_att + jnp.sum(state.active).astype(jnp.int32),
         ins_acc=state.ins_acc + ia, ins_att=state.ins_att + it,
         del_acc=state.del_acc + da, del_att=state.del_att + dt,
+        boltz_sum=state.boltz_sum + bs,
+        boltz_cnt=state.boltz_cnt + bc,
     )
 
 
@@ -266,6 +279,8 @@ def init_gcmc_state(cfg: SMCConfig, key: jax.Array, cap: int,
         ins_att=jnp.zeros((), jnp.int32),
         del_acc=jnp.zeros((), jnp.int32),
         del_att=jnp.zeros((), jnp.int32),
+        boltz_sum=jnp.zeros((), cfg.jnp_dtype),
+        boltz_cnt=jnp.zeros((), jnp.int32),
     )
     return st, w
 
@@ -301,6 +316,11 @@ class GCMCResults(NamedTuple):
     zprofile: np.ndarray | None
     r_final: np.ndarray
     active_final: np.ndarray
+    # mu_ex from the insertion attempts themselves (Widom-for-free);
+    # T ln(density) + mu_ex should reproduce the imposed mu — printed
+    # by the CLI as an in-run self-consistency check. Shared-mu runs
+    # only (per-chain-mu isotherms pool chains at different states).
+    mu_ex: float = float("nan")
 
 
 def simulate_gcmc(
@@ -370,7 +390,9 @@ def simulate_gcmc(
     state, _ = do(state, eqsteps, collect=False)
     zero = jnp.zeros_like(state.disp_acc)
     state = state._replace(disp_acc=zero, disp_att=zero, ins_acc=zero,
-                           ins_att=zero, del_acc=zero, del_att=zero)
+                           ins_att=zero, del_acc=zero, del_att=zero,
+                           boltz_sum=jnp.zeros_like(state.boltz_sum),
+                           boltz_cnt=zero)
     state, traces = do(state, maxsteps, collect=True)
 
     n_tr = np.concatenate([t[0] for t in traces], axis=1).T \
@@ -393,6 +415,11 @@ def simulate_gcmc(
         att = int(np.asarray(att).sum())
         return acc / att if att else float("nan")
 
+    bsum = float(np.asarray(state.boltz_sum, np.float64).sum())
+    bcnt = int(np.asarray(state.boltz_cnt).sum())
+    mu_ex_run = (-cfg.temperature * np.log(bsum / bcnt)
+                 if bcnt and bsum > 0 else float("nan"))
+
     res = GCMCResults(
         mean_n=float(chain_n.mean()),
         err_n=float(chain_n.std() / np.sqrt(max(1, n_chains - 1)))
@@ -407,6 +434,7 @@ def simulate_gcmc(
         zprofile=zp,
         r_final=np.asarray(state.r),
         active_final=np.asarray(state.active),
+        mu_ex=mu_ex_run,
     )
     return state, res
 
@@ -423,7 +451,8 @@ def write_gcmc_csv(d, cfg: SMCConfig, mu: float, res: GCMCResults):
                 f"{res.mean_density:0.9f}, acc_disp, "
                 f"{res.disp_acceptance:0.4f}, acc_ins, "
                 f"{res.insert_acceptance:0.4f}, acc_del, "
-                f"{res.delete_acceptance:0.4f}\n")
+                f"{res.delete_acceptance:0.4f}, mu_ex_run, "
+                f"{res.mu_ex:0.6f}\n")
         f.write("sweep, N_mean, E_mean\n")
         n_m = res.n_trace.mean(axis=1)
         e_m = res.energy_trace.mean(axis=1)
