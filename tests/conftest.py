@@ -104,6 +104,7 @@ QUICK_EXCLUDE = {
     "test_widom_gcmc_closed_loop",
     "test_gcmc_walls_smoke",
     "test_gcmc_isotherm_cli",
+    "test_gcmc_checkpoint_resume_bitwise",
 }
 
 

@@ -169,3 +169,32 @@ def test_gcmc_isotherm_cli(tmp_path):
     assert rows.shape == (3, 4)
     n = rows[:, 1]
     assert np.all(np.diff(n) > 0), n  # dilute branch: strictly rising
+
+
+def test_gcmc_checkpoint_resume_bitwise():
+    """30+30 resumed sweeps reproduce an unbroken 60-sweep run exactly:
+    the per-sweep key stream lives in the state, and no acceptance reads
+    the tracked energy, so chunking/resync can't perturb trajectories."""
+    import tempfile
+    from pathlib import Path
+
+    t = 1.5
+    cfg = SMCConfig.bulk(n=16, temperature=t, rho=0.05, dtype="float32")
+    mu = t * math.log(4.0 / gcmc.box_volume(cfg))
+
+    st_a, _ = gcmc.simulate_gcmc(cfg, mu, cap=24, eqsteps=10,
+                                 maxsteps=60, key=jax.random.key(9),
+                                 n_chains=2, chunk=25)
+    st_b, _ = gcmc.simulate_gcmc(cfg, mu, cap=24, eqsteps=10,
+                                 maxsteps=30, key=jax.random.key(9),
+                                 n_chains=2, chunk=25)
+    with tempfile.TemporaryDirectory() as td:
+        p = gcmc.save_gcmc_checkpoint(Path(td) / "ck.npz", st_b, cfg)
+        st_r, cfg_r = gcmc.load_gcmc_checkpoint(p)
+        assert cfg_r.temperature == cfg.temperature
+        st_c, _ = gcmc.simulate_gcmc(cfg, mu, cap=24, eqsteps=0,
+                                     maxsteps=30, key=jax.random.key(1),
+                                     n_chains=2, chunk=25, state0=st_r)
+    np.testing.assert_array_equal(np.asarray(st_a.r), np.asarray(st_c.r))
+    np.testing.assert_array_equal(np.asarray(st_a.active),
+                                  np.asarray(st_c.active))

@@ -346,7 +346,11 @@ def main(argv=None) -> int:
     from .system import build_walls, fcc_lattice
 
     resume_state = None
-    if args.resume:
+    # GCMC checkpoints carry an active mask + exchange counters; the
+    # gcmc branch loads them itself (load_gcmc_checkpoint), and the run
+    # config is built from the CLI args like a fresh run.
+    _gcmc_mode = args.gcmc is not None or args.gcmc_grid
+    if args.resume and not _gcmc_mode:
         # The checkpoint's config is authoritative for a resumed chain —
         # simulating a [N_ck] state under CLI-sized physics would be wrong.
         resume_state, cfg = smcio.load_checkpoint(args.resume)
@@ -435,20 +439,32 @@ def main(argv=None) -> int:
         if wall_k > 1:
             sys.exit("--gcmc does not combine with --wall-realizations "
                      "yet")
-        if args.resume or args.target_acceptance:
-            sys.exit("--gcmc does not support --resume/"
-                     "--target-acceptance yet")
+        if args.target_acceptance:
+            sys.exit("--gcmc does not support --target-acceptance yet")
         cap = args.gcmc_cap or 2 * cfg.n
+        n_ch = args.chains
+        state0 = None
+        if args.resume:
+            from .gcmc import load_gcmc_checkpoint
+
+            if args.gcmc_grid:
+                sys.exit("--gcmc-grid does not support --resume")
+            state0, _ck_cfg = load_gcmc_checkpoint(args.resume)
+            n_ch, cap = state0.r.shape[0], state0.r.shape[1]
+            print(f"Resuming GCMC from {args.resume}: {n_ch} chain(s), "
+                  f"capacity {cap} (bitwise continuation)")
         if args.gcmc_grid:
             return _run_gcmc_isotherm(args, cfg, params, key, d, cap)
         print(f"Grand-canonical MC: mu = {args.gcmc:g}, capacity {cap}, "
-              f"{args.chains} chain(s), "
+              f"{n_ch} chain(s), "
               f"{args.gcmc_exchanges or max(1, cap // 4)} exchange "
               f"attempts/sweep (V = {box_volume(cfg):g})")
         gstate, gres = simulate_gcmc(
-            cfg, args.gcmc, cap, params.eqsteps, params.maxsteps, key,
-            n_chains=args.chains, n_exchange=args.gcmc_exchanges,
-            z_bins=args.z_bins)
+            cfg, args.gcmc, cap,
+            0 if state0 is not None else params.eqsteps,
+            params.maxsteps, key,
+            n_chains=n_ch, n_exchange=args.gcmc_exchanges,
+            z_bins=args.z_bins, state0=state0)
         print("\n###  Grand-canonical results  ###")
         print(f"Mean N: {gres.mean_n:f} ± {gres.err_n:f} "
               f"(density {gres.mean_density:g})")
@@ -472,6 +488,11 @@ def main(argv=None) -> int:
                                          centers, gres.zprofile,
                                          "z, density")
             print(f"Density profile written to {zp}")
+        if args.checkpoint:
+            from .gcmc import save_gcmc_checkpoint
+
+            ck = save_gcmc_checkpoint(args.checkpoint, gstate, cfg)
+            print(f"Full GCMC state checkpointed to {ck}")
         return 0
 
     if args.umbrella:

@@ -335,6 +335,7 @@ def simulate_gcmc(
     n0: int | None = None,
     z_bins: int = 0,
     chunk: int = 200,
+    state0: GCMCState | None = None,
 ) -> Tuple[GCMCState, GCMCResults]:
     """Grand-canonical driver: thermalization + production, vmapped over
     independent chains; device calls chunked under the TPU watchdog.
@@ -353,10 +354,22 @@ def simulate_gcmc(
     mus = jnp.broadcast_to(
         jnp.asarray(mu, cfg.jnp_dtype), (n_chains,))
 
-    keys = jax.random.split(key, n_chains)
-    pairs = [init_gcmc_state(cfg, k, cap, n0=n0) for k in keys]
-    state = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in pairs])
-    w = pairs[0][1]
+    if state0 is not None:
+        # resume (load_gcmc_checkpoint): batched state as saved; the
+        # wall table is deterministic per cfg
+        if state0.r.shape[0] != n_chains or state0.r.shape[1] != cap:
+            raise ValueError(
+                f"checkpoint holds {state0.r.shape[0]} chains x "
+                f"cap {state0.r.shape[1]}; run asked "
+                f"{n_chains} x {cap}")
+        state = state0
+        w = init_gcmc_state(cfg, jax.random.key(0), cap, n0=n0)[1]
+    else:
+        keys = jax.random.split(key, n_chains)
+        pairs = [init_gcmc_state(cfg, k, cap, n0=n0) for k in keys]
+        state = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[p[0] for p in pairs])
+        w = pairs[0][1]
 
     run = jax.jit(jax.vmap(
         lambda st, m: gc_block(st, w, cfg_cap, m, a, chunk, n_exchange)),
@@ -437,6 +450,58 @@ def simulate_gcmc(
         mu_ex=mu_ex_run,
     )
     return state, res
+
+
+def save_gcmc_checkpoint(path, state: GCMCState, cfg: SMCConfig):
+    """Full GCMC (ensemble) state -> npz, io.save_checkpoint's format
+    with the active mask and exchange counters. Resume is BITWISE: the
+    per-sweep key stream lives in the state and no acceptance reads the
+    tracked energy, so chunking/resync cannot perturb trajectories."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields
+              if f != "key"}
+    arrays["key"] = np.asarray(jax.random.key_data(state.key))
+    cfg_json = json.dumps(
+        {f: getattr(cfg, f) for f in cfg.__dataclass_fields__})
+    np.savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                            dtype=np.uint8),
+             __gcmc__=np.asarray(1), **arrays)
+    return path
+
+
+def load_gcmc_checkpoint(path):
+    """-> (GCMCState, SMCConfig); cfg.n is the run's base n (the
+    capacity is the checkpoint's r.shape[-2])."""
+    import json
+
+    from .config import SMCConfig
+
+    data = np.load(path)
+    if "__gcmc__" not in data:
+        raise ValueError(f"{path} is not a GCMC checkpoint")
+    cfg = SMCConfig(**json.loads(bytes(data["__config__"]).decode()))
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = cfg.jnp_dtype
+    ints = {"sweeps", "disp_acc", "disp_att", "ins_acc", "ins_att",
+            "del_acc", "del_att", "boltz_cnt"}
+    fields = {}
+    for f in GCMCState._fields:
+        if f == "key":
+            fields[f] = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        elif f == "active":
+            fields[f] = jnp.asarray(data[f], bool)
+        elif f in ints:
+            fields[f] = jnp.asarray(data[f], jnp.int32)
+        else:
+            fields[f] = jnp.asarray(data[f], dtype)
+    return GCMCState(**fields), cfg
 
 
 def write_gcmc_csv(d, cfg: SMCConfig, mu: float, res: GCMCResults):
