@@ -315,3 +315,66 @@ def test_vmap_chains_bounded_map_path_matches_vmap():
         np.asarray(wall_obs_chains(
             lambda ri, wc: total_energy(ri, wc, cfg), r, w_pc, cfg.n)),
         np.asarray(full_p))
+
+
+def test_pressure_profile_sums_to_scalar_virial():
+    """Harasima profile exactness: mean_b (P_N + 2 P_T)/3 over bins is
+    the scalar rho T + pair virial — same arithmetic, reordered."""
+    import jax
+
+    from tpu_smc.observables import pressure_tensor_profile
+    from tpu_smc.potentials import pair_virial_pressure
+    from tpu_smc.state import init_chain_state
+
+    for mk in (lambda: SMCConfig.bulk(n=32, rho=0.2, temperature=1.0,
+                                      dtype="float64"),
+               lambda: SMCConfig.for_n(108, dtype="float64")):
+        cfg = mk()
+        st, w = init_chain_state(cfg, jax.random.key(1))
+        r = st.r + 0.05 * jax.random.normal(jax.random.key(2),
+                                            st.r.shape)
+        for nb in (16, 48):
+            c, pn, pt = pressure_tensor_profile(r, cfg, nbins=nb)
+            mech = float(np.mean((np.asarray(pn) + 2 * np.asarray(pt))
+                                 / 3.0))
+            scalar = cfg.rho * cfg.temperature \
+                + float(pair_virial_pressure(r, cfg))
+            # histograms accumulate f32; the identity holds to that
+            np.testing.assert_allclose(mech, scalar, rtol=5e-5,
+                                       atol=1e-9)
+
+
+@pytest.mark.slow
+def test_pressure_profile_bulk_isotropy():
+    """Equilibrated bulk fluid has no interface, so the CONTOUR-
+    INDEPENDENT quantities vanish/agree: the tension integral
+    int (P_N - P_T) dz ~ 0 and mean P_N == mean P_T == the scalar
+    virial. (Per-bin P_N(z) legitimately oscillates at sub-sigma bin
+    widths under the Harasima midpoint assignment — inter-layer pair
+    bonds park their fz dz between the layers — so bin-level equality
+    is NOT asserted.)"""
+    import jax
+
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+    from tpu_smc.state import init_ensemble_state
+
+    cfg = SMCConfig.bulk(n=32, temperature=1.5, rho=0.2,
+                         dtype="float32")
+    state, w = init_ensemble_state(cfg, jax.random.key(3), n_chains=16)
+    opts = ObservableOptions(pressure=True, clusters=False,
+                             collect_sweep_trace=False, ptensor_bins=8)
+    state, res = simulate_ensemble(
+        cfg, RunParams(eqsteps=150, maxsteps=600, numdata=120), state,
+        w, opts=opts, max_fault_retries=0)
+    assert res.pn is not None and res.pn.shape == (8,)
+    dz = cfg.box_lz / 8
+    gamma = 0.5 * float(np.sum(res.pn - res.pt) * dz)
+    p_n, p_t = float(res.pn.mean()), float(res.pt.mean())
+    scalar = res.mean_pressure  # rho T + virial, gather-averaged
+    assert abs(gamma) < 0.05 * cfg.box_lz * max(abs(scalar), 0.05), \
+        (gamma, scalar)
+    assert abs(p_n - p_t) < 0.1 * max(abs(scalar), 0.05), (p_n, p_t)
+    assert abs((p_n + 2 * p_t) / 3 - scalar) < 0.1 * max(abs(scalar),
+                                                         0.05)

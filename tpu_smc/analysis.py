@@ -945,6 +945,30 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Pressure-tensor profile (--ptensor-bins): P_N/P_T across the slab
+    # with the wall-tension integrand shaded
+    ptf = run.run_dir / f"ptensor_{run.key}.csv"
+    if ptf.exists():
+        rows = np.atleast_2d(np.genfromtxt(ptf, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(rows[:, 0], rows[:, 1], lw=1.2, label="P_N")
+            ax.plot(rows[:, 0], rows[:, 2], lw=1.2, label="P_T")
+            ax.fill_between(rows[:, 0], rows[:, 1], rows[:, 2],
+                            color="tab:orange", alpha=0.15, lw=0)
+            dz = rows[1, 0] - rows[0, 0] if len(rows) > 1 else 1.0
+            gamma = 0.5 * float(np.sum(rows[:, 1] - rows[:, 2]) * dz)
+            ax.set_xlabel("z")
+            ax.set_ylabel("pressure")
+            ax.legend(fontsize=8, title=f"gamma/wall = {gamma:0.4g}")
+            fig.suptitle(f"pressure tensor {run.key}")
+            fig.tight_layout()
+            p = out / f"ptensor_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Grand-canonical isotherm (--gcmc-grid): coverage vs mu
     iso = run.run_dir / f"gcmc_isotherm_{run.key}.csv"
     if iso.exists():

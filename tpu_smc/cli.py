@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "unaffected (the ghosts never enter the chain).")
     p.add_argument("--widom-bins", type=int, default=64, metavar="B",
                    help="z bins for the mu_ex(z) profile (default 64)")
+    p.add_argument("--ptensor-bins", type=int, default=0, metavar="B",
+                   help="accumulate the normal/tangential pressure "
+                        "profile P_N(z)/P_T(z) (Harasima midpoint "
+                        "convention) and report the wall tension "
+                        "integral 1/2 int (P_N - P_T) dz; writes "
+                        "ptensor_*.csv")
     p.add_argument("--gcmc", type=float, default=None, metavar="MU",
                    help="grand-canonical mode: sample N at chemical "
                         "potential MU (Lambda=1 reduced units — a Widom-"
@@ -921,6 +927,7 @@ def main(argv=None) -> int:
         collect_sweep_trace=not args.no_trace,
         proposal_a=tuned_a,
         widom_k=args.widom,
+        ptensor_bins=args.ptensor_bins,
     )
     state, res = simulate(cfg, params, state, w, opts=opts,
                           on_window=on_window, acf_mode=args.acf_mode,
@@ -957,6 +964,8 @@ def main(argv=None) -> int:
                                 "z, density")
     if res.widom_du is not None:
         _report_widom(d, cfg, res.widom_du, res.widom_z, args.widom_bins)
+    if res.pn is not None:
+        _report_ptensor(d, cfg, res.pn, res.pt, args.ptensor_bins)
 
     if args.checkpoint:
         ck_path = smcio.save_checkpoint(args.checkpoint, state, cfg)
@@ -1017,6 +1026,23 @@ def _run_gcmc_isotherm(args, cfg, params, key, d, cap):
                     f"{n_mean[i] / v:0.9f}\n")
     print(f"\nWritten to {p}")
     return 0
+
+
+def _report_ptensor(d, cfg, pn, pt, nbins):
+    """Write ptensor_*.csv and print the wall-tension integral."""
+    from . import io as smcio
+
+    dz = cfg.box_lz / nbins
+    centers = -cfg.box_lz / 2 + dz * (np.arange(nbins) + 0.5)
+    p = smcio._fname(d, "ptensor", cfg)
+    with open(p, "w") as f:
+        f.write("z, p_n, p_t\n")
+        for i in range(nbins):
+            f.write(f"{centers[i]:0.6f}, {pn[i]:0.9f}, {pt[i]:0.9f}\n")
+    gamma = 0.5 * float(np.sum(pn - pt) * dz)
+    print(f"Pressure-tensor profile written to {p}")
+    print(f"Wall tension (per wall): gamma = 1/2 int (P_N - P_T) dz = "
+          f"{gamma:0.6f}")
 
 
 def _report_widom(d, cfg, du, z, nbins, rank: int = 0):
@@ -1183,6 +1209,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
         sampler=sampler,
         stream_seed=stream,
         widom_k=args.widom,
+        ptensor_bins=args.ptensor_bins,
     )
     if getattr(args, "target_acceptance", None):
         import dataclasses
@@ -1216,6 +1243,7 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
     g_gr, g_zp = agg.gr, agg.zprofile
     g_grc, g_zpc = agg.gr_chains, agg.zprofile_chains
     g_wdu, g_wz = agg.widom_du, agg.widom_z
+    g_pn, g_pt = agg.pn, agg.pt
     mean_e, std_e = agg.mean_energy, agg.std_energy
     mean_p, std_p = agg.mean_pressure, agg.std_pressure
     acc_mean = agg.acceptance_ratio
@@ -1262,6 +1290,9 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
             g_gr = allgather_chain_axis(g_gr[None]).mean(axis=0)
         if g_zp is not None:
             g_zp = allgather_chain_axis(g_zp[None]).mean(axis=0)
+        if g_pn is not None:
+            g_pn = allgather_chain_axis(g_pn[None]).mean(axis=0)
+            g_pt = allgather_chain_axis(g_pt[None]).mean(axis=0)
         if g_grc is not None:
             g_grc = allgather_chain_axis(g_grc)      # [C_total, bins]
         if g_zpc is not None:
@@ -1342,6 +1373,8 @@ def _run_ensemble(args, cfg, params, d, seed_state, w, prebatched=False,
                                     "z, density")
         if g_wdu is not None:
             _report_widom(d, cfg, g_wdu, g_wz, args.widom_bins)
+        if g_pn is not None:
+            _report_ptensor(d, cfg, g_pn, g_pt, args.ptensor_bins)
         smcio.write_ensemble_data_csv(d, cfg, pooled_chains,
                                       params.gather_lapse)
         smcio.write_info_csv(d, cfg, params, agg.chains[0])

@@ -148,6 +148,10 @@ class GatherOut(NamedTuple):
     # backend-touching array creation; the gather steps always fill them.
     widom_du: jax.Array | None = None
     widom_z: jax.Array | None = None
+    # pressure-tensor profile contributions ([ptensor_bins] P_N / P_T
+    # per gather; empty when disabled)
+    pn: jax.Array | None = None
+    pt: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -180,6 +184,9 @@ class ObservableOptions:
     # gather index — trajectories are untouched (the key is read, never
     # replaced) and the samples are window-split invariant.
     widom_k: int = 0
+    # z bins for the normal/tangential pressure profile (0 disables) —
+    # the wall surface-tension integrand (observables.py)
+    ptensor_bins: int = 0
 
 
 def _gather_step(
@@ -265,7 +272,17 @@ def _gather_step(
         wdu = jnp.zeros((0,), dtype)
         wz = jnp.zeros((0,), dtype)
 
-    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz)
+    if opts.ptensor_bins:
+        from .observables import pressure_tensor_profile
+
+        _, pn, pt = pressure_tensor_profile(state.r, cfg,
+                                            nbins=opts.ptensor_bins)
+    else:
+        pn = jnp.zeros((0,), jnp.float32)
+        pt = jnp.zeros((0,), jnp.float32)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz,
+                            pn, pt)
 
 
 @partial(
@@ -323,6 +340,9 @@ class SimResults(NamedTuple):
     # unless opts.widom_k was set.
     widom_du: Optional[np.ndarray] = None
     widom_z: Optional[np.ndarray] = None
+    # gather-averaged pressure-tensor profiles [ptensor_bins]
+    pn: Optional[np.ndarray] = None
+    pt: Optional[np.ndarray] = None
 
 
 def simulate(
@@ -504,6 +524,10 @@ def simulate(
            if opts.widom_k else None)
     wz = (cat("widom_z").reshape(gather_steps, 1, opts.widom_k)
           if opts.widom_k else None)
+    pn_prof = (cat("pn").reshape(gather_steps, -1).mean(axis=0)
+               if opts.ptensor_bins else None)
+    pt_prof = (cat("pt").reshape(gather_steps, -1).mean(axis=0)
+               if opts.ptensor_bins else None)
 
     results = SimResults(
         mean_energy=me,
@@ -531,5 +555,7 @@ def simulate(
         sweeps_per_second=sps,
         widom_du=wdu,
         widom_z=wz,
+        pn=pn_prof,
+        pt=pt_prof,
     )
     return state, results

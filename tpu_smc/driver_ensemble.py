@@ -195,7 +195,19 @@ def _gather_step_batched(
         wdu = jnp.zeros((c, 0), dtype)
         wz = jnp.zeros((c, 0), dtype)
 
-    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz)
+    if opts.ptensor_bins:
+        from .observables import pressure_tensor_profile
+
+        pn, pt = vmap_chains_bounded(
+            lambda ri: pressure_tensor_profile(
+                ri, cfg, nbins=opts.ptensor_bins)[1:],
+            state.r, cfg.n)
+    else:
+        pn = jnp.zeros((c, 0), jnp.float32)
+        pt = jnp.zeros((c, 0), jnp.float32)
+
+    return state, GatherOut(e_tr, a_tr, p, l1, l2, l3, gr, zp, wdu, wz,
+                            pn, pt)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gather_lapse", "n_gathers",
@@ -237,6 +249,9 @@ class EnsembleResults(NamedTuple):
     # opts.widom_k): feed widom.mu_ex / mu_ex_profile directly.
     widom_du: np.ndarray | None = None
     widom_z: np.ndarray | None = None
+    # ensemble-pooled pressure-tensor profiles [ptensor_bins]
+    pn: np.ndarray | None = None
+    pt: np.ndarray | None = None
 
 
 def simulate_ensemble(
@@ -512,6 +527,10 @@ def simulate_ensemble(
            if opts.widom_k else None)
     wz = (cat("widom_z").reshape(-1, n_chains, opts.widom_k)
           if opts.widom_k else None)
+    pn_prof = (cat("pn").reshape(-1, n_chains, opts.ptensor_bins)
+               .mean(axis=(0, 1)) if opts.ptensor_bins else None)
+    pt_prof = (cat("pt").reshape(-1, n_chains, opts.ptensor_bins)
+               .mean(axis=(0, 1)) if opts.ptensor_bins else None)
 
     agg = EnsembleResults(
         chains=per_chain,
@@ -528,5 +547,7 @@ def simulate_ensemble(
         zprofile_chains=zp_c,
         widom_du=wdu,
         widom_z=wz,
+        pn=pn_prof,
+        pt=pt_prof,
     )
     return state, agg

@@ -269,6 +269,65 @@ def radial_distribution(
     return centers, hist / norm
 
 
+def pressure_tensor_profile(
+    r: jnp.ndarray, cfg: SMCConfig, nbins: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Normal/tangential pressure profile P_N(z), P_T(z) across the slab
+    (Harasima midpoint convention: each unique pair's virial lands in
+    the bin of its midpoint z). Beyond-reference observable — the
+    integrand of the wall surface tension,
+
+        gamma_per_wall = 1/2 * integral (P_N(z) - P_T(z)) dz,
+
+    and exactly consistent with the scalar virial by construction:
+    mean_b (P_N + 2 P_T)/3 == rho T + pair_virial_pressure bit-for-bit
+    up to reduction order (tests/test_observables.py pins it). The
+    ideal term enters per bin as rho(z) T; the pair term uses the same
+    truncated LJ force as the sampler (SMC.c:696-720 arithmetic, here
+    resolved in z instead of summed). Wall-particle forces are EXTERNAL
+    to the fluid and are deliberately not part of P_N — between the
+    walls mechanical equilibrium reads dP_N/dz = f_wall rho, so P_N is
+    constant only where the wall force vanishes (mid-slab).
+
+    Returns (centers [nbins], P_N [nbins], P_T [nbins])."""
+    from .potentials import _pair_displacements
+
+    n = r.shape[0]
+    lz = cfg.box_lz
+    t = cfg.temperature
+    area = cfg.box_l * cfg.box_l
+    dzb = lz / nbins
+    vb = area * dzb
+
+    def row(i):
+        d, dr2 = _pair_displacements(r[i], r, cfg)
+        mask = (dr2 < cfg.cutoff2) & (jnp.arange(n) != i)
+        safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
+        inv2 = 1.0 / safe
+        inv6 = inv2 * inv2 * inv2
+        dv = (48.0 * inv6 * inv6 - 24.0 * inv6) * inv2   # (f/r)
+        tang = dv * (d[:, 0] ** 2 + d[:, 1] ** 2)        # fx dx + fy dy
+        norm = dv * (d[:, 2] ** 2)                       # fz dz
+        zmid = r[i, 2] - 0.5 * d[:, 2]
+        if cfg.pbc_z:
+            zmid = zmid - lz * jnp.round(zmid / lz)
+        b = jnp.clip(((zmid / lz + 0.5) * nbins).astype(jnp.int32),
+                     0, nbins - 1)
+        pn = jnp.zeros((nbins,), jnp.float32).at[b].add(
+            jnp.where(mask, norm, 0.0).astype(jnp.float32))
+        pt = jnp.zeros((nbins,), jnp.float32).at[b].add(
+            jnp.where(mask, tang, 0.0).astype(jnp.float32))
+        return pn, pt
+
+    pn, pt = jax.vmap(row)(jnp.arange(n))
+    pn = 0.5 * jnp.sum(pn, axis=0)        # unique pairs
+    pt = 0.5 * jnp.sum(pt, axis=0)
+    _, rho_b = z_density_profile(r, cfg, nbins=nbins)
+    ideal = rho_b * t
+    centers = -lz / 2 + dzb * (jnp.arange(nbins) + 0.5)
+    return centers, ideal + pn / vb, ideal + pt / (2.0 * vb)
+
+
 def structure_factor(
     r: jnp.ndarray, cfg: SMCConfig, n_kmax: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
