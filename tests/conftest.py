@@ -105,6 +105,7 @@ QUICK_EXCLUDE = {
     "test_gcmc_walls_smoke",
     "test_gcmc_isotherm_cli",
     "test_gcmc_checkpoint_resume_bitwise",
+    "test_pressure_profile_bulk_isotropy",    # 35 s statistical
 }
 
 
