@@ -21,6 +21,18 @@ from tpu_smc.umbrella import (UmbrellaResults, parse_centers,
 CFG = SMCConfig(n=16, box_l=12.0, box_lz=40.0, dtype="float32")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """The XLA CPU compiler has segfaulted on a FRESH large compile late
+    in a long pytest session (observed twice, both times in this module
+    after 250+ green tests; each time the module passes in isolation —
+    an upstream compiler-state bug, not a physics failure). Dropping the
+    accumulated executables/caches before this module's compiles dodges
+    the conditions; the recompile cost is only this module's own."""
+    jax.clear_caches()
+    yield
+
+
 def test_zero_spring_is_bitwise_unbiased():
     state, w = init_chain_state(CFG, jax.random.key(1))
     r1, e1, k1, a1 = sweep(state.r, state.energy, state.key, w, CFG,
