@@ -396,3 +396,40 @@ def test_reweight_cli_writes_profile_artifacts(tmp_path):
         shift = want.min()   # the global min lives in a well-visited bin
         np.testing.assert_allclose(got[ok], want - shift, atol=1e-4)
         assert np.nanmin(got) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_reweight_gamma_surface():
+    """ptensor samples ride the ladder pairing: reweighting AT a ladder
+    temperature reproduces that level's own sample average (the MBAR
+    weights concentrate there), and the gamma column lands in the CSV."""
+    import dataclasses
+
+    from tpu_smc.reweight import reweight_from_ladder, write_reweight_csv
+    from tpu_smc.tsweep import simulate_temperature_sweep
+
+    cfg = dataclasses.replace(
+        SMCConfig.for_n(32, temperature=1.1, dtype="float32"),
+        box_l=6.0, box_lz=14.0)
+    temps = [1.0, 1.3]
+    _, res = simulate_temperature_sweep(
+        cfg, RunParams(eqsteps=60, maxsteps=240, numdata=60), temps,
+        jax.random.key(2), chains_per_t=6, ptensor_bins=10)
+    assert res.ptensor_n_samples is not None
+    assert res.ptensor_n_samples.shape[1:] == (2, 6, 10)
+
+    rw = reweight_from_ladder(res, cfg, np.asarray(temps), n_boot=8)
+    assert rw.gamma is not None and rw.gamma.shape == (2,)
+    assert rw.err_gamma is not None
+    # at a sampled temperature the reweighted profile ~ the level's own
+    # mean (not exact: MBAR borrows strength from the other level)
+    lvl = res.ptensor_n_samples[:, 0].mean(axis=(0, 1))
+    scale = np.abs(lvl).mean() + 1e-4
+    assert np.abs(rw.pn[0] - lvl).mean() < 0.5 * scale, (rw.pn[0], lvl)
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        p = write_reweight_csv(Path(td), cfg, rw)
+        hdr = p.read_text().splitlines()[0]
+        assert "gamma" in hdr and "gamma_err" in hdr

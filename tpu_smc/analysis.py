@@ -856,7 +856,9 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
     for stem, xl, yl in (("reweight_zprofile", "z", "rho(z)"),
                          ("reweight_gr", "r", "g(r)"),
                          ("reweight_pmf", "z", "F(z) = -T ln rho"),
-                         ("reweight_sk", "k", "S(k)")):
+                         ("reweight_sk", "k", "S(k)"),
+                         ("reweight_pn", "z", "P_N(z)"),
+                         ("reweight_pt", "z", "P_T(z)")):
         f = run.run_dir / f"{stem}_{run.key}.csv"
         if not f.exists():
             continue

@@ -679,7 +679,8 @@ def main(argv=None) -> int:
                 sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins,
-                sk_kmax=args.sk_kmax, widom_k=args.widom)
+                sk_kmax=args.sk_kmax, widom_k=args.widom,
+                ptensor_bins=args.ptensor_bins)
             if nproc > 1 and not global_ladder:
                 from .pt import pool_pt_across_processes
 
@@ -710,7 +711,8 @@ def main(argv=None) -> int:
                 w=w_ladder, sampler=tsampler, a_per_t=a_per_t, mesh=lmesh,
                 state0=lstate0,
                 gr_bins=args.gr_bins, z_bins=args.z_bins,
-                sk_kmax=args.sk_kmax, widom_k=args.widom)
+                sk_kmax=args.sk_kmax, widom_k=args.widom,
+                ptensor_bins=args.ptensor_bins)
             if nproc > 1 and not global_ladder:
                 # pooled replica axis: every process gets the full-R
                 # statistics (reweighting below then sees P x samples)
@@ -796,6 +798,22 @@ def main(argv=None) -> int:
             # only produce at the simulated T (plotting.jl:123-201).
             from .reweight import write_reweight_profile_csv
 
+            if rw.pn is not None:
+                dzp = cfg.box_lz / args.ptensor_bins
+                zc_p = (-cfg.box_lz / 2
+                        + dzp * (np.arange(args.ptensor_bins) + 0.5))
+                pn_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_pn", "z", zc_p, rw, rw.pn, None)
+                pt_path = write_reweight_profile_csv(
+                    d, cfg, "reweight_pt", "z", zc_p, rw, rw.pt, None)
+                print(f"P_N(z; T) / P_T(z; T) surfaces written to "
+                      f"{pn_path} / {pt_path}")
+                print("Wall tension gamma(T) = 1/2 int (P_N - P_T) dz:")
+                for gi, tv in enumerate(rw.temps):
+                    err = (f" ± {rw.err_gamma[gi]:0.6f}"
+                           if rw.err_gamma is not None else "")
+                    print(f"  T {tv:0.3f}: gamma = "
+                          f"{rw.gamma[gi]:0.6f}{err}")
             if rw.zprofile is not None:
                 dz = cfg.box_lz / args.z_bins
                 zc = -cfg.box_lz / 2 + dz * (np.arange(args.z_bins) + 0.5)

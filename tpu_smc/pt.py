@@ -221,6 +221,7 @@ def simulate_parallel_tempering(
     z_bins: int = 0,
     sk_kmax: int = 0,
     widom_k: int = 0,
+    ptensor_bins: int = 0,
 ) -> tuple[ChainState, PTResults]:
     """Run the ladder with replica exchange every `exchange_interval`
     sweeps ("auto": measure the swap acceptance on a short
@@ -321,12 +322,13 @@ def simulate_parallel_tempering(
         moves = np.zeros((c,), np.int64)
         samples = []
         p_samples, e_at_p = [], []
-        gr_s, zp_s, sk_s, wd_s = [], [], [], []
+        gr_s, zp_s, sk_s, wd_s, pn_s, pt_s = [], [], [], [], [], []
         press_fn = _pressure_fn(cfg) if collect else None
         fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
-                                widom_k=widom_k)
+                                widom_k=widom_k,
+                                ptensor_bins=ptensor_bins)
                      if collect and (gr_bins or z_bins or sk_kmax
-                                     or widom_k)
+                                     or widom_k or ptensor_bins)
                      else None)
         n_harvest = 0
 
@@ -338,7 +340,7 @@ def simulate_parallel_tempering(
                 p_samples.append(fetch(press_fn(st.r, w_arr)))
                 e_at_p.append(fetch(st.energy))
                 if fields_fn is not None:
-                    gr_b, zp_b, sk_b, wd_b = fields_fn(
+                    gr_b, zp_b, sk_b, wd_b, pnt_b = fields_fn(
                         st.r, st.key, jnp.int32(n_harvest), w_arr)
                     n_harvest += 1
                     if gr_b is not None:
@@ -349,6 +351,9 @@ def simulate_parallel_tempering(
                         sk_s.append(fetch(sk_b))
                     if wd_b is not None:
                         wd_s.append(fetch(wd_b))
+                    if pnt_b is not None:
+                        pn_s.append(fetch(pnt_b[0]))
+                        pt_s.append(fetch(pnt_b[1]))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -396,7 +401,7 @@ def simulate_parallel_tempering(
                 acc += fetch(a_blk).astype(np.int64)
                 att += fetch(t_blk).astype(np.int64)
         return (state, acc, att, samples, moves,
-                (p_samples, e_at_p, gr_s, zp_s, sk_s, wd_s),
+                (p_samples, e_at_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s),
                 cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
@@ -420,7 +425,7 @@ def simulate_parallel_tempering(
 
     lapse = max(1, params.gather_lapse)
     state, acc, att, samples, prod_moves, \
-        (p_s, e_p, gr_s, zp_s, sk_s, wd_s), _ = \
+        (p_s, e_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
                   lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
@@ -455,7 +460,11 @@ def simulate_parallel_tempering(
             if sk_s else None),
         widom_samples=(np.stack(wd_s).reshape(-1, n_t, chains_per_t,
                                               widom_k)
-                       if wd_s else None))
+                       if wd_s else None),
+        ptensor_n_samples=(np.stack(pn_s).reshape(
+            -1, n_t, chains_per_t, ptensor_bins) if pn_s else None),
+        ptensor_t_samples=(np.stack(pt_s).reshape(
+            -1, n_t, chains_per_t, ptensor_bins) if pt_s else None))
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

@@ -72,6 +72,12 @@ class ReweightResults(NamedTuple):
     # in-plane structure factor S(k; T) on the shell grid (sk_kmax > 0)
     sk: np.ndarray | None = None           # [G, shells]
     err_sk: np.ndarray | None = None       # [G, shells]
+    # reweighted pressure-tensor profiles + the wall tension
+    # gamma(T) = 1/2 int (P_N - P_T) dz per target T (ptensor_bins > 0)
+    pn: np.ndarray | None = None           # [G, nb]
+    pt: np.ndarray | None = None           # [G, nb]
+    gamma: np.ndarray | None = None        # [G]
+    err_gamma: np.ndarray | None = None    # [G]
     # Widom excess chemical potential mu_ex(T) from paired ghost
     # energies (widom_k > 0): the insertion Boltzmann factor is
     # re-evaluated at each target beta', so the curve is exact MBAR,
@@ -320,10 +326,14 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     zp_s = getattr(ts, "zprofile_samples", None)
     sk_s = getattr(ts, "sk_samples", None)
     wd_s = getattr(ts, "widom_samples", None)
+    pn_s = getattr(ts, "ptensor_n_samples", None)
+    pt_s = getattr(ts, "ptensor_t_samples", None)
     have_gr = gr_s is not None and e_p is not None and gr_s.size > 0
     have_zp = zp_s is not None and e_p is not None and zp_s.size > 0
     have_sk = sk_s is not None and e_p is not None and sk_s.size > 0
     have_wd = wd_s is not None and e_p is not None and wd_s.size > 0
+    have_pt2 = (pn_s is not None and pt_s is not None
+                and e_p is not None and pn_s.size > 0)
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
     ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
 
@@ -354,6 +364,15 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
             mus, _ = mu_ex_reweighted(
                 split(wd_s, idx), split(e_p, idx), ts.temps, t_grid)
             out = out._replace(mu_ex=mus)
+        if have_pt2:
+            pn_g = reweight_paired_field(
+                split(e_p, idx), split(pn_s, idx), ts.temps, t_grid)
+            pt_g = reweight_paired_field(
+                split(e_p, idx), split(pt_s, idx), ts.temps, t_grid)
+            dz = cfg.box_lz / pn_g.shape[1]
+            out = out._replace(
+                pn=pn_g, pt=pt_g,
+                gamma=0.5 * (pn_g - pt_g).sum(axis=1) * dz)
         return out
 
     out = estimate()
@@ -378,6 +397,8 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                 if have_sk else None),
         err_mu_ex=(np.std([d.mu_ex for d in draws], axis=0)
                    if have_wd else None),
+        err_gamma=(np.std([d.gamma for d in draws], axis=0)
+                   if have_pt2 else None),
     )
 
 
@@ -399,6 +420,8 @@ def subset_ladder_replicas(res, sl):
         zprofile_samples=cut(ts.zprofile_samples),
         sk_samples=cut(ts.sk_samples),
         widom_samples=cut(ts.widom_samples),
+        ptensor_n_samples=cut(ts.ptensor_n_samples),
+        ptensor_t_samples=cut(ts.ptensor_t_samples),
     )
 
 
@@ -553,6 +576,10 @@ def write_reweight_csv(d, cfg: SMCConfig, res: ReweightResults):
         cols.append(("mu_ex", res.mu_ex, "0.9f"))
         if res.err_mu_ex is not None:
             cols.append(("mu_ex_err", res.err_mu_ex, "0.9f"))
+    if res.gamma is not None:
+        cols.append(("gamma", res.gamma, "0.9f"))
+        if res.err_gamma is not None:
+            cols.append(("gamma_err", res.err_gamma, "0.9f"))
     cols += [("ess", res.ess, "0.1f"), ("f", res.free_energy, "0.9f")]
     with open(p, "w") as f:
         f.write(", ".join(name for name, _, _ in cols) + "\n")

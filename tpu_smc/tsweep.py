@@ -55,6 +55,11 @@ class TSweepResults(NamedTuple):
     # paired in-plane structure-factor samples [B, T, chains_per_t,
     # shells] (sk_kmax > 0) -> continuous S(k; T) via MBAR
     sk_samples: np.ndarray | None = None
+    # paired pressure-tensor profiles [B, T, chains_per_t, nb]
+    # (ptensor_bins > 0) -> P_N(z;T)/P_T(z;T) and the wall tension
+    # gamma(T) via MBAR (reweight.py)
+    ptensor_n_samples: np.ndarray | None = None
+    ptensor_t_samples: np.ndarray | None = None
     # paired Widom ghost energies [B, T, chains_per_t, widom_k]
     # (widom_k > 0): both the configuration weight AND the insertion
     # factor reweight exactly to any T' (widom.mu_ex_reweighted), giving
@@ -167,6 +172,7 @@ def simulate_temperature_sweep(
     z_bins: int = 0,
     sk_kmax: int = 0,
     widom_k: int = 0,
+    ptensor_bins: int = 0,
 ) -> tuple[ChainState, TSweepResults]:
     """Run the full ladder: thermalization (A doubled) + production with
     per-sweep energy traces, pooled per temperature.
@@ -247,11 +253,12 @@ def simulate_temperature_sweep(
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
     p_samples, e_at_p = [], []
-    gr_s, zp_s, sk_s, wd_s = [], [], [], []
+    gr_s, zp_s, sk_s, wd_s, pn_s, pt_s = [], [], [], [], [], []
     press_fn = _pressure_fn(cfg)
     fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
-                            widom_k=widom_k)
-                 if (gr_bins or z_bins or sk_kmax or widom_k) else None)
+                            widom_k=widom_k, ptensor_bins=ptensor_bins)
+                 if (gr_bins or z_bins or sk_kmax or widom_k
+                     or ptensor_bins) else None)
     prod_moves = np.zeros((c,), np.int64)
     done = 0
     while done < params.maxsteps:
@@ -265,7 +272,7 @@ def simulate_temperature_sweep(
         p_samples.append(fetch(press_fn(state.r, w_arr)))
         e_at_p.append(fetch(state.energy))
         if fields_fn is not None:
-            gr_b, zp_b, sk_b, wd_b = fields_fn(
+            gr_b, zp_b, sk_b, wd_b, pnt_b = fields_fn(
                 state.r, state.key, jnp.int32(done), w_arr)
             if gr_b is not None:
                 gr_s.append(fetch(gr_b))
@@ -275,6 +282,9 @@ def simulate_temperature_sweep(
                 sk_s.append(fetch(sk_b))
             if wd_b is not None:
                 wd_s.append(fetch(wd_b))
+            if pnt_b is not None:
+                pn_s.append(fetch(pnt_b[0]))
+                pt_s.append(fetch(pnt_b[1]))
         prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -305,6 +315,10 @@ def simulate_temperature_sweep(
                     if sk_s else None),
         widom_samples=(np.stack(wd_s).reshape(*shape_f, widom_k)
                        if wd_s else None),
+        ptensor_n_samples=(np.stack(pn_s).reshape(*shape_f, ptensor_bins)
+                           if pn_s else None),
+        ptensor_t_samples=(np.stack(pt_s).reshape(*shape_f, ptensor_bins)
+                           if pt_s else None),
     )
 
 
@@ -313,7 +327,8 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
-               sk_kmax: int = 0, widom_k: int = 0):
+               sk_kmax: int = 0, widom_k: int = 0,
+               ptensor_bins: int = 0):
     """Jitted per-chain field sampler: per-configuration g(r) / rho(z)
     histograms, the in-plane structure factor S(k), and/or Widom ghost
     energies for paired-sample reweighting (reweight.py). Returns
@@ -346,6 +361,14 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
             lambda ri: structure_factor(ri, cfg, n_kmax=sk_kmax)[1],
             r, cfg.n)
             if sk_kmax else None)
+        pnt = None
+        if ptensor_bins:
+            from .observables import pressure_tensor_profile
+
+            pnt = vmap_chains_bounded(
+                lambda ri: pressure_tensor_profile(
+                    ri, cfg, nbins=ptensor_bins)[1:],
+                r, cfg.n)
         wdu = None
         if widom_k:
             from .widom import widom_delta_u
@@ -360,7 +383,7 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
                 wdu = jax.vmap(
                     lambda ri, kc: widom_delta_u(
                         ri, w, cfg, kc, widom_k)[0])(r, keys)
-        return gr, zp, sk, wdu
+        return gr, zp, sk, wdu, pnt
 
     return fn
 
@@ -418,6 +441,8 @@ def pool_tsweep_across_processes(res: TSweepResults,
         zprofile_samples=cat_replicas(res.zprofile_samples),
         sk_samples=cat_replicas(res.sk_samples),
         widom_samples=cat_replicas(res.widom_samples),
+        ptensor_n_samples=cat_replicas(res.ptensor_n_samples),
+        ptensor_t_samples=cat_replicas(res.ptensor_t_samples),
     )
 
 
