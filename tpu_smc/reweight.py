@@ -470,6 +470,9 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
     zp, zp_se = avg_se("zprofile")
     sk, sk_se = avg_se("sk")
     mu, mu_se = avg_se("mu_ex")
+    pn2, _ = avg_se("pn")
+    pt2, _ = avg_se("pt")
+    gm, gm_se = avg_se("gamma")
     combined = ReweightResults(
         temps=parts[0].temps,
         mean_energy=e, cv=cv,
@@ -483,6 +486,7 @@ def reweight_disorder_ladder(res, cfg: SMCConfig, t_grid, k_real: int
         zprofile=zp, err_zprofile=zp_se,
         sk=sk, err_sk=sk_se,
         mu_ex=mu, err_mu_ex=mu_se,
+        pn=pn2, pt=pt2, gamma=gm, err_gamma=gm_se,
     )
     return combined, parts
 
