@@ -421,8 +421,13 @@ def test_reweight_gamma_surface():
     assert rw.gamma is not None and rw.gamma.shape == (2,)
     assert rw.err_gamma is not None
     # at a sampled temperature the reweighted profile ~ the level's own
-    # mean (not exact: MBAR borrows strength from the other level)
-    lvl = res.ptensor_n_samples[:, 0].mean(axis=(0, 1))
+    # mean (not exact: MBAR borrows strength from the other level). The
+    # samples are VIRIAL-only; the level average adds rho(z) * T_level —
+    # the exact point of the ideal-term fix: the ideal part must carry
+    # the LEVEL temperature, not cfg.temperature (= 1.1 here, neither
+    # level's T)
+    lvl = (res.ptensor_n_samples[:, 0].mean(axis=(0, 1))
+           + res.ptensor_rho_samples[:, 0].mean(axis=(0, 1)) * temps[0])
     scale = np.abs(lvl).mean() + 1e-4
     assert np.abs(rw.pn[0] - lvl).mean() < 0.5 * scale, (rw.pn[0], lvl)
 

@@ -455,11 +455,34 @@ def main(argv=None) -> int:
 
             if args.gcmc_grid:
                 sys.exit("--gcmc-grid does not support --resume")
-            state0, _ck_cfg = load_gcmc_checkpoint(args.resume)
+            # the checkpoint's config is authoritative, like every other
+            # resume path (cli resume rule: simulating a restored state
+            # under CLI-sized physics would be wrong)
+            state0, ck_cfg = load_gcmc_checkpoint(args.resume)
+            if (ck_cfg.n != cfg.n
+                    or ck_cfg.temperature != cfg.temperature
+                    or ck_cfg.dtype != cfg.dtype):
+                print(f"Note: resuming with the checkpoint's config "
+                      f"(N={ck_cfg.n}, T={ck_cfg.temperature}, "
+                      f"{ck_cfg.dtype}); CLI values ignored.")
+            cfg = ck_cfg
+            d = smcio.run_dir(cfg, args.data_dir)
             n_ch, cap = state0.r.shape[0], state0.r.shape[1]
             print(f"Resuming GCMC from {args.resume}: {n_ch} chain(s), "
                   f"capacity {cap} (bitwise continuation)")
+        for flag, name in ((args.widom, "--widom"),
+                           (args.gr_bins, "--gr-bins"),
+                           (args.ptensor_bins, "--ptensor-bins")):
+            if flag:
+                print(f"Note: {name} does not apply to GCMC runs; "
+                      "ignored.")
         if args.gcmc_grid:
+            if args.z_bins:
+                print("Note: --z-bins is not accumulated in isotherm "
+                      "mode (per-mu states differ); ignored.")
+            if args.checkpoint:
+                print("Note: --checkpoint is not supported in isotherm "
+                      "mode; ignored.")
             return _run_gcmc_isotherm(args, cfg, params, key, d, cap)
         print(f"Grand-canonical MC: mu = {args.gcmc:g}, capacity {cap}, "
               f"{n_ch} chain(s), "
@@ -525,6 +548,12 @@ def main(argv=None) -> int:
         if args.chains > 1:
             sys.exit("--umbrella sizes its own ensemble "
                      "(windows x --umbrella-replicas); drop --chains")
+        for flag, name in ((args.widom, "--widom"),
+                           (args.ptensor_bins, "--ptensor-bins"),
+                           (args.gcmc_grid, "--gcmc-grid")):
+            if flag:
+                print(f"Note: {name} does not apply to umbrella runs; "
+                      "ignored.")
         centers = parse_centers(args.umbrella)
         print(f"Umbrella sampling: {len(centers)} windows x "
               f"{args.umbrella_replicas} replicas, spring "

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import SMCConfig
-from .potentials import _min_image, wall_energy_force_single
+from .potentials import energy_force_single, pair_energy_force_single
+from .potentials import wall_energy_force_single
 from .sampler import _wrap_proposal
 
 
@@ -63,35 +64,14 @@ class GCMCState(NamedTuple):
 
 
 def _pair_masked(r, active, i, ri, cfg: SMCConfig):
-    """Energy of and force on a particle at `ri` from the ACTIVE set,
-    excluding slot i (pass i=-1 for a ghost). Mirrors
-    potentials.pair_energy_force_single with the mask extended by
-    `active` — parked slots can hold anything, including exact overlaps
-    (the mask is applied before 1/dr2, so no inf*0)."""
-    cap = r.shape[0]
-    d = ri[None, :] - r
-    dx = _min_image(d[:, 0], cfg.box_l)
-    dy = _min_image(d[:, 1], cfg.box_l)
-    dz = _min_image(d[:, 2], cfg.box_lz) if cfg.pbc_z else d[:, 2]
-    d = jnp.stack([dx, dy, dz], axis=-1)
-    dr2 = jnp.sum(d * d, axis=-1)
-    mask = active & (jnp.arange(cap) != i) & (dr2 < cfg.cutoff2)
-    safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
-    inv2 = 1.0 / safe
-    inv6 = inv2 * inv2 * inv2
-    inv12 = inv6 * inv6
-    u = 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0))
-    dv = (48.0 * inv12 - 24.0 * inv6) * inv2
-    f = jnp.sum(jnp.where(mask[:, None], dv[:, None] * d, 0.0), axis=0)
-    return u, f
+    """Active-subset pair energy/force: the SHARED parity-tested kernel
+    (potentials.pair_energy_force_single) with its optional active
+    mask — single-sourced LJ arithmetic, nothing re-implemented here."""
+    return pair_energy_force_single(r, i, ri, cfg, active=active)
 
 
 def _site_energy_force(r, active, i, ri, w, cfg: SMCConfig):
-    u, f = _pair_masked(r, active, i, ri, cfg)
-    if cfg.use_walls:
-        uw, fw = wall_energy_force_single(ri, w, cfg)
-        u, f = u + uw, f + fw
-    return u, f
+    return energy_force_single(r, i, ri, w, cfg, active=active)
 
 
 def total_energy_masked(r, active, w, cfg: SMCConfig) -> jax.Array:
@@ -190,10 +170,15 @@ def gc_sweep(
             r2 = r.at[slot].set(jnp.where(ok, gi, r[slot]))
             act2 = active.at[slot].set(active[slot] | ok)
             e2 = energy + jnp.where(ok, du, jnp.zeros((), dtype))
-            # the attempt doubles as a Widom ghost sample (nan/overflow
-            # -> hard overlap -> weight 0)
-            bw = jnp.exp(-du / t)
-            bw = jnp.where(jnp.isfinite(bw), bw, jnp.zeros((), dtype))
+            # the attempt doubles as a Widom ghost sample. Only a
+            # genuine overlap (du = +inf -> exp -> 0, or nan) has
+            # weight 0; a DEEP well overflowing exp must clamp to a
+            # large finite weight, not vanish — mapping overflow to 0
+            # would delete exactly the highest-weight samples and bias
+            # mu_ex upward at strong adsorption.
+            lw = -du / t
+            bw = jnp.exp(jnp.minimum(lw, jnp.asarray(80.0, dtype)))
+            bw = jnp.where(jnp.isnan(lw), jnp.zeros((), dtype), bw)
             return (r2, act2, e2, ia + ok.astype(jnp.int32),
                     it + jnp.int32(1), da, dt, bs + bw,
                     bc + jnp.int32(1))
@@ -291,14 +276,24 @@ def _with_n(cfg: SMCConfig, cap: int) -> SMCConfig:
     return dataclasses.replace(cfg, n=cap)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "n_exchange"))
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "n_exchange",
+                                   "z_bins"))
 def gc_block(state: GCMCState, w, cfg: SMCConfig, mu, a, n_sweeps: int,
-             n_exchange: int):
-    """n_sweeps GC sweeps as one compiled scan; traces (N, E) per sweep."""
+             n_exchange: int, z_bins: int = 0):
+    """n_sweeps GC sweeps as one compiled scan; traces (N, E[, z-hist])
+    per sweep — the density profile accumulates over EVERY production
+    sweep like the NVT drivers' --z-bins, not from one snapshot."""
 
     def body(st, _):
         st = gc_sweep(st, w, cfg, mu, a, n_exchange)
-        return st, (jnp.sum(st.active).astype(jnp.int32), st.energy)
+        if z_bins:
+            zb = jnp.clip(((st.r[:, 2] / cfg.box_lz + 0.5)
+                           * z_bins).astype(jnp.int32), 0, z_bins - 1)
+            h = jnp.zeros((z_bins,), jnp.float32).at[zb].add(
+                st.active.astype(jnp.float32))
+        else:
+            h = jnp.zeros((0,), jnp.float32)
+        return st, (jnp.sum(st.active).astype(jnp.int32), st.energy, h)
 
     return jax.lax.scan(body, state, None, length=n_sweeps)
 
@@ -372,10 +367,17 @@ def simulate_gcmc(
         w = pairs[0][1]
 
     run = jax.jit(jax.vmap(
-        lambda st, m: gc_block(st, w, cfg_cap, m, a, chunk, n_exchange)),
+        lambda st, m: gc_block(st, w, cfg_cap, m, a, chunk, n_exchange,
+                               z_bins=z_bins)),
         static_argnums=())
-    resync = jax.jit(jax.vmap(
-        lambda r, act: total_energy_masked(r, act, w, cfg_cap)))
+    # O(cap^2) per-chain recompute: HBM-bounded like every other pair
+    # observable (CLAUDE.md: a whole-ensemble vmap materializes
+    # [C, cap, cap] and OOMs at production sizes)
+    from .observables import vmap_chains_bounded
+
+    resync = jax.jit(lambda r, act: vmap_chains_bounded(
+        lambda ra: total_energy_masked(ra[0], ra[1], w, cfg_cap),
+        (r, act), cap))
 
     def do(state, n_sweeps, collect):
         traces = []
@@ -385,7 +387,8 @@ def simulate_gcmc(
             if k != chunk:
                 st_tr = jax.jit(jax.vmap(
                     lambda st, m: gc_block(st, w, cfg_cap, m, a, k,
-                                           n_exchange)))(state, mus)
+                                           n_exchange,
+                                           z_bins=z_bins)))(state, mus)
             else:
                 st_tr = run(state, mus)
             state, tr = st_tr
@@ -415,13 +418,11 @@ def simulate_gcmc(
 
     chain_n = n_tr.mean(axis=0) if n_tr.size else np.zeros(n_chains)
     zp = None
-    if z_bins:
-        z = np.asarray(state.r[..., 2])
-        act = np.asarray(state.active)
-        lz = cfg.box_lz
-        b = np.clip(((z / lz + 0.5) * z_bins).astype(int), 0, z_bins - 1)
-        zp = np.bincount(b[act], minlength=z_bins).astype(float)
-        zp /= (cfg.box_l ** 2 * (lz / z_bins) * max(1, n_chains))
+    if z_bins and traces:
+        # per-sweep histograms [C, S, nb] -> production mean density
+        h = np.concatenate([t[2] for t in traces], axis=1)
+        zp = h.mean(axis=(0, 1)) / (cfg.box_l ** 2
+                                    * (cfg.box_lz / z_bins))
 
     def rate(acc, att):
         acc = int(np.asarray(acc).sum())

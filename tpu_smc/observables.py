@@ -270,7 +270,8 @@ def radial_distribution(
 
 
 def pressure_tensor_profile(
-    r: jnp.ndarray, cfg: SMCConfig, nbins: int = 64
+    r: jnp.ndarray, cfg: SMCConfig, nbins: int = 64,
+    include_ideal: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Normal/tangential pressure profile P_N(z), P_T(z) across the slab
     (Harasima midpoint convention: each unique pair's virial lands in
@@ -322,9 +323,15 @@ def pressure_tensor_profile(
     pn, pt = jax.vmap(row)(jnp.arange(n))
     pn = 0.5 * jnp.sum(pn, axis=0)        # unique pairs
     pt = 0.5 * jnp.sum(pt, axis=0)
+    centers = -lz / 2 + dzb * (jnp.arange(nbins) + 0.5)
+    if not include_ideal:
+        # VIRIAL-ONLY parts: ladder mode samples these and adds
+        # rho(z; T') * T' after MBAR reweighting — baking cfg.temperature
+        # in here would stamp the ideal term at the wrong T for every
+        # non-base level (reweight.py, same pattern as the scalar P(T))
+        return centers, pn / vb, pt / (2.0 * vb)
     _, rho_b = z_density_profile(r, cfg, nbins=nbins)
     ideal = rho_b * t
-    centers = -lz / 2 + dzb * (jnp.arange(nbins) + 0.5)
     return centers, ideal + pn / vb, ideal + pt / (2.0 * vb)
 
 

@@ -74,7 +74,8 @@ def _pair_displacements(ri: jnp.ndarray, R: jnp.ndarray, cfg: SMCConfig):
 
 
 def pair_energy_force_single(
-    R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, cfg: SMCConfig
+    R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, cfg: SMCConfig,
+    active: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Energy of and force on a particle at position `ri`, excluding index i.
 
@@ -83,11 +84,19 @@ def pair_energy_force_single(
     evaluation); the reference handles that by writing the proposal into Rn
     first (SMC.c:311-319) — here it is just an argument.
 
+    `active` ([N] bool, optional): restrict the pair sum to a subset —
+    the grand-canonical engine's capacity slots (gcmc.py). The mask is
+    applied BEFORE 1/dr2, so parked slots may hold anything, including
+    exact overlaps. A Python-level branch: active=None callers keep
+    their original jaxpr (compile caches untouched).
+
     Returns (U, F[3]).
     """
     n = R.shape[0]
     d, dr2 = _pair_displacements(ri, R, cfg)
     mask = (dr2 < cfg.cutoff2) & (jnp.arange(n) != i)
+    if active is not None:
+        mask = mask & active
     # Guard: masked lanes get a safe distance so 1/dr2 never produces inf/nan.
     safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
     inv2 = 1.0 / safe
@@ -284,14 +293,16 @@ def wall_virial_pressure(
 # ----------------------------------------------------------------------
 
 def energy_force_single(
-    R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, W: jnp.ndarray, cfg: SMCConfig
+    R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, W: jnp.ndarray,
+    cfg: SMCConfig, active: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """U and F for particle i at position ri: pair + wall terms.
 
     Mirrors the four calls per evaluation in oneParticleMoves
-    (SMC.c:300-304, 319-321) as one fused function.
+    (SMC.c:300-304, 319-321) as one fused function. `active`: optional
+    subset mask (see pair_energy_force_single).
     """
-    u, f = pair_energy_force_single(R, i, ri, cfg)
+    u, f = pair_energy_force_single(R, i, ri, cfg, active=active)
     if cfg.use_walls:
         uw, fw = wall_energy_force_single(ri, W, cfg)
         u = u + uw

@@ -322,7 +322,8 @@ def simulate_parallel_tempering(
         moves = np.zeros((c,), np.int64)
         samples = []
         p_samples, e_at_p = [], []
-        gr_s, zp_s, sk_s, wd_s, pn_s, pt_s = [], [], [], [], [], []
+        gr_s, zp_s, sk_s, wd_s, pn_s, pt_s, pr_s = \
+            [], [], [], [], [], [], []
         press_fn = _pressure_fn(cfg) if collect else None
         fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
                                 widom_k=widom_k,
@@ -354,6 +355,7 @@ def simulate_parallel_tempering(
                     if pnt_b is not None:
                         pn_s.append(fetch(pnt_b[0]))
                         pt_s.append(fetch(pnt_b[1]))
+                        pr_s.append(fetch(pnt_b[2]))
             return st._replace(accepted=jnp.zeros_like(st.accepted))
 
         def take(stats):
@@ -401,7 +403,8 @@ def simulate_parallel_tempering(
                 acc += fetch(a_blk).astype(np.int64)
                 att += fetch(t_blk).astype(np.int64)
         return (state, acc, att, samples, moves,
-                (p_samples, e_at_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s),
+                (p_samples, e_at_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s,
+                 pr_s),
                 cycle0 + cycles)
 
     # Thermalization: A doubled (SMC.c:110,125); exchanges run too (they
@@ -425,7 +428,7 @@ def simulate_parallel_tempering(
 
     lapse = max(1, params.gather_lapse)
     state, acc, att, samples, prod_moves, \
-        (p_s, e_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s), _ = \
+        (p_s, e_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s, pr_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
                   lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
@@ -464,7 +467,9 @@ def simulate_parallel_tempering(
         ptensor_n_samples=(np.stack(pn_s).reshape(
             -1, n_t, chains_per_t, ptensor_bins) if pn_s else None),
         ptensor_t_samples=(np.stack(pt_s).reshape(
-            -1, n_t, chains_per_t, ptensor_bins) if pt_s else None))
+            -1, n_t, chains_per_t, ptensor_bins) if pt_s else None),
+        ptensor_rho_samples=(np.stack(pr_s).reshape(
+            -1, n_t, chains_per_t, ptensor_bins) if pr_s else None))
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

@@ -328,11 +328,13 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
     wd_s = getattr(ts, "widom_samples", None)
     pn_s = getattr(ts, "ptensor_n_samples", None)
     pt_s = getattr(ts, "ptensor_t_samples", None)
+    pr_s = getattr(ts, "ptensor_rho_samples", None)
     have_gr = gr_s is not None and e_p is not None and gr_s.size > 0
     have_zp = zp_s is not None and e_p is not None and zp_s.size > 0
     have_sk = sk_s is not None and e_p is not None and sk_s.size > 0
     have_wd = wd_s is not None and e_p is not None and wd_s.size > 0
     have_pt2 = (pn_s is not None and pt_s is not None
+                and pr_s is not None
                 and e_p is not None and pn_s.size > 0)
     t_grid = np.atleast_1d(np.asarray(t_grid, np.float64))
     ideal = cfg.rho * t_grid   # ideal-gas term, like data.csv (SMC.c:207)
@@ -365,10 +367,18 @@ def reweight_from_ladder(res, cfg: SMCConfig, t_grid,
                 split(wd_s, idx), split(e_p, idx), ts.temps, t_grid)
             out = out._replace(mu_ex=mus)
         if have_pt2:
+            # virial-only parts reweight as paired fields; the ideal
+            # term is rho(z; T') * T' — the TARGET temperature, exactly
+            # like the scalar P(T) adds rho*t_grid after reweighting
             pn_g = reweight_paired_field(
                 split(e_p, idx), split(pn_s, idx), ts.temps, t_grid)
             pt_g = reweight_paired_field(
                 split(e_p, idx), split(pt_s, idx), ts.temps, t_grid)
+            rho_g = reweight_paired_field(
+                split(e_p, idx), split(pr_s, idx), ts.temps, t_grid)
+            ideal_z = rho_g * t_grid[:, None]
+            pn_g = ideal_z + pn_g
+            pt_g = ideal_z + pt_g
             dz = cfg.box_lz / pn_g.shape[1]
             out = out._replace(
                 pn=pn_g, pt=pt_g,
@@ -422,6 +432,7 @@ def subset_ladder_replicas(res, sl):
         widom_samples=cut(ts.widom_samples),
         ptensor_n_samples=cut(ts.ptensor_n_samples),
         ptensor_t_samples=cut(ts.ptensor_t_samples),
+        ptensor_rho_samples=cut(ts.ptensor_rho_samples),
     )
 
 

@@ -55,11 +55,14 @@ class TSweepResults(NamedTuple):
     # paired in-plane structure-factor samples [B, T, chains_per_t,
     # shells] (sk_kmax > 0) -> continuous S(k; T) via MBAR
     sk_samples: np.ndarray | None = None
-    # paired pressure-tensor profiles [B, T, chains_per_t, nb]
-    # (ptensor_bins > 0) -> P_N(z;T)/P_T(z;T) and the wall tension
-    # gamma(T) via MBAR (reweight.py)
+    # paired pressure-tensor samples [B, T, chains_per_t, nb]
+    # (ptensor_bins > 0): VIRIAL-ONLY P_N/P_T parts plus the matching
+    # rho(z) histograms — reweight.py reassembles
+    # P(z;T') = rho(z;T') T' + virial(z;T') so the ideal term carries
+    # the TARGET temperature, and integrates the wall tension gamma(T)
     ptensor_n_samples: np.ndarray | None = None
     ptensor_t_samples: np.ndarray | None = None
+    ptensor_rho_samples: np.ndarray | None = None
     # paired Widom ghost energies [B, T, chains_per_t, widom_k]
     # (widom_k > 0): both the configuration weight AND the insertion
     # factor reweight exactly to any T' (widom.mu_ex_reweighted), giving
@@ -253,7 +256,7 @@ def simulate_temperature_sweep(
     chunk_g = max(lapse, (chunk // lapse) * lapse)
     e_samples = []
     p_samples, e_at_p = [], []
-    gr_s, zp_s, sk_s, wd_s, pn_s, pt_s = [], [], [], [], [], []
+    gr_s, zp_s, sk_s, wd_s, pn_s, pt_s, pr_s = [], [], [], [], [], [], []
     press_fn = _pressure_fn(cfg)
     fields_fn = (_fields_fn(cfg, gr_bins, z_bins, sk_kmax,
                             widom_k=widom_k, ptensor_bins=ptensor_bins)
@@ -285,6 +288,7 @@ def simulate_temperature_sweep(
             if pnt_b is not None:
                 pn_s.append(fetch(pnt_b[0]))
                 pt_s.append(fetch(pnt_b[1]))
+                pr_s.append(fetch(pnt_b[2]))
         prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
@@ -319,6 +323,9 @@ def simulate_temperature_sweep(
                            if pn_s else None),
         ptensor_t_samples=(np.stack(pt_s).reshape(*shape_f, ptensor_bins)
                            if pt_s else None),
+        ptensor_rho_samples=(np.stack(pr_s).reshape(*shape_f,
+                                                    ptensor_bins)
+                             if pr_s else None),
     )
 
 
@@ -367,8 +374,13 @@ def _fields_fn(cfg: SMCConfig, gr_bins: int, z_bins: int,
 
             pnt = vmap_chains_bounded(
                 lambda ri: pressure_tensor_profile(
-                    ri, cfg, nbins=ptensor_bins)[1:],
+                    ri, cfg, nbins=ptensor_bins,
+                    include_ideal=False)[1:],
                 r, cfg.n)
+            rho_p = jax.vmap(
+                lambda ri: z_density_profile(
+                    ri, cfg, nbins=ptensor_bins)[1])(r)
+            pnt = (pnt[0], pnt[1], rho_p)
         wdu = None
         if widom_k:
             from .widom import widom_delta_u
@@ -443,6 +455,7 @@ def pool_tsweep_across_processes(res: TSweepResults,
         widom_samples=cat_replicas(res.widom_samples),
         ptensor_n_samples=cat_replicas(res.ptensor_n_samples),
         ptensor_t_samples=cat_replicas(res.ptensor_t_samples),
+        ptensor_rho_samples=cat_replicas(res.ptensor_rho_samples),
     )
 
 
