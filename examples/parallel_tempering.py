@@ -8,7 +8,7 @@ reference's zero-communication replica model cannot express. On TPU the
 sweeps run through the Pallas whole-sweep kernel with per-chain (A, T)
 rows (sampler="pallas"); exchange itself is a handful of vector ops.
 
-    python examples/parallel_tempering.py
+    python examples/parallel_tempering.py [--platform cpu]
 """
 
 import sys
@@ -17,6 +17,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if "--platform" in sys.argv:
+    jax.config.update("jax_platforms",
+                      sys.argv[sys.argv.index("--platform") + 1])
 import numpy as np
 
 from tpu_smc.config import RunParams, SMCConfig

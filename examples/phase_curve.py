@@ -11,7 +11,7 @@
 Every stage runs on-device; the reference would need one process per
 temperature and could do neither the exchanges nor the reweighting.
 
-    python examples/phase_curve.py
+    python examples/phase_curve.py [--platform cpu]
 """
 
 import sys
@@ -20,6 +20,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if "--platform" in sys.argv:
+    jax.config.update("jax_platforms",
+                      sys.argv[sys.argv.index("--platform") + 1])
 import numpy as np
 
 from tpu_smc.config import RunParams, SMCConfig

@@ -4,7 +4,7 @@ Every temperature in the ladder runs as vmapped replica chains inside a
 single compiled ensemble (tpu_smc/tsweep.py) — no per-T recompilation,
 no per-T process invocations (the reference needs one run per T).
 
-    python examples/temperature_sweep.py
+    python examples/temperature_sweep.py [--platform cpu]
 """
 
 import sys
@@ -13,6 +13,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if "--platform" in sys.argv:
+    jax.config.update("jax_platforms",
+                      sys.argv[sys.argv.index("--platform") + 1])
 import numpy as np
 
 from tpu_smc.config import RunParams, SMCConfig
