@@ -88,6 +88,10 @@ def test_gcmc_dilute_matches_ideal_gas():
                                  n_chains=4)
     assert abs(res.mean_n - target) < 4 * res.err_n + 0.05 * target, \
         (res.mean_n, res.err_n)
+    # dilute limit: Poisson number statistics -> kappa_T = 1/(rho T)
+    ideal_k = 1.0 / (res.mean_density * t)
+    assert abs(res.kappa_t - ideal_k) < 0.25 * ideal_k, \
+        (res.kappa_t, ideal_k)
 
 
 @pytest.mark.slow

@@ -502,6 +502,11 @@ def main(argv=None) -> int:
               f"{gres.disp_acceptance:0.4f} / "
               f"{gres.insert_acceptance:0.4f} / "
               f"{gres.delete_acceptance:0.4f}")
+        if np.isfinite(gres.kappa_t):
+            print(f"Isothermal compressibility (number fluctuations): "
+                  f"kappa_T = {gres.kappa_t:0.6g}  "
+                  f"(ideal-gas 1/(rho T) = "
+                  f"{1.0 / max(gres.mean_density * cfg.temperature, 1e-12):0.6g})")
         if np.isfinite(gres.mu_ex) and gres.mean_density > 0:
             mu_back = (cfg.temperature * np.log(gres.mean_density)
                        + gres.mu_ex)

@@ -316,6 +316,12 @@ class GCMCResults(NamedTuple):
     # by the CLI as an in-run self-consistency check. Shared-mu runs
     # only (per-chain-mu isotherms pool chains at different states).
     mu_ex: float = float("nan")
+    # isothermal compressibility from the number fluctuations,
+    # kappa_T = V <dN^2> / (T <N>^2) — the grand-canonical route to a
+    # quantity the reference cannot touch (NVT fixes N). The trace is
+    # correlated, so this is a point estimate; dilute limit is Poisson
+    # (<dN^2> = <N> -> kappa_T = 1/(rho T), pinned in test_gcmc).
+    kappa_t: float = float("nan")
 
 
 def simulate_gcmc(
@@ -433,6 +439,11 @@ def simulate_gcmc(
     bcnt = int(np.asarray(state.boltz_cnt).sum())
     mu_ex_run = (-cfg.temperature * np.log(bsum / bcnt)
                  if bcnt and bsum > 0 else float("nan"))
+    if n_tr.size and n_tr.mean() > 0:
+        kappa = (box_volume(cfg) * float(n_tr.var())
+                 / (cfg.temperature * float(n_tr.mean()) ** 2))
+    else:
+        kappa = float("nan")
 
     res = GCMCResults(
         mean_n=float(chain_n.mean()),
@@ -449,6 +460,7 @@ def simulate_gcmc(
         r_final=np.asarray(state.r),
         active_final=np.asarray(state.active),
         mu_ex=mu_ex_run,
+        kappa_t=kappa,
     )
     return state, res
 
