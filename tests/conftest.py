@@ -106,6 +106,7 @@ QUICK_EXCLUDE = {
     "test_gcmc_isotherm_cli",
     "test_gcmc_checkpoint_resume_bitwise",
     "test_pressure_profile_bulk_isotropy",    # 35 s statistical
+    "test_gcmc_gr_matches_nvt_at_same_density",   # 60 s statistical
 }
 
 

@@ -110,8 +110,11 @@ def test_widom_gcmc_closed_loop():
     t, rho = 2.0, 0.15
     cfg = SMCConfig.bulk(n=32, temperature=t, rho=rho, dtype="float32")
     st, w = init_ensemble_state(cfg, jax.random.key(5), n_chains=8)
+    # fluid-scale mobility: the bulk reference A=4e-8 leaves the lattice
+    # frozen, and mu_ex must be measured on the melted fluid
     opts = ObservableOptions(pressure=False, clusters=False,
-                             collect_sweep_trace=False, widom_k=64)
+                             collect_sweep_trace=False, widom_k=64,
+                             proposal_a=0.1)
     st, nvt = simulate_ensemble(
         cfg, RunParams(eqsteps=150, maxsteps=700, numdata=140), st, w,
         opts=opts, max_fault_retries=0)
@@ -202,3 +205,49 @@ def test_gcmc_checkpoint_resume_bitwise():
     np.testing.assert_array_equal(np.asarray(st_a.r), np.asarray(st_c.r))
     np.testing.assert_array_equal(np.asarray(st_a.active),
                                   np.asarray(st_c.active))
+
+
+@pytest.mark.slow
+def test_gcmc_gr_matches_nvt_at_same_density():
+    """Ensemble equivalence: the grand-canonical pair structure at <rho>
+    equals the canonical structure at the same density (well-sampled
+    bins, statistical tolerance). Also pins the pair-weighted g(r)
+    normalization for fluctuating N."""
+    import jax.numpy as jnp
+
+    from tpu_smc.config import RunParams
+    from tpu_smc.driver import ObservableOptions
+    from tpu_smc.driver_ensemble import simulate_ensemble
+    from tpu_smc.observables import radial_distribution
+    from tpu_smc.state import init_ensemble_state
+
+    t, rho = 2.0, 0.15
+    cfg = SMCConfig.bulk(n=32, temperature=t, rho=rho, dtype="float32")
+    # mu tuned so <N> lands near 32 (the NVT comparison point must be
+    # FCC-friendly: arbitrary N degenerates the reference lattice
+    # builder in a cubic box — the same trap init_gcmc_state dodges)
+    mu = t * math.log(rho) - 0.54
+    st, res = gcmc.simulate_gcmc(cfg, mu, cap=64, eqsteps=250,
+                                 maxsteps=900, key=jax.random.key(4),
+                                 n_chains=6, gr_bins=24)
+    assert res.gr is not None and res.gr.shape == (24,)
+    n_match = 32
+    assert abs(res.mean_n - n_match) < 3.0, res.mean_n  # same state
+
+    cfg_n = cfg  # same N=32 box: identical geometry and normalization
+    stn, w = init_ensemble_state(cfg_n, jax.random.key(5), n_chains=6)
+    # the bulk variant's reference mobility is A=4e-8 (frozen on NVT
+    # timescales — GCMC melts via exchanges instead); give the NVT
+    # comparison a fluid-scale mobility so its lattice actually melts
+    opts = ObservableOptions(pressure=False, clusters=False,
+                             collect_sweep_trace=False, gr_bins=24,
+                             proposal_a=0.1)
+    stn, nvt = simulate_ensemble(
+        cfg_n, RunParams(eqsteps=250, maxsteps=900, numdata=180), stn,
+        w, opts=opts, max_fault_retries=0)
+
+    ok = (nvt.gr > 0.2) & (res.gr > 0.2)   # well-sampled shells
+    assert ok.sum() >= 8
+    diff = np.abs(res.gr[ok] - nvt.gr[ok])
+    assert diff.mean() < 0.12, (res.gr[ok], nvt.gr[ok])
+    assert diff.max() < 0.35, (res.gr[ok], nvt.gr[ok])

@@ -471,7 +471,6 @@ def main(argv=None) -> int:
             print(f"Resuming GCMC from {args.resume}: {n_ch} chain(s), "
                   f"capacity {cap} (bitwise continuation)")
         for flag, name in ((args.widom, "--widom"),
-                           (args.gr_bins, "--gr-bins"),
                            (args.ptensor_bins, "--ptensor-bins")):
             if flag:
                 print(f"Note: {name} does not apply to GCMC runs; "
@@ -493,7 +492,7 @@ def main(argv=None) -> int:
             0 if state0 is not None else params.eqsteps,
             params.maxsteps, key,
             n_chains=n_ch, n_exchange=args.gcmc_exchanges,
-            z_bins=args.z_bins, state0=state0)
+            z_bins=args.z_bins, gr_bins=args.gr_bins, state0=state0)
         print("\n###  Grand-canonical results  ###")
         print(f"Mean N: {gres.mean_n:f} ± {gres.err_n:f} "
               f"(density {gres.mean_density:g})")
@@ -522,6 +521,13 @@ def main(argv=None) -> int:
                                          centers, gres.zprofile,
                                          "z, density")
             print(f"Density profile written to {zp}")
+        if gres.gr is not None and args.gr_bins:
+            rmax = (cfg.lj_cutoff if cfg.lj_cutoff < cfg.box_l / 2
+                    else cfg.box_l / 2)
+            centers = (np.arange(args.gr_bins) + 0.5) * rmax / args.gr_bins
+            gp = smcio.write_profile_csv(d, cfg, "gcmc_gr", centers,
+                                         gres.gr, "r, g")
+            print(f"g(r) written to {gp}")
         if args.checkpoint:
             from .gcmc import save_gcmc_checkpoint
 

@@ -276,13 +276,37 @@ def _with_n(cfg: SMCConfig, cap: int) -> SMCConfig:
     return dataclasses.replace(cfg, n=cap)
 
 
+def _masked_gr_hist(r, active, cfg: SMCConfig, nbins: int):
+    """Pair-distance histogram over ACTIVE pairs (min-image like
+    radial_distribution), [nbins] counts + the active pair count —
+    normalization happens on the host over the whole trace."""
+    cap = r.shape[0]
+    rmax = (cfg.lj_cutoff if cfg.lj_cutoff < cfg.box_l / 2
+            else cfg.box_l / 2)
+    d = r[:, None, :] - r[None, :, :]
+    dx = d[..., 0] - cfg.box_l * jnp.round(d[..., 0] / cfg.box_l)
+    dy = d[..., 1] - cfg.box_l * jnp.round(d[..., 1] / cfg.box_l)
+    dz = d[..., 2]
+    if cfg.pbc_z:
+        dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
+    dr = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    iu = jnp.triu_indices(cap, k=1)
+    pair_ok = (active[iu[0]] & active[iu[1]]).astype(jnp.float32)
+    b = jnp.clip((dr[iu] / rmax * nbins).astype(jnp.int32), 0, nbins)
+    hist = jnp.zeros((nbins + 1,), jnp.float32).at[b].add(
+        pair_ok)[:nbins]
+    n = jnp.sum(active).astype(jnp.float32)
+    return hist, n * (n - 1.0) / 2.0
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_sweeps", "n_exchange",
-                                   "z_bins"))
+                                   "z_bins", "gr_bins"))
 def gc_block(state: GCMCState, w, cfg: SMCConfig, mu, a, n_sweeps: int,
-             n_exchange: int, z_bins: int = 0):
-    """n_sweeps GC sweeps as one compiled scan; traces (N, E[, z-hist])
-    per sweep — the density profile accumulates over EVERY production
-    sweep like the NVT drivers' --z-bins, not from one snapshot."""
+             n_exchange: int, z_bins: int = 0, gr_bins: int = 0):
+    """n_sweeps GC sweeps as one compiled scan; traces
+    (N, E[, z-hist][, gr-hist, n-pairs]) per sweep — profiles accumulate
+    over EVERY production sweep like the NVT drivers' bins, not from one
+    snapshot."""
 
     def body(st, _):
         st = gc_sweep(st, w, cfg, mu, a, n_exchange)
@@ -293,7 +317,13 @@ def gc_block(state: GCMCState, w, cfg: SMCConfig, mu, a, n_sweeps: int,
                 st.active.astype(jnp.float32))
         else:
             h = jnp.zeros((0,), jnp.float32)
-        return st, (jnp.sum(st.active).astype(jnp.int32), st.energy, h)
+        if gr_bins:
+            gh, npr = _masked_gr_hist(st.r, st.active, cfg, gr_bins)
+        else:
+            gh = jnp.zeros((0,), jnp.float32)
+            npr = jnp.zeros((), jnp.float32)
+        return st, (jnp.sum(st.active).astype(jnp.int32), st.energy, h,
+                    gh, npr)
 
     return jax.lax.scan(body, state, None, length=n_sweeps)
 
@@ -309,6 +339,7 @@ class GCMCResults(NamedTuple):
     n_trace: np.ndarray     # [sweeps, C]
     energy_trace: np.ndarray
     zprofile: np.ndarray | None
+    gr: np.ndarray | None
     r_final: np.ndarray
     active_final: np.ndarray
     # mu_ex from the insertion attempts themselves (Widom-for-free);
@@ -335,6 +366,7 @@ def simulate_gcmc(
     n_exchange: int | None = None,
     n0: int | None = None,
     z_bins: int = 0,
+    gr_bins: int = 0,
     chunk: int = 200,
     state0: GCMCState | None = None,
 ) -> Tuple[GCMCState, GCMCResults]:
@@ -374,7 +406,7 @@ def simulate_gcmc(
 
     run = jax.jit(jax.vmap(
         lambda st, m: gc_block(st, w, cfg_cap, m, a, chunk, n_exchange,
-                               z_bins=z_bins)),
+                               z_bins=z_bins, gr_bins=gr_bins)),
         static_argnums=())
     # O(cap^2) per-chain recompute: HBM-bounded like every other pair
     # observable (CLAUDE.md: a whole-ensemble vmap materializes
@@ -392,9 +424,9 @@ def simulate_gcmc(
             k = min(chunk, n_sweeps - done)
             if k != chunk:
                 st_tr = jax.jit(jax.vmap(
-                    lambda st, m: gc_block(st, w, cfg_cap, m, a, k,
-                                           n_exchange,
-                                           z_bins=z_bins)))(state, mus)
+                    lambda st, m: gc_block(
+                        st, w, cfg_cap, m, a, k, n_exchange,
+                        z_bins=z_bins, gr_bins=gr_bins)))(state, mus)
             else:
                 st_tr = run(state, mus)
             state, tr = st_tr
@@ -429,6 +461,21 @@ def simulate_gcmc(
         h = np.concatenate([t[2] for t in traces], axis=1)
         zp = h.mean(axis=(0, 1)) / (cfg.box_l ** 2
                                     * (cfg.box_lz / z_bins))
+    gr = None
+    if gr_bins and traces:
+        # pair-weighted g(r): sum of pair histograms over the whole
+        # trace, normalized by the summed active-pair counts per shell
+        # (the fluctuating-N generalization of V/(N(N-1)/2) * h/shell)
+        gh = np.concatenate([t[3] for t in traces],
+                            axis=1).sum(axis=(0, 1))
+        npr = float(np.concatenate([t[4] for t in traces],
+                                   axis=1).sum())
+        rmax = (cfg.lj_cutoff if cfg.lj_cutoff < cfg.box_l / 2
+                else cfg.box_l / 2)
+        edges = np.linspace(0.0, rmax, gr_bins + 1)
+        shell = (4.0 / 3.0) * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+        v = box_volume(cfg)
+        gr = (gh / max(npr, 1.0)) * v / shell
 
     def rate(acc, att):
         acc = int(np.asarray(acc).sum())
@@ -457,6 +504,7 @@ def simulate_gcmc(
         n_trace=n_tr,
         energy_trace=e_tr,
         zprofile=zp,
+        gr=gr,
         r_final=np.asarray(state.r),
         active_final=np.asarray(state.active),
         mu_ex=mu_ex_run,
