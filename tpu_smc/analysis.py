@@ -998,7 +998,8 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
                                            skip_header=2))
         if rows.size:
             zpf = _ranked("gcmc_zprofile")
-            n_panels = 3 if zpf.exists() else 2
+            grf = _ranked("gcmc_gr")
+            n_panels = 2 + int(zpf.exists()) + int(grf.exists())
             fig, axes = plt.subplots(1, n_panels,
                                      figsize=(4.2 * n_panels, 3.4))
             axes[0].plot(rows[:, 0], rows[:, 1], lw=0.8)
@@ -1015,12 +1016,21 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             axes[1].plot(rows[:, 0], rows[:, 2], lw=0.8, color="C1")
             axes[1].set_xlabel("GC sweep")
             axes[1].set_ylabel("E")
+            pax = 2
             if zpf.exists():
                 zp = np.atleast_2d(np.genfromtxt(zpf, delimiter=",",
                                                  skip_header=1))
-                axes[2].plot(zp[:, 0], zp[:, 1], lw=1, color="C2")
-                axes[2].set_xlabel("z")
-                axes[2].set_ylabel("density")
+                axes[pax].plot(zp[:, 0], zp[:, 1], lw=1, color="C2")
+                axes[pax].set_xlabel("z")
+                axes[pax].set_ylabel("density")
+                pax += 1
+            if grf.exists():
+                gdat = np.atleast_2d(np.genfromtxt(grf, delimiter=",",
+                                                   skip_header=1))
+                axes[pax].plot(gdat[:, 0], gdat[:, 1], lw=1, color="C3")
+                axes[pax].axhline(1.0, color="gray", lw=0.6, ls=":")
+                axes[pax].set_xlabel("r")
+                axes[pax].set_ylabel("g(r)")
             fig.suptitle(f"grand-canonical {run.key}")
             fig.tight_layout()
             p = out / f"gcmc_{run.key}.png"
