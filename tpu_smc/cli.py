@@ -483,6 +483,12 @@ def main(argv=None) -> int:
                 print("Note: --checkpoint is not supported in isotherm "
                       "mode; ignored.")
             return _run_gcmc_isotherm(args, cfg, params, key, d, cap)
+        if cfg.pbc_z and cfg.proposal_a < 1e-4:
+            print("Note: the bulk reference mobility (A = 4e-8, "
+                  "SMC_noMPI_noWall.c) freezes displacements — GCMC "
+                  "mixing then comes entirely from insertion/deletion "
+                  "turnover. Pass --gamma (e.g. --gamma 0.05) for "
+                  "fluid-scale displacement moves.")
         print(f"Grand-canonical MC: mu = {args.gcmc:g}, capacity {cap}, "
               f"{n_ch} chain(s), "
               f"{args.gcmc_exchanges or max(1, cap // 4)} exchange "
