@@ -51,7 +51,7 @@ def pytest_configure(config):
 QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
-    "test_umbrella", "test_widom", "test_gcmc",
+    "test_umbrella", "test_widom", "test_gcmc", "test_npt",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -107,6 +107,9 @@ QUICK_EXCLUDE = {
     "test_gcmc_checkpoint_resume_bitwise",
     "test_pressure_profile_bulk_isotropy",    # 35 s statistical
     "test_gcmc_gr_matches_nvt_at_same_density",   # 60 s statistical
+    # npt statistical end-to-ends (60-90 s each):
+    "test_nvt_npt_closed_loop",
+    "test_volume_fluctuation_dissipation",
 }
 
 

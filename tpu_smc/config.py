@@ -64,6 +64,16 @@ class SMCConfig:
     lj_cutoff: float = 3.0       # sigma units; reference TRUNCATE=1 path
     # Bulk variant uses cutoff^2 = L^2/4 (SMC_noMPI_noWall.c:519); set
     # lj_cutoff = box_l / 2 to reproduce.
+    # Truncated-and-SHIFTED pair potential: subtract u(rc) inside the
+    # cutoff so u is continuous at rc. The reference is truncated-
+    # unshifted (SMC.c:578 just drops the pair), which carries an
+    # impulsive delta-force at rc that the force-only virial misses —
+    # fine for NVT parity, but the NPT engine equilibrates against the
+    # TRUE mechanical pressure, so constant-P runs default this on
+    # (npt.py; the NVT<->NPT closed-loop test quantifies the ~0.12
+    # pressure gap at rho=0.3, rc=1.8). Forces are unchanged; the XLA
+    # engine only — the Pallas kernels assert it off.
+    lj_shift: bool = False
 
     # --- wall statistics (main.c:74-77) ---
     wall_x0_mean: float = 1.6
@@ -184,9 +194,12 @@ class SMCConfig:
         """
         l = (n / rho) ** (1.0 / 3.0)
         kw.setdefault("gamma", 4e-8 / temperature)
+        # rc defaults to the reference's L/2; NPT runs pass a smaller
+        # fixed cutoff (npt.py needs compression headroom below L0)
+        kw.setdefault("lj_cutoff", l / 2.0)
         return cls(
             n=n, box_l=l, box_lz=l, temperature=temperature,
-            use_walls=False, pbc_z=True, lj_cutoff=l / 2.0, **kw,
+            use_walls=False, pbc_z=True, **kw,
         )
 
 

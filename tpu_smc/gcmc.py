@@ -221,6 +221,22 @@ def gc_sweep(
     )
 
 
+def cubic_grid(cfg: SMCConfig, n0: int) -> np.ndarray:
+    """Never-overlapping simple-cubic start: ceil(n0^(1/3))^3 sites
+    sized to the box, first n0 taken. Shared by the GCMC and NPT
+    engines, whose arbitrary (n, box) combinations degenerate the
+    reference FCC builder (see init_gcmc_state)."""
+    import math
+
+    m = max(1, math.ceil(n0 ** (1.0 / 3.0)))
+    ax_xy = (np.arange(m) + 0.5) / m * cfg.box_l - cfg.box_l / 2.0
+    zspan = cfg.box_lz if cfg.pbc_z else max(cfg.box_lz - 2.0, 1.0)
+    ax_z = (np.arange(m) + 0.5) / m * zspan - zspan / 2.0
+    grid = np.stack(np.meshgrid(ax_xy, ax_xy, ax_z,
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid[:n0]
+
+
 def init_gcmc_state(cfg: SMCConfig, key: jax.Array, cap: int,
                     n0: int | None = None) -> Tuple[GCMCState, jax.Array]:
     """Start from n0 active particles (default cap//2) on a simple-cubic
@@ -233,21 +249,13 @@ def init_gcmc_state(cfg: SMCConfig, key: jax.Array, cap: int,
     grid never overlaps; equilibration erases the init anyway. Parked
     slots repeat active positions; they are masked out of all physics
     until an insertion overwrites them."""
-    import math
-
     from .state import init_chain_state
 
     cfg_cap = _with_n(cfg, cap)
     n0 = cap // 2 if n0 is None else n0
     if not 0 < n0 <= cap:
         raise ValueError(f"n0 ({n0}) must be in (0, cap={cap}]")
-    m = max(1, math.ceil(n0 ** (1.0 / 3.0)))
-    ax_xy = (np.arange(m) + 0.5) / m * cfg.box_l - cfg.box_l / 2.0
-    zspan = cfg.box_lz if cfg.pbc_z else max(cfg.box_lz - 2.0, 1.0)
-    ax_z = (np.arange(m) + 0.5) / m * zspan - zspan / 2.0
-    grid = np.stack(np.meshgrid(ax_xy, ax_xy, ax_z,
-                                indexing="ij"), axis=-1).reshape(-1, 3)
-    r0 = grid[:n0]
+    r0 = cubic_grid(cfg, n0)
     # keys/wall table from the standard initializer, grid positions
     chain, w = init_chain_state(_with_n(cfg, n0), key, r0=r0)
     reps = -(-cap // n0)

@@ -897,6 +897,9 @@ def pallas_sweep_block(
     Returns (x, y, z, e, energy_trace [S, C], accept_trace [S, C])."""
     n_pad, c = x.shape
     assert c % c_tile == 0, (c, c_tile)
+    assert not cfg.lj_shift, (
+        "the Pallas kernels implement the reference's truncated-"
+        "unshifted LJ; shifted-potential runs (NPT) use the XLA engine")
     per_chain_at = a_row is not None
     assert per_chain_at == (invt_row is not None), \
         "a_row and invt_row must be passed together"

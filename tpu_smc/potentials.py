@@ -59,12 +59,24 @@ def wrap_xy(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def _pair_displacements(ri: jnp.ndarray, R: jnp.ndarray, cfg: SMCConfig):
+def _pair_displacements(ri: jnp.ndarray, R: jnp.ndarray, cfg: SMCConfig,
+                        box: jnp.ndarray | None = None):
     """Displacements ri - R[l] with min-image in x,y (and z if pbc_z).
 
     ri: [3], R: [N,3] -> d: [N,3], dr2: [N]
+
+    `box` (optional TRACED scalar): side of a CUBIC fully-periodic box
+    overriding the static cfg dims — the constant-pressure engine's
+    per-chain fluctuating volume (npt.py). A Python-level branch:
+    box=None callers keep their original jaxpr (compile caches
+    untouched). Requires cfg.pbc_z (bulk only).
     """
     d = ri[None, :] - R
+    if box is not None:
+        assert cfg.pbc_z, "traced box override is bulk-only (cubic PBC)"
+        d = _min_image(d, box)
+        dr2 = jnp.sum(d * d, axis=-1)
+        return d, dr2
     dx = _min_image(d[:, 0], cfg.box_l)
     dy = _min_image(d[:, 1], cfg.box_l)
     dz = _min_image(d[:, 2], cfg.box_lz) if cfg.pbc_z else d[:, 2]
@@ -76,6 +88,7 @@ def _pair_displacements(ri: jnp.ndarray, R: jnp.ndarray, cfg: SMCConfig):
 def pair_energy_force_single(
     R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, cfg: SMCConfig,
     active: jnp.ndarray | None = None,
+    box: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Energy of and force on a particle at position `ri`, excluding index i.
 
@@ -90,10 +103,18 @@ def pair_energy_force_single(
     exact overlaps. A Python-level branch: active=None callers keep
     their original jaxpr (compile caches untouched).
 
+    `box` (optional TRACED scalar): cubic bulk box side overriding the
+    static cfg dims (constant-pressure engine, npt.py). The cutoff
+    stays the STATIC cfg.lj_cutoff — a volume-dependent cutoff would
+    make the potential itself a function of V and bias the NPT ensemble
+    (measured: rho off by 8.5% vs the NVT virial closed loop); the NPT
+    volume move enforces box >= 2*lj_cutoff by rejection
+    (npt.volume_move), so min-image + fixed rc stay valid.
+
     Returns (U, F[3]).
     """
     n = R.shape[0]
-    d, dr2 = _pair_displacements(ri, R, cfg)
+    d, dr2 = _pair_displacements(ri, R, cfg, box=box)
     mask = (dr2 < cfg.cutoff2) & (jnp.arange(n) != i)
     if active is not None:
         mask = mask & active
@@ -103,13 +124,21 @@ def pair_energy_force_single(
     inv6 = inv2 * inv2 * inv2
     inv12 = inv6 * inv6
     u = 4.0 * jnp.sum(jnp.where(mask, inv12 - inv6, 0.0))
+    if cfg.lj_shift:
+        # truncated-and-shifted: subtract u(rc) per in-cutoff pair so u
+        # is continuous at rc (see the cfg.lj_shift comment). Forces
+        # are untouched; u(rc) is a Python-level constant.
+        rc6 = cfg.cutoff2 ** 3
+        u_rc = 4.0 * (1.0 / (rc6 * rc6) - 1.0 / rc6)
+        u = u - u_rc * jnp.sum(mask.astype(inv6.dtype))
     # (-dV/dr)/r = 48 r^-14 - 24 r^-8   (SMC.c:611)
     dv = (48.0 * inv12 - 24.0 * inv6) * inv2
     f = jnp.sum(jnp.where(mask[:, None], dv[:, None] * d, 0.0), axis=0)
     return u, f
 
 
-def pair_energy_total(R: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
+def pair_energy_total(R: jnp.ndarray, cfg: SMCConfig,
+                      box: jnp.ndarray | None = None) -> jnp.ndarray:
     """Total pair energy, all unique pairs (energy, SMC.c:626-646).
 
     Above N=4096 the row pass is chunked (lax.map batches of 2048) so the
@@ -122,7 +151,7 @@ def pair_energy_total(R: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     n = R.shape[0]
 
     def row(i):
-        return pair_energy_force_single(R, i, R[i], cfg)[0]
+        return pair_energy_force_single(R, i, R[i], cfg, box=box)[0]
 
     if n <= 4096:
         u_rows = jax.vmap(row)(jnp.arange(n))
@@ -131,20 +160,24 @@ def pair_energy_total(R: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
     return 0.5 * jnp.sum(u_rows)
 
 
-def pair_virial_pressure(R: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
+def pair_virial_pressure(R: jnp.ndarray, cfg: SMCConfig,
+                         box: jnp.ndarray | None = None) -> jnp.ndarray:
     """Virial pair pressure -sum(24 r^-6 - 48 r^-12)/(3 L^2 Lz)
-    (pressure, SMC.c:696-720)."""
+    (pressure, SMC.c:696-720). `box`: traced cubic side override, rc
+    stays static (npt.py; see pair_energy_force_single)."""
     n = R.shape[0]
 
     def row(i):
-        _, dr2 = _pair_displacements(R[i], R, cfg)
+        _, dr2 = _pair_displacements(R[i], R, cfg, box=box)
         mask = (dr2 < cfg.cutoff2) & (jnp.arange(n) != i)
         safe = jnp.where(mask, dr2, jnp.ones_like(dr2))
         inv6 = 1.0 / (safe * safe * safe)
         return jnp.sum(jnp.where(mask, 24.0 * inv6 - 48.0 * inv6 * inv6, 0.0))
 
     p = 0.5 * jnp.sum(jax.vmap(row)(jnp.arange(n)))
-    return -p / (3.0 * cfg.box_l * cfg.box_l * cfg.box_lz)
+    vol = (cfg.box_l * cfg.box_l * cfg.box_lz if box is None
+           else box * box * box)
+    return -p / (3.0 * vol)
 
 
 # ----------------------------------------------------------------------
@@ -295,15 +328,18 @@ def wall_virial_pressure(
 def energy_force_single(
     R: jnp.ndarray, i: jnp.ndarray, ri: jnp.ndarray, W: jnp.ndarray,
     cfg: SMCConfig, active: jnp.ndarray | None = None,
+    box: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """U and F for particle i at position ri: pair + wall terms.
 
     Mirrors the four calls per evaluation in oneParticleMoves
     (SMC.c:300-304, 319-321) as one fused function. `active`: optional
-    subset mask (see pair_energy_force_single).
+    subset mask; `box`: traced cubic bulk box side, NPT engine (see
+    pair_energy_force_single).
     """
-    u, f = pair_energy_force_single(R, i, ri, cfg, active=active)
+    u, f = pair_energy_force_single(R, i, ri, cfg, active=active, box=box)
     if cfg.use_walls:
+        assert box is None, "traced box override is bulk-only"
         uw, fw = wall_energy_force_single(ri, W, cfg)
         u = u + uw
         f = f + fw

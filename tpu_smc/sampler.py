@@ -47,9 +47,16 @@ class SweepStats(NamedTuple):
     accepted: jax.Array  # int32: accepted moves in this sweep (0..N)
 
 
-def _wrap_proposal(rp: jax.Array, cfg: SMCConfig) -> jax.Array:
+def _wrap_proposal(rp: jax.Array, cfg: SMCConfig,
+                   box: jax.Array | None = None) -> jax.Array:
     """Periodic wrap of a proposed position: x,y always (SMC.c:315-316);
-    z only in the bulk variant (SMC_noMPI_noWall.c wraps all axes)."""
+    z only in the bulk variant (SMC_noMPI_noWall.c wraps all axes).
+
+    `box`: traced cubic bulk box side overriding the static cfg dims
+    (the NPT engine's fluctuating volume, npt.py)."""
+    if box is not None:
+        assert cfg.pbc_z, "traced box override is bulk-only"
+        return rp - box * jnp.round(rp / box)
     l = cfg.box_l
     x = rp[0] - l * jnp.round(rp[0] / l)
     y = rp[1] - l * jnp.round(rp[1] / l)
@@ -69,6 +76,7 @@ def sweep(
     offset: jax.Array | None = None,
     temperature: float | jax.Array | None = None,
     umbrella: tuple | None = None,
+    box: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One SMC sweep over all N particles (oneParticleMoves, SMC.c:278-351).
 
@@ -97,6 +105,10 @@ def sweep(
     were). The carried `energy` stays the PHYSICAL U: the common
     exp(-beta U) factor cancels sample-wise in the umbrella MBAR, which
     therefore needs only b_k(z_m).
+
+    `box` (bulk only): traced cubic box side overriding the static cfg
+    dims — the constant-pressure engine's per-chain volume (npt.py).
+    Python-level branch: box=None callers keep their exact jaxpr.
 
     Returns (r, energy, key, n_accepted).
     """
@@ -138,7 +150,7 @@ def sweep(
         ri = r[i]
 
         # Current-state energy and force on particle i (SMC.c:300-304)
-        um, fm = energy_force_single(r, i, ri, w, cfg)
+        um, fm = energy_force_single(r, i, ri, w, cfg, box=box)
 
         # Force-biased proposal (SMC.c:307-313). The acceptance uses the
         # UNWRAPPED displacement while the energy/force use the wrapped
@@ -147,10 +159,10 @@ def sweep(
         # row is indexed by PARTICLE id like the reference's displ[3n]
         # (matters in reference_noise mode, where rows are correlated).
         delta = fm * (a / t) + noise[i]
-        rp = _wrap_proposal(ri + delta, cfg)
+        rp = _wrap_proposal(ri + delta, cfg, box=box)
 
         # Proposal-state energy and force (SMC.c:319-321)
-        un, fn = energy_force_single(r, i, rp, w, cfg)
+        un, fn = energy_force_single(r, i, rp, w, cfg, box=box)
 
         # Smart-MC correction dW = (|Fn|^2 - |Fm|^2) A/(4T), written in the
         # reference's numerically-expanded form (SMC.c:326-327).
