@@ -107,9 +107,13 @@ QUICK_EXCLUDE = {
     "test_gcmc_checkpoint_resume_bitwise",
     "test_pressure_profile_bulk_isotropy",    # 35 s statistical
     "test_gcmc_gr_matches_nvt_at_same_density",   # 60 s statistical
-    # npt statistical end-to-ends (60-90 s each):
+    # npt statistical/end-to-end (the unit physics stays quick):
     "test_nvt_npt_closed_loop",
     "test_volume_fluctuation_dissipation",
+    "test_npt_cli_isobar_grid",          # ~20 s statistical CLI drive
+    "test_npt_cli_run_and_resume",       # ~12 s subprocess drive
+    "test_checkpoint_resume_bitwise",    # ~16 s driver end-to-end
+    "test_isobar_family_runs_per_chain_pressures",  # ~8 s statistical
 }
 
 

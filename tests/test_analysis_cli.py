@@ -177,6 +177,31 @@ def test_pt_swap_acceptance_panel(run_dir, tmp_path):
     assert any(p.name == f"pt_{key}.png" for p in written)
 
 
+def test_npt_panels(run_dir, tmp_path):
+    """npt_*.csv / npt_isobar_*.csv beside the run artifacts get the
+    constant-pressure trace and equation-of-state panels."""
+    from tpu_smc.analysis import load_run, render_all
+
+    key = run_dir.name.replace("data_", "")
+    (run_dir / f"npt_{key}.csv").write_text(
+        "# P, 0.700000000, mean_density, 0.310000000, err_density, "
+        "0.002, mean_V, 103.2, E, -46.5, H_conf, 25.7, kappa_T, 0.86, "
+        "acc_disp, 0.40, acc_vol, 0.71\n"
+        "sweep, V_mean, rho_mean, E_mean\n"
+        "0, 104.1, 0.307, -45.9\n"
+        "1, 102.8, 0.311, -46.8\n")
+    (run_dir / f"npt_gr_{key}.csv").write_text(
+        "r, g\n0.5, 0.01\n1.1, 2.3\n1.7, 0.9\n")
+    (run_dir / f"npt_isobar_{key}.csv").write_text(
+        "P, rho_mean, rho_err, V_mean, kappa_T\n"
+        "0.300000, 0.155, 0.004, 212.7, 3.44\n"
+        "0.700000, 0.305, 0.003, 105.8, 0.40\n")
+    written = render_all(load_run(run_dir), tmp_path / "plots")
+    names = {p.name for p in written}
+    assert f"npt_{key}.png" in names
+    assert f"npt_isobar_{key}.png" in names
+
+
 def test_structure_factor_panel(run_dir, tmp_path):
     """--box enables the in-plane S(k) panel from position snapshots."""
     from tpu_smc.analysis import load_run, render_all

@@ -189,6 +189,57 @@ def test_checkpoint_resume_bitwise(tmp_path):
                                       np.asarray(getattr(st_c, f)), f)
 
 
+def _run_cli(tmp_path, *extra, timeout=500):
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "tpu_smc", *extra, "--platform", "cpu",
+         "--data-dir", str(tmp_path / "Data")],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=timeout)
+
+
+def test_npt_cli_run_and_resume(tmp_path):
+    """--npt: full CLI drive — implied --bulk, results block, npt_*.csv
+    + npt_gr_*.csv, checkpoint written and resumable."""
+    common = ["2.0", "--npt", "0.7", "--n", "16", "--rho", "0.25",
+              "--gamma", "0.02", "--chains", "2", "--seed", "5",
+              "--gr-bins", "16"]
+    proc = _run_cli(tmp_path, "60", "120", "20", *common,
+                    "--checkpoint", str(tmp_path / "ck.npz"))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Constant-pressure results" in proc.stdout
+    assert "--bulk implied" in proc.stdout
+    f = next((tmp_path / "Data").glob("*/npt_N16_*.csv"))
+    rows = np.genfromtxt(f, delimiter=",", skip_header=2)
+    assert rows.shape == (120, 4) and np.isfinite(rows).all()
+    assert next((tmp_path / "Data").glob("*/npt_gr_N16_*.csv"))
+    proc2 = _run_cli(tmp_path, "0", "40", "10", *common,
+                     "--resume", str(tmp_path / "ck.npz"))
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "Resuming NPT" in proc2.stdout
+
+
+def test_npt_cli_isobar_grid(tmp_path):
+    """--npt-grid: the compiled equation-of-state family; monotone
+    rho(P) and a well-formed npt_isobar CSV."""
+    proc = _run_cli(tmp_path, "250", "500", "40", "2.0",
+                    "--npt-grid", "0.3:2.5:3", "--n", "16", "--rho",
+                    "0.25", "--gamma", "0.02", "--chains", "2",
+                    "--seed", "9")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Equation of state" in proc.stdout
+    f = next((tmp_path / "Data").glob("*/npt_isobar_*.csv"))
+    rows = np.genfromtxt(f, delimiter=",", skip_header=1)
+    assert rows.shape == (3, 5)
+    assert np.all(np.diff(rows[:, 1]) > 0), rows[:, 1]  # rho rises in P
+
+
 # ---------------------------------------------------------------------
 # statistical end-to-ends (full suite only — excluded from `quick`)
 # ---------------------------------------------------------------------

@@ -1038,6 +1038,69 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Constant-pressure equation of state (--npt-grid): rho(P) with the
+    # volume-fluctuation compressibility on a twin axis
+    nif = run.run_dir / f"npt_isobar_{run.key}.csv"
+    if nif.exists():
+        rows = np.atleast_2d(np.genfromtxt(nif, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(5.2, 3.8))
+            ax.errorbar(rows[:, 0], rows[:, 1], yerr=rows[:, 2],
+                        marker="o", ms=3, lw=1, capsize=2)
+            ax.set_xlabel("P")
+            ax.set_ylabel("rho")
+            if rows.shape[1] > 4:
+                ax2 = ax.twinx()
+                ax2.plot(rows[:, 0], rows[:, 4], marker="s", ms=2.5,
+                         lw=0.8, color="C3", alpha=0.8)
+                ax2.set_ylabel("kappa_T", color="C3")
+            fig.suptitle(f"equation of state {run.key}")
+            fig.tight_layout()
+            p = out / f"npt_isobar_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
+    # Constant-pressure run (npt.write_npt_csv): V(t)/E(t) traces with
+    # the imposed P and <rho> from the header; g(r) when collected
+    npf = run.run_dir / f"npt_{run.key}.csv"
+    if npf.exists():
+        rows = np.atleast_2d(np.genfromtxt(npf, delimiter=",",
+                                           skip_header=2))
+        if rows.size:
+            grf = run.run_dir / f"npt_gr_{run.key}.csv"
+            n_panels = 2 + int(grf.exists())
+            fig, axes = plt.subplots(1, n_panels,
+                                     figsize=(4.2 * n_panels, 3.4))
+            axes[0].plot(rows[:, 0], rows[:, 2], lw=0.8)
+            try:
+                head = npf.read_text().splitlines()[0].split(",")
+                p_v, mean_rho = float(head[1]), float(head[3])
+                axes[0].axhline(mean_rho, color="gray", lw=0.6, ls=":",
+                                label=f"<rho>={mean_rho:0.3f} @ P={p_v:g}")
+                axes[0].legend(fontsize=8)
+            except (ValueError, IndexError):
+                pass
+            axes[0].set_xlabel("NPT sweep")
+            axes[0].set_ylabel("rho")
+            axes[1].plot(rows[:, 0], rows[:, 3], lw=0.8, color="C1")
+            axes[1].set_xlabel("NPT sweep")
+            axes[1].set_ylabel("E")
+            if grf.exists():
+                gdat = np.atleast_2d(np.genfromtxt(grf, delimiter=",",
+                                                   skip_header=1))
+                axes[2].plot(gdat[:, 0], gdat[:, 1], lw=1, color="C3")
+                axes[2].axhline(1.0, color="gray", lw=0.6, ls=":")
+                axes[2].set_xlabel("r (x <L>)")
+                axes[2].set_ylabel("g(r)")
+            fig.suptitle(f"constant-pressure {run.key}")
+            fig.tight_layout()
+            p = out / f"npt_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Umbrella-sampling PMF (umbrella.write_umbrella_csv): the MBAR-
     # unbiased F(z) with its replica-bootstrap band
     upf = run.run_dir / f"umbrella_pmf_{run.key}.csv"

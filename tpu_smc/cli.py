@@ -95,6 +95,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "program (the mu axis rides the chain batch). "
                         "Writes gcmc_isotherm_*.csv. Negative mu needs "
                         "the = form: --gcmc-grid=-9:-6:7")
+    p.add_argument("--npt", type=float, default=None, metavar="P",
+                   help="constant-pressure mode (bulk; implies --bulk): "
+                        "sample the volume at external pressure P — each "
+                        "sweep is one smart-MC displacement pass plus one "
+                        "lnV volume move (the reference is strictly NVT). "
+                        "Prints <rho>/<V>/enthalpy/kappa_T and writes "
+                        "npt_*.csv; --gr-bins adds g(r) pooled in reduced "
+                        "separation. eqsteps/maxsteps count NPT sweeps")
+    p.add_argument("--npt-grid", default=None, metavar="P1:P2:K",
+                   help="equation of state: K pressures (inclusive "
+                        "linspace, or a comma list) x --chains replicas, "
+                        "ALL as one compiled program (the isobar axis "
+                        "rides the chain batch). Writes npt_isobar_*.csv")
+    p.add_argument("--npt-dlnv", type=float, default=0.1, metavar="D",
+                   help="max lnV volume step (default 0.1)")
+    p.add_argument("--rho", type=float, default=None,
+                   help="bulk number density (default 0.1, "
+                        "SMC_noMPI_noWall.c:77); sets the box (NVT/GCMC) "
+                        "or the starting box (NPT)")
+    p.add_argument("--lj-cutoff", type=float, default=None, metavar="RC",
+                   help="pair cutoff (default: 3.0 with walls, L/2 bulk "
+                        "— the reference conventions). NPT needs "
+                        "RC < L0/2 (volume moves reject boxes below "
+                        "2*RC); its default is min(2.5, 0.45 L0)")
     p.add_argument("--sk-kmax", type=int, default=0, metavar="K",
                    help="with --temperatures + --reweight: sample the "
                         "in-plane structure factor S(k) up to the (K, K) "
@@ -352,11 +376,17 @@ def main(argv=None) -> int:
     from .system import build_walls, fcc_lattice
 
     resume_state = None
-    # GCMC checkpoints carry an active mask + exchange counters; the
-    # gcmc branch loads them itself (load_gcmc_checkpoint), and the run
-    # config is built from the CLI args like a fresh run.
+    # GCMC/NPT checkpoints carry their own extra state (active mask /
+    # fluctuating box + dedicated key streams); those branches load them
+    # themselves, and the run config is built from the CLI args like a
+    # fresh run.
     _gcmc_mode = args.gcmc is not None or args.gcmc_grid
-    if args.resume and not _gcmc_mode:
+    _npt_mode = args.npt is not None or args.npt_grid
+    if _npt_mode and not args.bulk:
+        print("Note: --npt is a bulk mode (the volume move rescales a "
+              "cubic periodic box); --bulk implied.")
+        args.bulk = True
+    if args.resume and not (_gcmc_mode or _npt_mode):
         # The checkpoint's config is authoritative for a resumed chain —
         # simulating a [N_ck] state under CLI-sized physics would be wrong.
         resume_state, cfg = smcio.load_checkpoint(args.resume)
@@ -367,6 +397,20 @@ def main(argv=None) -> int:
         gkw = {} if args.gamma is None else {"gamma": args.gamma}
         if args.nonuniform_z:
             gkw["nonuniform_z"] = True
+        if args.lj_cutoff is not None:
+            gkw["lj_cutoff"] = args.lj_cutoff
+        if args.rho is not None:
+            if not args.bulk:
+                sys.exit("--rho sets the bulk box; it needs --bulk "
+                         "(the slab geometry is fixed by --n/--m)")
+            gkw["rho"] = args.rho
+        if _npt_mode:
+            # NPT equilibrates against the true mechanical pressure:
+            # truncated-and-shifted potential, and a fixed cutoff with
+            # compression headroom below the starting box (npt.py)
+            gkw["lj_shift"] = True
+            l0 = (args.n / gkw.get("rho", 0.1)) ** (1.0 / 3.0)
+            gkw.setdefault("lj_cutoff", min(2.5, 0.45 * l0))
         if args.bulk:
             cfg = SMCConfig.bulk(n=args.n, temperature=args.temperature,
                                  dtype=args.dtype, **gkw)
@@ -435,9 +479,9 @@ def main(argv=None) -> int:
     if args.gcmc is not None or args.gcmc_grid:
         from .gcmc import box_volume, simulate_gcmc, write_gcmc_csv
 
-        if args.temperatures or args.umbrella:
+        if args.temperatures or args.umbrella or _npt_mode:
             sys.exit("--gcmc is its own run mode (no --temperatures/"
-                     "--umbrella)")
+                     "--umbrella/--npt)")
         if args.gcmc is not None and args.gcmc_grid:
             sys.exit("--gcmc and --gcmc-grid are exclusive")
         if nproc > 1:
@@ -539,6 +583,80 @@ def main(argv=None) -> int:
 
             ck = save_gcmc_checkpoint(args.checkpoint, gstate, cfg)
             print(f"Full GCMC state checkpointed to {ck}")
+        return 0
+
+    if _npt_mode:
+        from .npt import (load_npt_checkpoint, save_npt_checkpoint,
+                          simulate_npt, write_npt_csv)
+
+        if args.temperatures or args.umbrella:
+            sys.exit("--npt is its own run mode (no --temperatures/"
+                     "--umbrella)")
+        if args.npt is not None and args.npt_grid:
+            sys.exit("--npt and --npt-grid are exclusive")
+        if nproc > 1:
+            sys.exit("--npt is single-process (scale with --chains)")
+        if args.target_acceptance:
+            sys.exit("--npt does not support --target-acceptance yet")
+        for flag, name in ((args.widom, "--widom"),
+                           (args.ptensor_bins, "--ptensor-bins"),
+                           (args.z_bins, "--z-bins")):
+            if flag:
+                print(f"Note: {name} does not apply to NPT runs; "
+                      "ignored.")
+        if cfg.proposal_a < 1e-4:
+            print("Note: the bulk reference mobility (A = 4e-8, "
+                  "SMC_noMPI_noWall.c) freezes displacements — NPT "
+                  "mixing then comes entirely from volume moves. Pass "
+                  "--gamma (e.g. --gamma 0.05) for fluid-scale "
+                  "displacement moves.")
+        n_ch = args.chains
+        state0 = None
+        if args.resume:
+            if args.npt_grid:
+                sys.exit("--npt-grid does not support --resume")
+            state0, ck_cfg = load_npt_checkpoint(args.resume)
+            if (ck_cfg.n != cfg.n
+                    or ck_cfg.temperature != cfg.temperature
+                    or ck_cfg.dtype != cfg.dtype):
+                print(f"Note: resuming with the checkpoint's config "
+                      f"(N={ck_cfg.n}, T={ck_cfg.temperature}, "
+                      f"{ck_cfg.dtype}); CLI values ignored.")
+            cfg = ck_cfg
+            d = smcio.run_dir(cfg, args.data_dir)
+            n_ch = state0.r.shape[0]
+            print(f"Resuming NPT from {args.resume}: {n_ch} chain(s) "
+                  "(bitwise continuation)")
+        if args.npt_grid:
+            return _run_npt_isobars(args, cfg, params, key, d)
+        v_floor = (2.0 * cfg.lj_cutoff) ** 3
+        print(f"Constant-pressure MC: P = {args.npt:g}, {n_ch} "
+              f"chain(s), dlnV {args.npt_dlnv:g}, rc {cfg.lj_cutoff:g} "
+              f"(hard volume floor {v_floor:g}), starting box "
+              f"{cfg.box_l:g}^3")
+        nstate, nres = simulate_npt(
+            cfg, args.npt,
+            0 if state0 is not None else params.eqsteps,
+            params.maxsteps, key, n_chains=n_ch, dlnv=args.npt_dlnv,
+            gr_bins=args.gr_bins, state0=state0)
+        print("\n###  Constant-pressure results  ###")
+        print(f"Mean density: {nres.mean_density:f} ± "
+              f"{nres.err_density:f}  (<V> = {nres.mean_v:f})")
+        print(f"Mean potential energy: {nres.mean_energy:f}  "
+              f"(configurational enthalpy {nres.enthalpy:f})")
+        if np.isfinite(nres.kappa_t):
+            ideal = 1.0 / max(nres.mean_density * cfg.temperature, 1e-12)
+            print(f"Isothermal compressibility (volume fluctuations): "
+                  f"kappa_T = {nres.kappa_t:0.6g}  "
+                  f"(ideal-gas 1/(rho T) = {ideal:0.6g})")
+        print(f"Acceptance (displace/volume): "
+              f"{nres.disp_acceptance:0.4f} / "
+              f"{nres.vol_acceptance:0.4f}")
+        path = write_npt_csv(d, cfg, args.npt, nres)
+        print(f"Written to {path}")
+        if args.checkpoint:
+            ck = save_npt_checkpoint(args.checkpoint, nstate, cfg)
+            print(f"Full NPT state checkpointed to {ck}")
         return 0
 
     if args.umbrella:
@@ -1089,6 +1207,68 @@ def _run_gcmc_isotherm(args, cfg, params, key, d, cap):
             f.write(f"{mu:0.6f}, {n_mean[i]:0.6f}, {n_err[i]:0.6f}, "
                     f"{n_mean[i] / v:0.9f}\n")
     print(f"\nWritten to {p}")
+    return 0
+
+
+def _run_npt_isobars(args, cfg, params, key, d):
+    """--npt-grid: the whole P -> rho(P) equation of state as ONE
+    compiled ensemble (per-chain pressure; --chains replicas per grid
+    point — npt.simulate_npt broadcasts the pressure vector)."""
+    import numpy as np
+
+    from . import io as smcio
+    from .npt import simulate_npt
+
+    spec = args.npt_grid
+    if ":" in spec:
+        pieces = spec.split(":")
+        if len(pieces) != 3:
+            sys.exit(f"bad pressure grid spec {spec!r} "
+                     "(want P1:P2:K or a comma list)")
+        lo, hi, num = float(pieces[0]), float(pieces[1]), int(pieces[2])
+        if num < 1:
+            sys.exit("pressure grid needs K >= 1")
+        grid = np.linspace(lo, hi, num)
+    else:
+        grid = np.asarray([float(v) for v in spec.split(",")],
+                          np.float64)
+    if (grid <= 0).any():
+        sys.exit("pressures must be positive")
+    reps = max(1, args.chains)
+    p_c = np.repeat(grid, reps)
+    print(f"Equation of state: {len(grid)} pressures x {reps} "
+          f"replicas, one compiled ensemble (dlnV {args.npt_dlnv:g}, "
+          f"rc {cfg.lj_cutoff:g}, starting box {cfg.box_l:g}^3)")
+    _, res = simulate_npt(
+        cfg, p_c, params.eqsteps, params.maxsteps, key,
+        n_chains=len(p_c), dlnv=args.npt_dlnv)
+    # per-point stats: group the [S, C] traces back into (K, reps)
+    v_tr = res.volume_trace
+    rho_chain = (cfg.n / v_tr).mean(axis=0).reshape(len(grid), reps)
+    rho_mean = rho_chain.mean(axis=1)
+    rho_err = (rho_chain.std(axis=1) / np.sqrt(max(1, reps - 1))
+               if reps > 1 else np.zeros(len(grid)))
+    v_grp = v_tr.reshape(v_tr.shape[0], len(grid), reps)
+    v_mean = v_grp.mean(axis=(0, 2))
+    kappa = (v_grp.var(axis=(0, 2))
+             / (cfg.temperature * np.maximum(v_mean, 1e-12)))
+    print("\n###  Equation of state  ###")
+    print("P         rho        +-err     <V>        kappa_T")
+    for i, p in enumerate(grid):
+        print(f"{p:8.4f}  {rho_mean[i]:9.6f}  {rho_err[i]:8.6f}  "
+              f"{v_mean[i]:9.3f}  {kappa[i]:9.5f}")
+    v_floor = (2.0 * cfg.lj_cutoff) ** 3
+    if v_mean.min() < 1.3 * v_floor:
+        print(f"WARNING: <V> within 30% of the hard volume floor "
+              f"{v_floor:g} — the top of the isobar is compressed "
+              "against 2*rc; rerun with a smaller --lj-cutoff")
+    path = smcio._fname(d, "npt_isobar", cfg)
+    with open(path, "w") as f:
+        f.write("P, rho_mean, rho_err, V_mean, kappa_T\n")
+        for i, p in enumerate(grid):
+            f.write(f"{p:0.6f}, {rho_mean[i]:0.9f}, {rho_err[i]:0.9f}, "
+                    f"{v_mean[i]:0.6f}, {kappa[i]:0.9f}\n")
+    print(f"\nWritten to {path}")
     return 0
 
 
