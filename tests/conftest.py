@@ -114,6 +114,8 @@ QUICK_EXCLUDE = {
     "test_npt_cli_run_and_resume",       # ~12 s subprocess drive
     "test_checkpoint_resume_bitwise",    # ~16 s driver end-to-end
     "test_isobar_family_runs_per_chain_pressures",  # ~8 s statistical
+    "test_isobar_reweight_self_consistent",         # ~10 s statistical
+    "test_isobar_reweight_matches_direct_offgrid",  # ~60 s statistical
 }
 
 

@@ -196,6 +196,11 @@ def test_npt_panels(run_dir, tmp_path):
         "P, rho_mean, rho_err, V_mean, kappa_T\n"
         "0.300000, 0.155, 0.004, 212.7, 3.44\n"
         "0.700000, 0.305, 0.003, 105.8, 0.40\n")
+    (run_dir / f"npt_reweight_{key}.csv").write_text(
+        "P, rho, V_mean, kappa_T, H_conf, ess\n"
+        "0.300000, 0.155, 212.7, 3.44, 20.1, 4000.0\n"
+        "0.500000, 0.240, 133.3, 1.10, 22.0, 5200.0\n"
+        "0.700000, 0.305, 105.8, 0.40, 25.7, 4100.0\n")
     written = render_all(load_run(run_dir), tmp_path / "plots")
     names = {p.name for p in written}
     assert f"npt_{key}.png" in names

@@ -189,6 +189,52 @@ def test_checkpoint_resume_bitwise(tmp_path):
                                       np.asarray(getattr(st_c, f)), f)
 
 
+def test_isobar_reweight_self_consistent():
+    """MBAR over the pressure axis evaluated AT a sampled pressure
+    reproduces that group's direct average (the pooled estimator is
+    consistent); ESS is healthy on the ladder and collapses on a wild
+    extrapolation."""
+    cfg = bulk_cfg(n=16, rho=0.25)
+    ps = np.repeat([0.5, 1.4], 3)     # 2 states x 3 replicas
+    _, res = npt.simulate_npt(cfg, pressure=ps, eqsteps=400,
+                              maxsteps=800, key=jax.random.key(3),
+                              n_chains=6, dlnv=0.12, chunk=400)
+    rw = npt.reweight_isobars(res.energy_trace, res.volume_trace, ps,
+                              cfg.temperature, [0.5, 1.4, 8.0], cfg.n)
+    direct = (cfg.n / res.volume_trace).mean(axis=0)
+    rho_05 = direct[:3].mean()
+    rho_14 = direct[3:].mean()
+    assert rw.rho[0] == pytest.approx(rho_05, rel=0.05)
+    assert rw.rho[1] == pytest.approx(rho_14, rel=0.05)
+    m = res.volume_trace.size
+    assert rw.ess[0] > 0.1 * m and rw.ess[1] > 0.1 * m
+    # P=8 is far outside the bracket: the ESS must collapse RELATIVE to
+    # the ladder points (an absolute floor is wrong here — the V >= (2
+    # rc)^3 hard wall squeezes the high-P volume distribution, so even
+    # a wild extrapolation keeps weight on the many floor-adjacent
+    # samples; measured ~10% of M)
+    assert rw.ess[2] < 0.3 * min(rw.ess[0], rw.ess[1])
+    assert rw.f_k[0] == 0.0 and len(rw.p_k) == 2
+
+
+def test_isobar_reweight_matches_direct_offgrid():
+    """The MBAR rho at an off-grid pressure matches a direct NPT run
+    there (the continuous-EOS claim, statistical)."""
+    cfg = bulk_cfg(n=16, rho=0.25)
+    grid = np.repeat([0.45, 0.8, 1.5], 6)
+    _, res = npt.simulate_npt(cfg, pressure=grid, eqsteps=1200,
+                              maxsteps=2500, key=jax.random.key(12),
+                              n_chains=18, dlnv=0.12, chunk=250)
+    rw = npt.reweight_isobars(res.energy_trace, res.volume_trace, grid,
+                              cfg.temperature, [1.1], cfg.n)
+    _, direct = npt.simulate_npt(cfg, pressure=1.1, eqsteps=1200,
+                                 maxsteps=2500, key=jax.random.key(13),
+                                 n_chains=12, dlnv=0.12, chunk=250)
+    assert rw.rho[0] == pytest.approx(direct.mean_density, abs=0.012)
+    # kappa too: the fluctuation estimator under MBAR weights vs direct
+    assert rw.kappa_t[0] == pytest.approx(direct.kappa_t, rel=0.5)
+
+
 def _run_cli(tmp_path, *extra, timeout=500):
     import os
     import subprocess
@@ -231,13 +277,19 @@ def test_npt_cli_isobar_grid(tmp_path):
     proc = _run_cli(tmp_path, "250", "500", "40", "2.0",
                     "--npt-grid", "0.3:2.5:3", "--n", "16", "--rho",
                     "0.25", "--gamma", "0.02", "--chains", "2",
-                    "--seed", "9")
+                    "--seed", "9", "--npt-reweight", "0.3:2.5:9")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Equation of state" in proc.stdout
     f = next((tmp_path / "Data").glob("*/npt_isobar_*.csv"))
     rows = np.genfromtxt(f, delimiter=",", skip_header=1)
     assert rows.shape == (3, 5)
     assert np.all(np.diff(rows[:, 1]) > 0), rows[:, 1]  # rho rises in P
+    # the MBAR continuous curve landed too, monotone across the bracket
+    assert "MBAR over the pressure axis" in proc.stdout
+    frw = next((tmp_path / "Data").glob("*/npt_reweight_*.csv"))
+    rw = np.genfromtxt(frw, delimiter=",", skip_header=1)
+    assert rw.shape == (9, 6) and np.isfinite(rw).all()
+    assert np.all(np.diff(rw[:, 1]) > 0), rw[:, 1]
 
 
 # ---------------------------------------------------------------------

@@ -1047,7 +1047,16 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
         if rows.size:
             fig, ax = plt.subplots(figsize=(5.2, 3.8))
             ax.errorbar(rows[:, 0], rows[:, 1], yerr=rows[:, 2],
-                        marker="o", ms=3, lw=1, capsize=2)
+                        marker="o", ms=3, lw=1, capsize=2,
+                        ls="none", label="simulated")
+            rwf = run.run_dir / f"npt_reweight_{run.key}.csv"
+            if rwf.exists():
+                rw = np.atleast_2d(np.genfromtxt(rwf, delimiter=",",
+                                                 skip_header=1))
+                if rw.size:
+                    ax.plot(rw[:, 0], rw[:, 1], lw=1.2, color="C2",
+                            alpha=0.9, label="MBAR")
+            ax.legend(fontsize=8)
             ax.set_xlabel("P")
             ax.set_ylabel("rho")
             if rows.shape[1] > 4:

@@ -110,6 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "rides the chain batch). Writes npt_isobar_*.csv")
     p.add_argument("--npt-dlnv", type=float, default=0.1, metavar="D",
                    help="max lnV volume step (default 0.1)")
+    p.add_argument("--npt-reweight", default=None, metavar="P1:P2:K",
+                   help="with --npt-grid: MBAR over the pressure axis — "
+                        "the CONTINUOUS equation of state rho(P)/"
+                        "kappa_T(P)/H(P) at pressures the run never "
+                        "simulated (npt_reweight_*.csv; check the ess "
+                        "column before trusting an extrapolation)")
     p.add_argument("--rho", type=float, default=None,
                    help="bulk number density (default 0.1, "
                         "SMC_noMPI_noWall.c:77); sets the box (NVT/GCMC) "
@@ -469,6 +475,10 @@ def main(argv=None) -> int:
 
     if args.reweight and not args.temperatures:
         print("Note: --reweight needs the --temperatures ladder; ignored.")
+    if args.npt_reweight and not args.npt_grid:
+        print("Note: --npt-reweight needs the --npt-grid isobar family; "
+              "ignored.")
+        args.npt_reweight = None
     if args.sk_kmax and not (args.temperatures and args.reweight):
         # don't silently pay the per-gather S(k) sampling for output
         # nothing will consume
@@ -1269,6 +1279,28 @@ def _run_npt_isobars(args, cfg, params, key, d):
             f.write(f"{p:0.6f}, {rho_mean[i]:0.9f}, {rho_err[i]:0.9f}, "
                     f"{v_mean[i]:0.6f}, {kappa[i]:0.9f}\n")
     print(f"\nWritten to {path}")
+    if args.npt_reweight:
+        from .npt import reweight_isobars, write_npt_reweight_csv
+        from .reweight import parse_t_grid
+
+        try:
+            pg = parse_t_grid(args.npt_reweight)
+        except ValueError as e:
+            sys.exit(f"--npt-reweight: {e}")
+        rw = reweight_isobars(res.energy_trace, res.volume_trace, p_c,
+                              cfg.temperature, pg, cfg.n)
+        print(f"\nMBAR over the pressure axis ({len(grid)} sampled "
+              f"states -> {len(pg)} targets):")
+        print("P         rho        kappa_T    H_conf      ess")
+        for i, p in enumerate(pg):
+            print(f"{p:8.4f}  {rw.rho[i]:9.6f}  {rw.kappa_t[i]:9.5f}  "
+                  f"{rw.enthalpy[i]:9.3f}  {rw.ess[i]:8.0f}")
+        lo, hi = grid.min(), grid.max()
+        if (pg < lo).any() or (pg > hi).any():
+            print(f"WARNING: targets outside the sampled bracket "
+                  f"[{lo:g}, {hi:g}] are extrapolations — check ess")
+        prw = write_npt_reweight_csv(d, cfg, rw)
+        print(f"Written to {prw}")
     return 0
 
 

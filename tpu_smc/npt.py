@@ -428,6 +428,124 @@ def load_npt_checkpoint(path):
     return NPTState(**fields), cfg
 
 
+class IsobarReweight(NamedTuple):
+    """Continuous equation of state from MBAR over the pressure axis."""
+
+    p_grid: np.ndarray     # [G] target pressures
+    rho: np.ndarray        # [G] N/<V>(P)
+    v_mean: np.ndarray     # [G]
+    kappa_t: np.ndarray    # [G] Var(V)/(T <V>) under the MBAR weights
+    enthalpy: np.ndarray   # [G] <E> + P <V> (configurational)
+    ess: np.ndarray        # [G] effective sample size
+    f_k: np.ndarray        # [K] per-state dimensionless free energies
+    p_k: np.ndarray        # [K] the sampled ladder pressures
+
+
+def reweight_isobars(e_tr, v_tr, pressures, temperature, p_grid,
+                     n: int, max_samples_per_state: int = 1 << 17):
+    """MBAR over the PRESSURE axis at constant T: the continuous
+    equation of state rho(P) from a sampled isobar family.
+
+    e_tr/v_tr [S, C]: production traces from `simulate_npt` run with a
+    per-chain `pressures` [C] vector (the --npt-grid layout, K
+    pressures x replicas). Chains are grouped by unique pressure and
+    pooled. Each NPT state's configurational distribution is
+    p_k(r, V) ∝ J(V) exp(-beta (U + P_k V)) where J is the lnV-walk
+    Jacobian V^(N+1) — J is the SAME for every k, so it folds into the
+    base measure and the reduced potential differences MBAR needs are
+    exactly u_kn = beta (E_m + P_k V_m). The temperature-ladder
+    machinery (reweight._mbar_fixed_point) solves the fixed point on
+    that matrix unchanged — pressure is just a different linear field
+    multiplying a per-sample quantity (V instead of E).
+
+    No reference analog: the C code has no constant-pressure mode, let
+    alone observables at pressures it never simulated.
+
+    Returns IsobarReweight on `p_grid`. ESS collapses when a target
+    extrapolates outside the sampled pressure bracket — check `.ess`.
+    """
+    from .reweight import _mbar_fixed_point
+
+    beta = 1.0 / float(temperature)
+    pressures = np.asarray(pressures, np.float64).reshape(-1)
+    e_tr = np.asarray(e_tr, np.float64)
+    v_tr = np.asarray(v_tr, np.float64)
+    if e_tr.shape != v_tr.shape or e_tr.shape[1] != pressures.size:
+        raise ValueError(
+            f"trace/pressure shapes disagree: {e_tr.shape}, "
+            f"{v_tr.shape}, {pressures.shape}")
+    p_k, inv = np.unique(pressures, return_inverse=True)
+    e_s, v_s = [], []
+    for k in range(p_k.size):
+        cols = np.flatnonzero(inv == k)
+        e = e_tr[:, cols].reshape(-1)
+        v = v_tr[:, cols].reshape(-1)
+        step = max(1, -(-e.size // max_samples_per_state))
+        e_s.append(e[::step])
+        v_s.append(v[::step])
+    n_k = np.asarray([e.size for e in e_s], np.int64)
+    if (n_k <= 0).any():
+        raise ValueError("every pressure state needs samples")
+    e_m = np.concatenate(e_s)
+    v_m = np.concatenate(v_s)
+    # one scalar shift keeps beta*(E + P V) small in f32; a constant
+    # offset cancels identically in every weight and f_k difference
+    u64 = beta * (e_m[None, :] + p_k[:, None] * v_m[None, :])
+    shift = float(u64.mean())
+    u_kn = jnp.asarray(u64 - shift, jnp.float32)
+    log_n_k = jnp.asarray(np.log(n_k), jnp.float32)
+    f_k, _, _ = _mbar_fixed_point(u_kn, log_n_k, jnp.float32(2e-6),
+                                  5_000)
+    log_denom = jax.nn.logsumexp(
+        log_n_k[:, None] + f_k[:, None] - u_kn, axis=0)   # [M]
+
+    e_j = jnp.asarray(e_m, jnp.float32)
+    v_j = jnp.asarray(v_m, jnp.float32)
+
+    @jax.jit
+    def at(p):
+        logw = -(jnp.float32(beta) * (e_j + p * v_j)
+                 - jnp.float32(shift)) - log_denom
+        logw = logw - jax.nn.logsumexp(logw)
+        w = jnp.exp(logw)
+        vm = jnp.sum(w * v_j)
+        vv = jnp.sum(w * (v_j - vm) ** 2)
+        em = jnp.sum(w * e_j)
+        ess = 1.0 / jnp.sum(w * w)
+        return vm, vv, em, ess
+
+    p_grid = np.atleast_1d(np.asarray(p_grid, np.float64))
+    vm = np.empty_like(p_grid)
+    kap = np.empty_like(p_grid)
+    hh = np.empty_like(p_grid)
+    ess = np.empty_like(p_grid)
+    for i, p in enumerate(p_grid):
+        v_i, vv_i, e_i, ess_i = at(jnp.float32(p))
+        vm[i] = float(v_i)
+        kap[i] = float(vv_i) / (float(temperature) * max(float(v_i),
+                                                         1e-12))
+        hh[i] = float(e_i) + p * float(v_i)
+        ess[i] = float(ess_i)
+    return IsobarReweight(
+        p_grid=p_grid, rho=n / np.maximum(vm, 1e-12), v_mean=vm,
+        kappa_t=kap, enthalpy=hh, ess=ess,
+        f_k=np.asarray(f_k, np.float64), p_k=p_k)
+
+
+def write_npt_reweight_csv(d, cfg: SMCConfig, rw: IsobarReweight):
+    """npt_reweight_*.csv: the continuous MBAR equation of state."""
+    from .io import _fname
+
+    p = _fname(d, "npt_reweight", cfg)
+    with open(p, "w") as f:
+        f.write("P, rho, V_mean, kappa_T, H_conf, ess\n")
+        for i in range(len(rw.p_grid)):
+            f.write(f"{rw.p_grid[i]:0.6f}, {rw.rho[i]:0.9f}, "
+                    f"{rw.v_mean[i]:0.6f}, {rw.kappa_t[i]:0.9f}, "
+                    f"{rw.enthalpy[i]:0.6f}, {rw.ess[i]:0.1f}\n")
+    return p
+
+
 def write_npt_csv(d, cfg: SMCConfig, pressure: float, res: NPTResults):
     """npt_*.csv: run summary in the header comment, then the pooled
     per-sweep (V, rho, E) trace (chain means)."""
