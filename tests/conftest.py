@@ -52,6 +52,7 @@ QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
     "test_umbrella", "test_widom", "test_gcmc", "test_npt",
+    "test_gibbs",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
@@ -116,6 +117,10 @@ QUICK_EXCLUDE = {
     "test_isobar_family_runs_per_chain_pressures",  # ~8 s statistical
     "test_isobar_reweight_self_consistent",         # ~10 s statistical
     "test_isobar_reweight_matches_direct_offgrid",  # ~60 s statistical
+    # gibbs statistical end-to-ends:
+    "test_transfer_only_ideal_gas_splits_by_volume",
+    "test_supercritical_boxes_equalize",
+    "test_subcritical_coexistence_bifurcates",
 }
 
 
@@ -131,6 +136,26 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "c_reference" in item.keywords:
             item.add_marker(skip)
+
+
+# The XLA CPU compiler can SIGSEGV on a fresh LARGE compile late in a
+# long pytest session (observed in test_umbrella twice, then
+# test_pt::test_pt_auto_interval_end_to_end at ~70% of the full suite;
+# every victim passes in isolation). Clearing jax's compilation caches
+# before the compile-heavy statistical modules dodges it at the cost of
+# a few recompiles. test_umbrella also self-clears (older remedy).
+CLEAR_CACHE_MODULES = {"test_pt", "test_umbrella", "test_reweight",
+                       "test_ladder_mesh"}
+_cleared = set()
+
+
+@pytest.fixture(autouse=True)
+def _xla_segfault_dodge(request):
+    mod = request.module.__name__.rpartition(".")[-1]
+    if mod in CLEAR_CACHE_MODULES and mod not in _cleared:
+        _cleared.add(mod)
+        jax.clear_caches()
+    yield
 
 
 @pytest.fixture(scope="session")

@@ -207,6 +207,23 @@ def test_npt_panels(run_dir, tmp_path):
     assert f"npt_isobar_{key}.png" in names
 
 
+def test_gibbs_panel(run_dir, tmp_path):
+    """A gibbs_*.csv beside the run artifacts gets the coexistence
+    branch-density panel."""
+    from tpu_smc.analysis import load_run, render_all
+
+    key = run_dir.name.replace("data_", "")
+    (run_dir / f"gibbs_{key}.csv").write_text(
+        "# rho_lo, 0.041, err_lo, 0.003, rho_hi, 0.62, err_hi, 0.01, "
+        "mu_box1, -3.41, mu_box2, -3.39, acc_disp, 0.45, acc_vol, "
+        "0.31, acc_transfer, 0.02\n"
+        "sweep, N1_mean, V1_mean, rho_lo_mean, rho_hi_mean\n"
+        "0, 61.2, 103.8, 0.040, 0.615\n"
+        "1, 60.8, 101.2, 0.043, 0.628\n")
+    written = render_all(load_run(run_dir), tmp_path / "plots")
+    assert any(p.name == f"gibbs_{key}.png" for p in written)
+
+
 def test_structure_factor_panel(run_dir, tmp_path):
     """--box enables the in-plane S(k) panel from position snapshots."""
     from tpu_smc.analysis import load_run, render_all

@@ -1110,6 +1110,42 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Gibbs-ensemble run (gibbs.write_gibbs_csv): the vapor/liquid
+    # branch densities vs sweep + the N1/V1 exchange traces
+    gbf = run.run_dir / f"gibbs_{run.key}.csv"
+    if gbf.exists():
+        rows = np.atleast_2d(np.genfromtxt(gbf, delimiter=",",
+                                           skip_header=2))
+        if rows.size:
+            fig, axes = plt.subplots(1, 2, figsize=(8.6, 3.4))
+            axes[0].plot(rows[:, 0], rows[:, 4], lw=0.9, color="C3",
+                         label="liquid branch")
+            axes[0].plot(rows[:, 0], rows[:, 3], lw=0.9, color="C0",
+                         label="vapor branch")
+            try:
+                head = gbf.read_text().splitlines()[0].split(",")
+                lo_v, hi_v = float(head[1]), float(head[5])
+                for v, c in ((lo_v, "C0"), (hi_v, "C3")):
+                    axes[0].axhline(v, color=c, lw=0.6, ls=":")
+            except (ValueError, IndexError):
+                pass
+            axes[0].set_xlabel("Gibbs sweep")
+            axes[0].set_ylabel("rho")
+            axes[0].legend(fontsize=8)
+            axes[1].plot(rows[:, 0], rows[:, 1], lw=0.8, color="C1")
+            axes[1].set_xlabel("Gibbs sweep")
+            axes[1].set_ylabel("N1", color="C1")
+            ax2 = axes[1].twinx()
+            ax2.plot(rows[:, 0], rows[:, 2], lw=0.8, color="C2",
+                     alpha=0.8)
+            ax2.set_ylabel("V1", color="C2")
+            fig.suptitle(f"Gibbs ensemble {run.key}")
+            fig.tight_layout()
+            p = out / f"gibbs_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Umbrella-sampling PMF (umbrella.write_umbrella_csv): the MBAR-
     # unbiased F(z) with its replica-bootstrap band
     upf = run.run_dir / f"umbrella_pmf_{run.key}.csv"

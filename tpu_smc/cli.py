@@ -110,6 +110,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "rides the chain batch). Writes npt_isobar_*.csv")
     p.add_argument("--npt-dlnv", type=float, default=0.1, metavar="D",
                    help="max lnV volume step (default 0.1)")
+    p.add_argument("--gibbs", action="store_true",
+                   help="Gibbs-ensemble mode (bulk; implies --bulk): "
+                        "two coupled boxes exchange volume and "
+                        "particles at fixed total N and V — direct "
+                        "liquid-vapor coexistence with no imposed P or "
+                        "mu. --n is the TOTAL count, --rho the OVERALL "
+                        "density; --npt-dlnv sets the volume-exchange "
+                        "step. Prints the vapor/liquid branch "
+                        "densities and the per-box in-run chemical "
+                        "potentials; writes gibbs_*.csv")
+    p.add_argument("--gibbs-transfers", type=int, default=None,
+                   metavar="K",
+                   help="particle-transfer attempts per sweep "
+                        "(default N/4)")
+    p.add_argument("--gibbs-cap", type=int, default=0, metavar="CAP",
+                   help="per-box capacity (static shape; default N, "
+                        "i.e. either box may hold everything)")
     p.add_argument("--npt-reweight", default=None, metavar="P1:P2:K",
                    help="with --npt-grid: MBAR over the pressure axis — "
                         "the CONTINUOUS equation of state rho(P)/"
@@ -388,11 +405,12 @@ def main(argv=None) -> int:
     # fresh run.
     _gcmc_mode = args.gcmc is not None or args.gcmc_grid
     _npt_mode = args.npt is not None or args.npt_grid
-    if _npt_mode and not args.bulk:
-        print("Note: --npt is a bulk mode (the volume move rescales a "
-              "cubic periodic box); --bulk implied.")
+    if (_npt_mode or args.gibbs) and not args.bulk:
+        print(f"Note: {'--npt' if _npt_mode else '--gibbs'} is a bulk "
+              "mode (volume moves rescale cubic periodic boxes); "
+              "--bulk implied.")
         args.bulk = True
-    if args.resume and not (_gcmc_mode or _npt_mode):
+    if args.resume and not (_gcmc_mode or _npt_mode or args.gibbs):
         # The checkpoint's config is authoritative for a resumed chain —
         # simulating a [N_ck] state under CLI-sized physics would be wrong.
         resume_state, cfg = smcio.load_checkpoint(args.resume)
@@ -410,11 +428,18 @@ def main(argv=None) -> int:
                 sys.exit("--rho sets the bulk box; it needs --bulk "
                          "(the slab geometry is fixed by --n/--m)")
             gkw["rho"] = args.rho
-        if _npt_mode:
-            # NPT equilibrates against the true mechanical pressure:
-            # truncated-and-shifted potential, and a fixed cutoff with
-            # compression headroom below the starting box (npt.py)
+        if _npt_mode or args.gibbs:
+            # constant-P/Gibbs runs equilibrate against the true
+            # mechanical pressure: truncated-and-shifted potential, and
+            # a fixed cutoff with compression headroom below the
+            # starting box (npt.py / gibbs.py)
             gkw["lj_shift"] = True
+            if args.gibbs:
+                # --rho is the OVERALL density; each of the two boxes
+                # starts with n/2 particles at that density, so the
+                # per-box side is (n / (2 rho))^(1/3) — which is what
+                # SMCConfig.bulk computes from a doubled rho
+                gkw["rho"] = 2.0 * gkw.get("rho", 0.1)
             l0 = (args.n / gkw.get("rho", 0.1)) ** (1.0 / 3.0)
             gkw.setdefault("lj_cutoff", min(2.5, 0.45 * l0))
         if args.bulk:
@@ -489,9 +514,9 @@ def main(argv=None) -> int:
     if args.gcmc is not None or args.gcmc_grid:
         from .gcmc import box_volume, simulate_gcmc, write_gcmc_csv
 
-        if args.temperatures or args.umbrella or _npt_mode:
+        if args.temperatures or args.umbrella or _npt_mode or args.gibbs:
             sys.exit("--gcmc is its own run mode (no --temperatures/"
-                     "--umbrella/--npt)")
+                     "--umbrella/--npt/--gibbs)")
         if args.gcmc is not None and args.gcmc_grid:
             sys.exit("--gcmc and --gcmc-grid are exclusive")
         if nproc > 1:
@@ -599,9 +624,9 @@ def main(argv=None) -> int:
         from .npt import (load_npt_checkpoint, save_npt_checkpoint,
                           simulate_npt, write_npt_csv)
 
-        if args.temperatures or args.umbrella:
+        if args.temperatures or args.umbrella or args.gibbs:
             sys.exit("--npt is its own run mode (no --temperatures/"
-                     "--umbrella)")
+                     "--umbrella/--gibbs)")
         if args.npt is not None and args.npt_grid:
             sys.exit("--npt and --npt-grid are exclusive")
         if nproc > 1:
@@ -667,6 +692,58 @@ def main(argv=None) -> int:
         if args.checkpoint:
             ck = save_npt_checkpoint(args.checkpoint, nstate, cfg)
             print(f"Full NPT state checkpointed to {ck}")
+        return 0
+
+    if args.gibbs:
+        from .gibbs import simulate_gibbs, write_gibbs_csv
+
+        if args.temperatures or args.umbrella or _npt_mode:
+            sys.exit("--gibbs is its own run mode")
+        if nproc > 1:
+            sys.exit("--gibbs is single-process (scale with --chains)")
+        if args.target_acceptance:
+            sys.exit("--gibbs does not support --target-acceptance yet")
+        if args.resume:
+            sys.exit("--gibbs does not support --resume yet")
+        for flag, name in ((args.widom, "--widom"),
+                           (args.ptensor_bins, "--ptensor-bins"),
+                           (args.z_bins, "--z-bins"),
+                           (args.gr_bins, "--gr-bins"),
+                           (args.checkpoint, "--checkpoint")):
+            if flag:
+                print(f"Note: {name} does not apply to Gibbs runs; "
+                      "ignored.")
+        if cfg.proposal_a < 1e-4:
+            print("Note: the bulk reference mobility freezes "
+                  "displacements; pass --gamma (e.g. --gamma 0.05).")
+        cap = args.gibbs_cap or cfg.n
+        n_tr = args.gibbs_transfers or max(1, cfg.n // 4)
+        rho_all = cfg.n / (2.0 * cfg.box_l ** 3)
+        print(f"Gibbs-ensemble MC: N = {cfg.n} total, overall rho = "
+              f"{rho_all:g}, per-box start {cfg.box_l:g}^3, capacity "
+              f"{cap}/box, {n_tr} transfers/sweep, dlnV "
+              f"{args.npt_dlnv:g}, {args.chains} chain(s)")
+        gstate, gres = simulate_gibbs(
+            cfg, params.eqsteps, params.maxsteps, key, cap,
+            n_chains=args.chains, dlnv=args.npt_dlnv, n_transfer=n_tr)
+        print("\n###  Gibbs-ensemble results  ###")
+        print(f"Branch densities (sorted per sweep): vapor "
+              f"{gres.rho_lo:f} ± {gres.err_lo:f}, liquid "
+              f"{gres.rho_hi:f} ± {gres.err_hi:f}")
+        if gres.rho_hi > 2.0 * gres.rho_lo:
+            print("Two-phase: the boxes bifurcated (coexistence).")
+        else:
+            print("One-phase: densities coincide (supercritical or "
+                  "single-phase state point).")
+        print(f"In-run chemical potentials (T ln rho + Widom mu_ex "
+              f"from transfer ghosts): box1 {gres.mu_box[0]:0.4f}, "
+              f"box2 {gres.mu_box[1]:0.4f}")
+        print(f"Acceptance (displace/volume/transfer): "
+              f"{gres.disp_acceptance:0.4f} / "
+              f"{gres.vol_acceptance:0.4f} / "
+              f"{gres.transfer_acceptance:0.4f}")
+        path = write_gibbs_csv(d, cfg, gres)
+        print(f"Written to {path}")
         return 0
 
     if args.umbrella:

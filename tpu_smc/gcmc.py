@@ -63,23 +63,27 @@ class GCMCState(NamedTuple):
     boltz_cnt: jax.Array    # int32 insertion attempts counted
 
 
-def _pair_masked(r, active, i, ri, cfg: SMCConfig):
+def _pair_masked(r, active, i, ri, cfg: SMCConfig, box=None):
     """Active-subset pair energy/force: the SHARED parity-tested kernel
     (potentials.pair_energy_force_single) with its optional active
-    mask — single-sourced LJ arithmetic, nothing re-implemented here."""
-    return pair_energy_force_single(r, i, ri, cfg, active=active)
+    mask — single-sourced LJ arithmetic, nothing re-implemented here.
+    `box`: optional traced cubic side (the Gibbs engine's fluctuating
+    boxes, gibbs.py; Python-level branch like everywhere else)."""
+    return pair_energy_force_single(r, i, ri, cfg, active=active,
+                                    box=box)
 
 
-def _site_energy_force(r, active, i, ri, w, cfg: SMCConfig):
-    return energy_force_single(r, i, ri, w, cfg, active=active)
+def _site_energy_force(r, active, i, ri, w, cfg: SMCConfig, box=None):
+    return energy_force_single(r, i, ri, w, cfg, active=active, box=box)
 
 
-def total_energy_masked(r, active, w, cfg: SMCConfig) -> jax.Array:
+def total_energy_masked(r, active, w, cfg: SMCConfig,
+                        box=None) -> jax.Array:
     """Exact active-set energy (bookkeeping cross-check)."""
     cap = r.shape[0]
 
     def row(i):
-        u, _ = _pair_masked(r, active, i, r[i], cfg)
+        u, _ = _pair_masked(r, active, i, r[i], cfg, box=box)
         return jnp.where(active[i], u, 0.0)
 
     u = 0.5 * jnp.sum(jax.vmap(row)(jnp.arange(cap)))
@@ -88,6 +92,40 @@ def total_energy_masked(r, active, w, cfg: SMCConfig) -> jax.Array:
             lambda ri: wall_energy_force_single(ri, w, cfg)[0])(r)
         u = u + jnp.sum(jnp.where(active, uw, 0.0))
     return u
+
+
+def masked_disp_pass(r, active, energy, w, cfg: SMCConfig, a, t,
+                     noise, unif, offset, box=None):
+    """One smart-MC displacement pass over the capacity with inactive
+    slots masked to no-ops (the displacement half of gc_sweep, factored
+    so the Gibbs engine reuses it verbatim per box). `noise` [cap, 3],
+    `unif` [cap], `offset` scalar are drawn by the caller — the key
+    discipline stays theirs. Returns (r, energy, accepted)."""
+    dtype = cfg.jnp_dtype
+    cap = r.shape[0]
+
+    def move(nn, carry):
+        r, active, energy, acc = carry
+        i = (nn + offset) % cap
+        ri = r[i]
+        um, fm = _site_energy_force(r, active, i, ri, w, cfg, box=box)
+        delta = fm * (a / t) + noise[i]
+        rp = _wrap_proposal(ri + delta, cfg, box=box)
+        un, fn = _site_energy_force(r, active, i, rp, w, cfg, box=box)
+        df = fn - fm
+        dw = (jnp.sum(df * df) + 2.0 * jnp.sum(df * fm)) * a / (4.0 * t)
+        log_ap = -(un - um + 0.5 * jnp.sum(delta * (fn + fm)) + dw) / t
+        accept = (unif[nn] < jnp.exp(jnp.minimum(log_ap, 0.0))) \
+            | (log_ap >= 0.0)
+        accept = accept & active[i]
+        r = r.at[i].set(jnp.where(accept, rp, ri))
+        energy = energy + jnp.where(accept, un - um, jnp.zeros((), dtype))
+        acc = acc + accept.astype(jnp.int32)
+        return r, active, energy, acc
+
+    r, active, energy, acc = jax.lax.fori_loop(
+        0, cap, move, (r, active, energy, jnp.zeros((), jnp.int32)))
+    return r, energy, acc
 
 
 def box_volume(cfg: SMCConfig) -> float:
@@ -117,28 +155,10 @@ def gc_sweep(
     offset = jax.random.randint(k_off, (), 0, cap)
 
     # --- displacement pass (sampler.sweep with the active mask) ---
-    def move(nn, carry):
-        r, active, energy, acc = carry
-        i = (nn + offset) % cap
-        ri = r[i]
-        um, fm = _site_energy_force(r, active, i, ri, w, cfg)
-        delta = fm * (a / t) + noise[i]
-        rp = _wrap_proposal(ri + delta, cfg)
-        un, fn = _site_energy_force(r, active, i, rp, w, cfg)
-        df = fn - fm
-        dw = (jnp.sum(df * df) + 2.0 * jnp.sum(df * fm)) * a / (4.0 * t)
-        log_ap = -(un - um + 0.5 * jnp.sum(delta * (fn + fm)) + dw) / t
-        accept = (unif[nn] < jnp.exp(jnp.minimum(log_ap, 0.0))) \
-            | (log_ap >= 0.0)
-        accept = accept & active[i]
-        r = r.at[i].set(jnp.where(accept, rp, ri))
-        energy = energy + jnp.where(accept, un - um, jnp.zeros((), dtype))
-        acc = acc + accept.astype(jnp.int32)
-        return r, active, energy, acc
-
-    r, active, energy, dacc = jax.lax.fori_loop(
-        0, cap, move,
-        (state.r, state.active, state.energy, jnp.zeros((), jnp.int32)))
+    r, energy, dacc = masked_disp_pass(
+        state.r, state.active, state.energy, w, cfg, a, t,
+        noise, unif, offset)
+    active = state.active
 
     # --- insertion / deletion attempts ---
     ex_kind = jax.random.bernoulli(
