@@ -121,6 +121,9 @@ QUICK_EXCLUDE = {
     "test_transfer_only_ideal_gas_splits_by_volume",
     "test_supercritical_boxes_equalize",
     "test_subcritical_coexistence_bifurcates",
+    "test_gibbs_checkpoint_resume_bitwise",   # ~25 s driver end-to-end
+    "test_gibbs_sharded_mesh",                # ~25 s mesh end-to-end
+    "test_npt_sharded_mesh",                  # ~25 s mesh end-to-end
 }
 
 

@@ -123,6 +123,62 @@ def test_transfer_only_ideal_gas_splits_by_volume():
     assert n1.var() == pytest.approx(8.0, rel=0.35)
 
 
+def test_gibbs_sharded_mesh():
+    """mesh= shards the chain batch over the 8 virtual devices (each
+    chain's box PAIR stays on one device). One-sweep blocks are
+    BITWISE; long scans acquire ULP schedule noise under GSPMD that
+    Metropolis amplifies (see test_npt_sharded_mesh), so the driver
+    check is conservation + statistics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_smc.ensemble import make_mesh
+
+    cfg = mk_cfg(n=16, rho=0.2)
+    mesh = make_mesh(8)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, P("chains")))
+    keys = jax.random.split(jax.random.key(6), 8)
+    st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                      *[gibbs.init_gibbs_state(cfg, k, cap=16)
+                        for k in keys])
+    run1 = jax.jit(jax.vmap(
+        lambda s: gibbs.gibbs_block(s, cfg, cfg.proposal_a, 0.1, 4, 1)))
+    a, _ = run1(st)
+    b, _ = run1(jax.tree.map(put, st))
+    for f in ("r", "active", "l", "energy"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), f)
+    # driver level: conservation holds sharded; densities agree
+    kw = dict(cap=16, n_chains=8, dlnv=0.1, n_transfer=4, chunk=200)
+    _, r1 = gibbs.simulate_gibbs(cfg, 150, 300, jax.random.key(6), **kw)
+    _, r8 = gibbs.simulate_gibbs(cfg, 150, 300, jax.random.key(6),
+                                 mesh=mesh, **kw)
+    assert (r8.n_final.sum(axis=-1) == cfg.n).all()
+    vtot = 2.0 * cfg.box_l ** 3
+    np.testing.assert_allclose((r8.l_final ** 3).sum(axis=-1), vtot,
+                               rtol=1e-5)
+    mid = 0.5 * (r1.rho_lo + r1.rho_hi)
+    mid8 = 0.5 * (r8.rho_lo + r8.rho_hi)
+    assert mid8 == pytest.approx(mid, rel=0.25)
+
+
+def test_gibbs_checkpoint_resume_bitwise(tmp_path):
+    """save -> load -> continue equals the unbroken run bitwise (all
+    three key streams live in the state; chunk re-sync deterministic)."""
+    cfg = mk_cfg(n=24, rho=0.25)
+    key = jax.random.key(11)
+    kw = dict(cap=24, n_chains=2, dlnv=0.1, n_transfer=6, chunk=100)
+    st_a, _ = gibbs.simulate_gibbs(cfg, 50, 200, key, **kw)
+    st_b, _ = gibbs.simulate_gibbs(cfg, 50, 100, key, **kw)
+    p = gibbs.save_gibbs_checkpoint(tmp_path / "ck", st_b, cfg)
+    st_l, cfg_l = gibbs.load_gibbs_checkpoint(p)
+    assert cfg_l == cfg
+    st_c, _ = gibbs.simulate_gibbs(cfg_l, 0, 100, jax.random.key(0),
+                                   state0=st_l, **kw)
+    for f in ("r", "active", "l", "energy"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_a, f)),
+                                      np.asarray(getattr(st_c, f)), f)
+
+
 # ---------------------------------------------------------------------
 # statistical end-to-ends (full suite only — excluded from `quick`)
 # ---------------------------------------------------------------------

@@ -664,6 +664,7 @@ def main(argv=None) -> int:
                   "(bitwise continuation)")
         if args.npt_grid:
             return _run_npt_isobars(args, cfg, params, key, d)
+        mesh = _auto_chain_mesh(n_ch, "NPT")
         v_floor = (2.0 * cfg.lj_cutoff) ** 3
         print(f"Constant-pressure MC: P = {args.npt:g}, {n_ch} "
               f"chain(s), dlnV {args.npt_dlnv:g}, rc {cfg.lj_cutoff:g} "
@@ -673,7 +674,7 @@ def main(argv=None) -> int:
             cfg, args.npt,
             0 if state0 is not None else params.eqsteps,
             params.maxsteps, key, n_chains=n_ch, dlnv=args.npt_dlnv,
-            gr_bins=args.gr_bins, state0=state0)
+            gr_bins=args.gr_bins, state0=state0, mesh=mesh)
         print("\n###  Constant-pressure results  ###")
         print(f"Mean density: {nres.mean_density:f} ± "
               f"{nres.err_density:f}  (<V> = {nres.mean_v:f})")
@@ -695,7 +696,8 @@ def main(argv=None) -> int:
         return 0
 
     if args.gibbs:
-        from .gibbs import simulate_gibbs, write_gibbs_csv
+        from .gibbs import (load_gibbs_checkpoint, save_gibbs_checkpoint,
+                            simulate_gibbs, write_gibbs_csv)
 
         if args.temperatures or args.umbrella or _npt_mode:
             sys.exit("--gibbs is its own run mode")
@@ -703,29 +705,44 @@ def main(argv=None) -> int:
             sys.exit("--gibbs is single-process (scale with --chains)")
         if args.target_acceptance:
             sys.exit("--gibbs does not support --target-acceptance yet")
-        if args.resume:
-            sys.exit("--gibbs does not support --resume yet")
         for flag, name in ((args.widom, "--widom"),
                            (args.ptensor_bins, "--ptensor-bins"),
                            (args.z_bins, "--z-bins"),
-                           (args.gr_bins, "--gr-bins"),
-                           (args.checkpoint, "--checkpoint")):
+                           (args.gr_bins, "--gr-bins")):
             if flag:
                 print(f"Note: {name} does not apply to Gibbs runs; "
                       "ignored.")
         if cfg.proposal_a < 1e-4:
             print("Note: the bulk reference mobility freezes "
                   "displacements; pass --gamma (e.g. --gamma 0.05).")
-        cap = args.gibbs_cap or cfg.n
+        n_ch = args.chains
+        gibbs_state0 = None
+        if args.resume:
+            gibbs_state0, ck_cfg = load_gibbs_checkpoint(args.resume)
+            if (ck_cfg.n != cfg.n
+                    or ck_cfg.temperature != cfg.temperature
+                    or ck_cfg.dtype != cfg.dtype):
+                print(f"Note: resuming with the checkpoint's config "
+                      f"(N={ck_cfg.n}, T={ck_cfg.temperature}, "
+                      f"{ck_cfg.dtype}); CLI values ignored.")
+            cfg = ck_cfg
+            d = smcio.run_dir(cfg, args.data_dir)
+            n_ch = gibbs_state0.r.shape[0]
+            print(f"Resuming Gibbs from {args.resume}: {n_ch} "
+                  "chain(s) (bitwise continuation)")
+        cap = (gibbs_state0.r.shape[2] if gibbs_state0 is not None
+               else args.gibbs_cap or cfg.n)
         n_tr = args.gibbs_transfers or max(1, cfg.n // 4)
         rho_all = cfg.n / (2.0 * cfg.box_l ** 3)
         print(f"Gibbs-ensemble MC: N = {cfg.n} total, overall rho = "
               f"{rho_all:g}, per-box start {cfg.box_l:g}^3, capacity "
               f"{cap}/box, {n_tr} transfers/sweep, dlnV "
-              f"{args.npt_dlnv:g}, {args.chains} chain(s)")
+              f"{args.npt_dlnv:g}, {n_ch} chain(s)")
         gstate, gres = simulate_gibbs(
-            cfg, params.eqsteps, params.maxsteps, key, cap,
-            n_chains=args.chains, dlnv=args.npt_dlnv, n_transfer=n_tr)
+            cfg, 0 if gibbs_state0 is not None else params.eqsteps,
+            params.maxsteps, key, cap,
+            n_chains=n_ch, dlnv=args.npt_dlnv, n_transfer=n_tr,
+            state0=gibbs_state0, mesh=_auto_chain_mesh(n_ch, "Gibbs"))
         print("\n###  Gibbs-ensemble results  ###")
         print(f"Branch densities (sorted per sweep): vapor "
               f"{gres.rho_lo:f} ± {gres.err_lo:f}, liquid "
@@ -744,6 +761,9 @@ def main(argv=None) -> int:
               f"{gres.transfer_acceptance:0.4f}")
         path = write_gibbs_csv(d, cfg, gres)
         print(f"Written to {path}")
+        if args.checkpoint:
+            ck = save_gibbs_checkpoint(args.checkpoint, gstate, cfg)
+            print(f"Full Gibbs state checkpointed to {ck}")
         return 0
 
     if args.umbrella:
@@ -1297,6 +1317,24 @@ def _run_gcmc_isotherm(args, cfg, params, key, d, cap):
     return 0
 
 
+def _auto_chain_mesh(n_chains: int, label: str):
+    """Pure data-parallel chain mesh for the NPT/Gibbs drivers when the
+    host shows multiple devices (same policy as the ensemble CLI)."""
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and n_chains % n_dev == 0:
+        from .ensemble import make_mesh
+
+        print(f"Sharding {n_chains} {label} chains over {n_dev} "
+              "devices")
+        return make_mesh(n_dev, axis_names=("chains",))
+    if n_dev > 1:
+        print(f"Note: {n_chains} chains do not divide over {n_dev} "
+              "devices; running on one device")
+    return None
+
+
 def _run_npt_isobars(args, cfg, params, key, d):
     """--npt-grid: the whole P -> rho(P) equation of state as ONE
     compiled ensemble (per-chain pressure; --chains replicas per grid
@@ -1328,7 +1366,8 @@ def _run_npt_isobars(args, cfg, params, key, d):
           f"rc {cfg.lj_cutoff:g}, starting box {cfg.box_l:g}^3)")
     _, res = simulate_npt(
         cfg, p_c, params.eqsteps, params.maxsteps, key,
-        n_chains=len(p_c), dlnv=args.npt_dlnv)
+        n_chains=len(p_c), dlnv=args.npt_dlnv,
+        mesh=_auto_chain_mesh(len(p_c), "NPT isobar"))
     # per-point stats: group the [S, C] traces back into (K, reps)
     v_tr = res.volume_trace
     rho_chain = (cfg.n / v_tr).mean(axis=0).reshape(len(grid), reps)

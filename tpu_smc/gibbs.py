@@ -341,11 +341,16 @@ def simulate_gibbs(
     n_transfer: int | None = None,
     chunk: int = 200,
     state0: GibbsState | None = None,
+    mesh=None,
 ) -> Tuple[GibbsState, GibbsResults]:
     """Gibbs driver: thermalization (A doubled) + production, vmapped
     chains, watchdog-safe chunks. cfg.n is the TOTAL particle count;
     cfg.box_l the INITIAL per-box side (so the overall density is
-    cfg.n / (2 box_l^3), conserved exactly)."""
+    cfg.n / (2 box_l^3), conserved exactly).
+
+    `mesh`: optional Mesh with a "chains" axis — pure data-parallel
+    GSPMD sharding of the chain batch (each chain's box PAIR stays on
+    one device; bitwise the single-device run, test_gibbs)."""
     a = cfg.proposal_a
     n_transfer = max(1, cfg.n // 4) if n_transfer is None else n_transfer
 
@@ -355,6 +360,13 @@ def simulate_gibbs(
         keys = jax.random.split(key, n_chains)
         states = [init_gibbs_state(cfg, k, cap) for k in keys]
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        put = lambda x: jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec("chains")))
+        state = jax.tree.map(put, state)
 
     def block(st, n, aa):
         return gibbs_block(st, cfg, aa, dlnv, n_transfer, n)
@@ -448,6 +460,57 @@ def simulate_gibbs(
             jnp.sum(state.active, axis=-1).astype(jnp.int32)),
     )
     return state, res
+
+
+def save_gibbs_checkpoint(path, state: GibbsState, cfg: SMCConfig):
+    """Full Gibbs (ensemble) state -> npz (npt.py's format family).
+    Resume is BITWISE: all three key streams live in the state and the
+    per-chunk energy re-sync is deterministic."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    keys = ("key", "vkey", "tkey")
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields
+              if f not in keys}
+    for f in keys:
+        arrays[f] = np.asarray(jax.random.key_data(getattr(state, f)))
+    cfg_json = json.dumps(
+        {f: getattr(cfg, f) for f in cfg.__dataclass_fields__})
+    np.savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                            dtype=np.uint8),
+             __gibbs__=np.asarray(1), **arrays)
+    return path
+
+
+def load_gibbs_checkpoint(path):
+    """-> (GibbsState, SMCConfig)."""
+    import json
+
+    data = np.load(path)
+    if "__gibbs__" not in data:
+        raise ValueError(f"{path} is not a Gibbs checkpoint")
+    cfg = SMCConfig(**json.loads(bytes(data["__config__"]).decode()))
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = cfg.jnp_dtype
+    keys = {"key", "vkey", "tkey"}
+    ints = {"sweeps", "disp_acc", "vol_acc", "vol_att", "tr_acc",
+            "tr_att", "boltz_cnt"}
+    fields = {}
+    for f in GibbsState._fields:
+        if f in keys:
+            fields[f] = jax.random.wrap_key_data(jnp.asarray(data[f]))
+        elif f == "active":
+            fields[f] = jnp.asarray(data[f], bool)
+        elif f in ints:
+            fields[f] = jnp.asarray(data[f], jnp.int32)
+        else:
+            fields[f] = jnp.asarray(data[f], dtype)
+    return GibbsState(**fields), cfg
 
 
 def write_gibbs_csv(d, cfg: SMCConfig, res: GibbsResults):

@@ -262,6 +262,7 @@ def simulate_npt(
     track_virial: bool = False,
     chunk: int = 200,
     state0: NPTState | None = None,
+    mesh=None,
 ) -> Tuple[NPTState, NPTResults]:
     """NPT driver: thermalization (A doubled, SMC.c:110-125 convention)
     + production, vmapped over independent chains; device calls chunked
@@ -269,7 +270,13 @@ def simulate_npt(
 
     `pressure` may be a PER-CHAIN array [n_chains]: the isobar axis
     rides the chain batch like mu does in simulate_gcmc — a whole
-    P -> rho(P) equation-of-state sweep runs as ONE compiled program."""
+    P -> rho(P) equation-of-state sweep runs as ONE compiled program.
+
+    `mesh`: optional jax Mesh with a "chains" axis — the chain batch
+    (and the pressure vector) are device_put sharded over it and GSPMD
+    partitions every call (chains never communicate, so sharding is
+    pure data parallelism; bitwise the single-device run,
+    test_npt)."""
     a = cfg.proposal_a
     ps = jnp.broadcast_to(jnp.asarray(pressure, cfg.jnp_dtype),
                           (n_chains,))
@@ -284,6 +291,14 @@ def simulate_npt(
         keys = jax.random.split(key, n_chains)
         states = [init_npt_state(cfg, k) for k in keys]
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        put = lambda x: jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec("chains")))
+        state = jax.tree.map(put, state)
+        ps = put(ps)
 
     def block(st, p, n, aa):
         return npt_block(st, cfg, p, aa, dlnv, n, gr_bins=gr_bins,
