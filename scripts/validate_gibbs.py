@@ -32,11 +32,15 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--rho", type=float, default=0.3)
     ap.add_argument("--rc", type=float, default=1.8)
-    ap.add_argument("--temps", default="0.70,0.80,2.0",
-                    help="comma list; the last must be supercritical")
+    ap.add_argument("--temps", default="0.65,0.72,2.0",
+                    help="comma list; the last must be supercritical. "
+                         "At rc=1.8 (truncated-shifted) T=0.8 is "
+                         "already near-critical for N=96 — the "
+                         "measured binodal closes between 0.72 and "
+                         "0.8 (docs/EVIDENCE_GIBBS.json)")
     ap.add_argument("--chains", type=int, default=6)
-    ap.add_argument("--eq", type=int, default=2000)
-    ap.add_argument("--prod", type=int, default=3000)
+    ap.add_argument("--eq", type=int, default=3000)
+    ap.add_argument("--prod", type=int, default=4000)
     ap.add_argument("--mu-tol", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)

@@ -207,6 +207,21 @@ def test_npt_panels(run_dir, tmp_path):
     assert f"npt_isobar_{key}.png" in names
 
 
+def test_gibbs_binodal_panel(run_dir, tmp_path):
+    """A gibbs_binodal_*.csv gets the coexistence-dome panel, with
+    one-phase rows split out."""
+    from tpu_smc.analysis import load_run, render_all
+
+    key = run_dir.name.replace("data_", "")
+    (run_dir / f"gibbs_binodal_{key}.csv").write_text(
+        "T, rho_v, err_v, rho_l, err_l, dmu, two_phase\n"
+        "0.650000, 0.041, 0.004, 0.675, 0.006, 0.035, 1\n"
+        "0.720000, 0.090, 0.010, 0.561, 0.012, 0.013, 1\n"
+        "2.000000, 0.280, 0.001, 0.320, 0.001, 0.008, 0\n")
+    written = render_all(load_run(run_dir), tmp_path / "plots")
+    assert any(p.name == f"gibbs_binodal_{key}.png" for p in written)
+
+
 def test_gibbs_panel(run_dir, tmp_path):
     """A gibbs_*.csv beside the run artifacts gets the coexistence
     branch-density panel."""

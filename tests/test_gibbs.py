@@ -161,6 +161,31 @@ def test_gibbs_sharded_mesh():
     assert mid8 == pytest.approx(mid, rel=0.25)
 
 
+def test_gibbs_temperature_ladder_binodal():
+    """Per-chain temperatures: one compiled program runs the
+    coexistence curve. A clearly-subcritical and a supercritical level
+    advance side by side; the grouping helper must separate them —
+    the cold level bifurcates, the hot one does not, and the hot
+    level's density matches the overall density."""
+    from tpu_smc.gibbs import binodal_from_results
+
+    cfg = mk_cfg(n=48, rho=0.3, temperature=1.0, lj_cutoff=1.8)
+    temps_c = np.repeat([0.7, 2.0], 3)
+    st, res = gibbs.simulate_gibbs(
+        cfg, eqsteps=900, maxsteps=1500, key=jax.random.key(15),
+        cap=48, n_chains=6, dlnv=0.08, n_transfer=12, chunk=300,
+        temperatures=temps_c)
+    rows = binodal_from_results(st, res, temps_c, cfg)
+    assert [r["t"] for r in rows] == [0.7, 2.0]
+    cold, hot = rows
+    assert cold["two_phase"] and cold["rho_l"] > 2.5 * cold["rho_v"]
+    assert not hot["two_phase"]
+    rho_all = cfg.n / (2.0 * cfg.box_l ** 3)
+    assert 0.5 * (hot["rho_v"] + hot["rho_l"]) == pytest.approx(
+        rho_all, rel=0.15)
+    assert np.isfinite([cold["dmu"], hot["dmu"]]).all()
+
+
 def test_gibbs_checkpoint_resume_bitwise(tmp_path):
     """save -> load -> continue equals the unbroken run bitwise (all
     three key streams live in the state; chunk re-sync deterministic)."""

@@ -1110,6 +1110,35 @@ def render_all(run: RunData, out_dir: str | Path, box=None) -> list[Path]:
             plt.close(fig)
             written.append(p)
 
+    # Gibbs coexistence curve (gibbs.write_gibbs_binodal_csv): the
+    # binodal dome in the classic (rho, T) orientation
+    gbn = run.run_dir / f"gibbs_binodal_{run.key}.csv"
+    if gbn.exists():
+        rows = np.atleast_2d(np.genfromtxt(gbn, delimiter=",",
+                                           skip_header=1))
+        if rows.size:
+            fig, ax = plt.subplots(figsize=(5.2, 4.0))
+            two = rows[:, 6] > 0.5
+            ax.errorbar(rows[two, 1], rows[two, 0],
+                        xerr=rows[two, 2], marker="o", ms=4, lw=1,
+                        capsize=2, color="C0", label="vapor branch")
+            ax.errorbar(rows[two, 3], rows[two, 0],
+                        xerr=rows[two, 4], marker="o", ms=4, lw=1,
+                        capsize=2, color="C3", label="liquid branch")
+            if (~two).any():
+                mid = 0.5 * (rows[~two, 1] + rows[~two, 3])
+                ax.plot(mid, rows[~two, 0], marker="x", ms=5, lw=0,
+                        color="gray", label="one phase")
+            ax.set_xlabel("rho")
+            ax.set_ylabel("T")
+            ax.legend(fontsize=8)
+            fig.suptitle(f"coexistence curve {run.key}")
+            fig.tight_layout()
+            p = out / f"gibbs_binodal_{run.key}.png"
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            written.append(p)
+
     # Gibbs-ensemble run (gibbs.write_gibbs_csv): the vapor/liquid
     # branch densities vs sweep + the N1/V1 exchange traces
     gbf = run.run_dir / f"gibbs_{run.key}.csv"

@@ -127,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gibbs-cap", type=int, default=0, metavar="CAP",
                    help="per-box capacity (static shape; default N, "
                         "i.e. either box may hold everything)")
+    p.add_argument("--gibbs-temps", default=None, metavar="T1:T2:K",
+                   help="with --gibbs: the whole COEXISTENCE CURVE "
+                        "rho_v(T)/rho_l(T) as one compiled program — "
+                        "K temperatures (inclusive linspace, or a "
+                        "comma list) x --chains replicas each, the T "
+                        "axis riding the chain batch. Writes "
+                        "gibbs_binodal_*.csv + the binodal panel")
     p.add_argument("--npt-reweight", default=None, metavar="P1:P2:K",
                    help="with --npt-grid: MBAR over the pressure axis — "
                         "the CONTINUOUS equation of state rho(P)/"
@@ -717,6 +724,10 @@ def main(argv=None) -> int:
                   "displacements; pass --gamma (e.g. --gamma 0.05).")
         n_ch = args.chains
         gibbs_state0 = None
+        if args.gibbs_temps:
+            if args.resume:
+                sys.exit("--gibbs-temps does not support --resume")
+            return _run_gibbs_binodal(args, cfg, params, key, d)
         if args.resume:
             gibbs_state0, ck_cfg = load_gibbs_checkpoint(args.resume)
             if (ck_cfg.n != cfg.n
@@ -1313,6 +1324,47 @@ def _run_gcmc_isotherm(args, cfg, params, key, d, cap):
         for i, mu in enumerate(grid):
             f.write(f"{mu:0.6f}, {n_mean[i]:0.6f}, {n_err[i]:0.6f}, "
                     f"{n_mean[i] / v:0.9f}\n")
+    print(f"\nWritten to {p}")
+    return 0
+
+
+def _run_gibbs_binodal(args, cfg, params, key, d):
+    """--gibbs-temps: the coexistence curve as ONE compiled ladder —
+    per-chain temperatures ride the chain batch (gibbs.py)."""
+    import numpy as np
+
+    from .gibbs import (binodal_from_results, simulate_gibbs,
+                        write_gibbs_binodal_csv)
+    from .reweight import parse_t_grid
+
+    try:
+        grid = parse_t_grid(args.gibbs_temps)
+    except ValueError as e:
+        sys.exit(f"--gibbs-temps: {e}")
+    reps = max(1, args.chains)
+    temps_c = np.repeat(grid, reps)
+    cap = args.gibbs_cap or cfg.n
+    n_tr = args.gibbs_transfers or max(1, cfg.n // 4)
+    rho_all = cfg.n / (2.0 * cfg.box_l ** 3)
+    print(f"Gibbs coexistence curve: {len(grid)} temperatures x "
+          f"{reps} replicas, N = {cfg.n} total, overall rho = "
+          f"{rho_all:g}, capacity {cap}/box, {n_tr} transfers/sweep, "
+          f"one compiled ensemble")
+    state, res = simulate_gibbs(
+        cfg, params.eqsteps, params.maxsteps, key, cap,
+        n_chains=len(temps_c), dlnv=args.npt_dlnv, n_transfer=n_tr,
+        temperatures=temps_c,
+        mesh=_auto_chain_mesh(len(temps_c), "Gibbs ladder"))
+    rows = binodal_from_results(state, res, temps_c, cfg)
+    print("\n###  Coexistence curve  ###")
+    print("T        rho_v      +-err     rho_l      +-err     |dmu|"
+          "   phase")
+    for r in rows:
+        print(f"{r['t']:6.3f}  {r['rho_v']:9.5f}  {r['err_v']:8.5f}  "
+              f"{r['rho_l']:9.5f}  {r['err_l']:8.5f}  "
+              f"{r['dmu']:6.3f}   "
+              f"{'two-phase' if r['two_phase'] else 'one-phase'}")
+    p = write_gibbs_binodal_csv(d, cfg, rows)
     print(f"\nWritten to {p}")
     return 0
 

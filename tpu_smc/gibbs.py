@@ -297,7 +297,9 @@ def init_gibbs_state(cfg: SMCConfig, key: jax.Array, cap: int,
 def gibbs_block(state: GibbsState, cfg: SMCConfig, a, dlnv,
                 n_transfer: int, n_sweeps: int, temperature=None):
     """n_sweeps Gibbs sweeps as one compiled scan; per-sweep traces
-    (N1, V1, E1, E2)."""
+    (N1, V1, E1, E2). `temperature` may be a traced per-chain scalar
+    under vmap — a whole COEXISTENCE CURVE rho_v(T)/rho_l(T) runs as
+    one compiled program (the binodal the reference cannot draw)."""
 
     def body(st, _):
         st = gibbs_sweep(st, cfg, a, dlnv, n_transfer,
@@ -342,6 +344,7 @@ def simulate_gibbs(
     chunk: int = 200,
     state0: GibbsState | None = None,
     mesh=None,
+    temperatures: float | np.ndarray | None = None,
 ) -> Tuple[GibbsState, GibbsResults]:
     """Gibbs driver: thermalization (A doubled) + production, vmapped
     chains, watchdog-safe chunks. cfg.n is the TOTAL particle count;
@@ -350,9 +353,19 @@ def simulate_gibbs(
 
     `mesh`: optional Mesh with a "chains" axis — pure data-parallel
     GSPMD sharding of the chain batch (each chain's box PAIR stays on
-    one device; bitwise the single-device run, test_gibbs)."""
+    one device; bitwise the single-device run, test_gibbs).
+
+    `temperatures`: optional PER-CHAIN array [n_chains] — the
+    temperature axis rides the chain batch like everywhere else, so a
+    whole COEXISTENCE CURVE rho_v(T)/rho_l(T) runs as one compiled
+    program (group with `binodal_from_results`). The pooled scalar
+    results (rho_lo/rho_hi/mu_box) mix temperatures in that mode —
+    use the grouping helper instead."""
     a = cfg.proposal_a
     n_transfer = max(1, cfg.n // 4) if n_transfer is None else n_transfer
+    temps_c = jnp.broadcast_to(jnp.asarray(
+        cfg.temperature if temperatures is None else temperatures,
+        cfg.jnp_dtype), (n_chains,))
 
     if state0 is not None:
         state = state0
@@ -367,9 +380,11 @@ def simulate_gibbs(
         put = lambda x: jax.device_put(
             x, NamedSharding(mesh, PartitionSpec("chains")))
         state = jax.tree.map(put, state)
+        temps_c = put(temps_c)
 
-    def block(st, n, aa):
-        return gibbs_block(st, cfg, aa, dlnv, n_transfer, n)
+    def block(st, tt, n, aa):
+        return gibbs_block(st, cfg, aa, dlnv, n_transfer, n,
+                           temperature=tt)
 
     run = jax.jit(jax.vmap(partial(block, n=chunk, aa=a)))
     run_t = jax.jit(jax.vmap(partial(block, n=chunk, aa=2.0 * a)))
@@ -385,9 +400,9 @@ def simulate_gibbs(
             if k != chunk:
                 aa = 2.0 * a if therm else a
                 st_tr = jax.jit(jax.vmap(
-                    partial(block, n=k, aa=aa)))(state)
+                    partial(block, n=k, aa=aa)))(state, temps_c)
             else:
-                st_tr = (run_t if therm else run)(state)
+                st_tr = (run_t if therm else run)(state, temps_c)
             state, tr = st_tr
             state = state._replace(
                 energy=resync(state.r, state.active, state.l))
@@ -460,6 +475,59 @@ def simulate_gibbs(
             jnp.sum(state.active, axis=-1).astype(jnp.int32)),
     )
     return state, res
+
+
+def binodal_from_results(state: GibbsState, res: GibbsResults,
+                         temps_c, cfg: SMCConfig):
+    """Group a temperature-ladder Gibbs run by T: the coexistence
+    curve. temps_c [C]: the per-chain temperatures the run used.
+    Returns a list of dict rows (ascending T): t, rho_v/err_v,
+    rho_l/err_l, dmu (per-box chemical-potential gap at that T),
+    two_phase."""
+    temps_c = np.asarray(temps_c, np.float64)
+    t_vals, inv = np.unique(temps_c, return_inverse=True)
+    rs = np.sort(res.rho_samples, axis=-1)       # [S, C, 2]
+    bs = np.asarray(state.boltz_sum)             # [C, 2]
+    bc = np.asarray(state.boltz_cnt)
+    rows = []
+    for k, t in enumerate(t_vals):
+        cols = np.flatnonzero(inv == k)
+        chain_lo = rs[:, cols, 0].mean(axis=0)
+        chain_hi = rs[:, cols, 1].mean(axis=0)
+        nrep = len(cols)
+
+        def err(x):
+            return (float(x.std() / np.sqrt(nrep - 1)) if nrep > 1
+                    else float("nan"))
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu_ex = -t * np.log(bs[cols].sum(axis=0)
+                                / np.maximum(bc[cols].sum(axis=0), 1))
+        rho_box = res.rho_samples[:, cols, :].reshape(-1, 2).mean(axis=0)
+        mu = t * np.log(np.maximum(rho_box, 1e-12)) + mu_ex
+        lo, hi = float(chain_lo.mean()), float(chain_hi.mean())
+        rows.append({
+            "t": float(t), "rho_v": lo, "err_v": err(chain_lo),
+            "rho_l": hi, "err_l": err(chain_hi),
+            "dmu": float(abs(mu[0] - mu[1])),
+            "two_phase": bool(hi > 2.0 * lo),
+        })
+    return rows
+
+
+def write_gibbs_binodal_csv(d, cfg: SMCConfig, rows):
+    """gibbs_binodal_*.csv: the coexistence curve from one ladder run."""
+    from .io import _fname
+
+    p = _fname(d, "gibbs_binodal", cfg)
+    with open(p, "w") as f:
+        f.write("T, rho_v, err_v, rho_l, err_l, dmu, two_phase\n")
+        for r in rows:
+            f.write(f"{r['t']:0.6f}, {r['rho_v']:0.9f}, "
+                    f"{r['err_v']:0.9f}, {r['rho_l']:0.9f}, "
+                    f"{r['err_l']:0.9f}, {r['dmu']:0.6f}, "
+                    f"{int(r['two_phase'])}\n")
+    return p
 
 
 def save_gibbs_checkpoint(path, state: GibbsState, cfg: SMCConfig):
