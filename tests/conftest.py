@@ -124,6 +124,7 @@ QUICK_EXCLUDE = {
     "test_gibbs_checkpoint_resume_bitwise",   # ~25 s driver end-to-end
     "test_gibbs_sharded_mesh",                # ~25 s mesh end-to-end
     "test_npt_sharded_mesh",                  # ~25 s mesh end-to-end
+    "test_tp_grid_and_2d_reweight",           # ~70 s statistical
     "test_gibbs_temperature_ladder_binodal",  # ~60 s statistical
 }
 

@@ -235,6 +235,46 @@ def test_isobar_reweight_matches_direct_offgrid():
     assert rw.kappa_t[0] == pytest.approx(direct.kappa_t, rel=0.5)
 
 
+def test_tp_grid_and_2d_reweight():
+    """A per-chain (T, P) state grid advances as one program; the 2-D
+    MBAR (u_kn = beta_k (E + P_k V)) evaluated AT a sampled pair
+    reproduces that group's direct mean, an off-grid pair matches a
+    direct run there, and ESS collapses outside the bracket in the
+    TEMPERATURE field too."""
+    cfg = bulk_cfg(n=16, rho=0.25)
+    t_grid = np.asarray([1.6, 2.4])
+    p_grid = np.asarray([0.5, 1.2])
+    reps = 4
+    pairs = np.asarray([(t, p) for t in t_grid for p in p_grid])
+    temps_c = np.repeat(pairs[:, 0], reps)
+    press_c = np.repeat(pairs[:, 1], reps)
+    _, res = npt.simulate_npt(
+        cfg, press_c, eqsteps=1000, maxsteps=2000,
+        key=jax.random.key(21), n_chains=len(temps_c), dlnv=0.12,
+        chunk=250, temperatures=temps_c)
+    # per-chain T really acts: at P=0.5, the hot state is less dense
+    rho_chain = (cfg.n / res.volume_trace).mean(axis=0)
+    rho_16_05 = rho_chain[0:4].mean()     # (1.6, 0.5)
+    rho_24_05 = rho_chain[8:12].mean()    # (2.4, 0.5)
+    assert rho_24_05 < rho_16_05
+
+    targets = [(1.6, 0.5), (2.0, 0.8), (1.6, 30.0), (8.0, 0.8)]
+    tg, rho, vm, kap, em, ess = npt.reweight_tp(
+        res.energy_trace, res.volume_trace, temps_c, press_c,
+        targets, cfg.n)
+    assert rho[0] == pytest.approx(rho_16_05, rel=0.05)
+    m = res.volume_trace.size
+    assert ess[0] > 0.05 * m
+    assert ess[2] < 0.3 * ess[0]          # P far outside
+    assert ess[3] < 0.3 * ess[0]          # T far outside
+    # off-grid (2.0, 0.8) vs direct simulation
+    cfg2 = bulk_cfg(n=16, rho=0.25, temperature=2.0)
+    _, direct = npt.simulate_npt(cfg2, 0.8, eqsteps=1000,
+                                 maxsteps=2000, key=jax.random.key(22),
+                                 n_chains=8, dlnv=0.12, chunk=250)
+    assert rho[1] == pytest.approx(direct.mean_density, abs=0.015)
+
+
 def test_npt_sharded_mesh():
     """mesh= shards the chain batch (and the per-chain pressures) over
     the 8 virtual devices. A single-sweep block is BITWISE the

@@ -263,6 +263,7 @@ def simulate_npt(
     chunk: int = 200,
     state0: NPTState | None = None,
     mesh=None,
+    temperatures: float | np.ndarray | None = None,
 ) -> Tuple[NPTState, NPTResults]:
     """NPT driver: thermalization (A doubled, SMC.c:110-125 convention)
     + production, vmapped over independent chains; device calls chunked
@@ -276,10 +277,19 @@ def simulate_npt(
     (and the pressure vector) are device_put sharded over it and GSPMD
     partitions every call (chains never communicate, so sharding is
     pure data parallelism; bitwise the single-device run,
-    test_npt)."""
+    test_npt).
+
+    `temperatures`: optional PER-CHAIN array [n_chains] — combined
+    with a per-chain `pressure` a whole (T, P) STATE GRID advances as
+    one compiled program; reweight_tp then fills the continuous
+    rho(T, P) surface. The pooled scalar results mix states in that
+    mode — post-process the traces per state instead."""
     a = cfg.proposal_a
     ps = jnp.broadcast_to(jnp.asarray(pressure, cfg.jnp_dtype),
                           (n_chains,))
+    ts = jnp.broadcast_to(jnp.asarray(
+        cfg.temperature if temperatures is None else temperatures,
+        cfg.jnp_dtype), (n_chains,))
 
     if state0 is not None:
         if state0.r.shape[0] != n_chains:
@@ -299,10 +309,11 @@ def simulate_npt(
             x, NamedSharding(mesh, PartitionSpec("chains")))
         state = jax.tree.map(put, state)
         ps = put(ps)
+        ts = put(ts)
 
-    def block(st, p, n, aa):
+    def block(st, p, tt, n, aa):
         return npt_block(st, cfg, p, aa, dlnv, n, gr_bins=gr_bins,
-                         track_virial=track_virial)
+                         track_virial=track_virial, temperature=tt)
 
     run = jax.jit(jax.vmap(partial(block, n=chunk, aa=a)))
     run_therm = jax.jit(jax.vmap(partial(block, n=chunk, aa=2.0 * a)))
@@ -315,9 +326,9 @@ def simulate_npt(
             if k != chunk:
                 aa = 2.0 * a if therm else a
                 st_tr = jax.jit(jax.vmap(
-                    partial(block, n=k, aa=aa)))(state, ps)
+                    partial(block, n=k, aa=aa)))(state, ps, ts)
             else:
-                st_tr = (run_therm if therm else run)(state, ps)
+                st_tr = (run_therm if therm else run)(state, ps, ts)
             state, tr = st_tr
             # exact per-chunk energy re-sync (rejected-volume sweeps
             # accumulate one f32 rounding per displacement move)
@@ -545,6 +556,83 @@ def reweight_isobars(e_tr, v_tr, pressures, temperature, p_grid,
         p_grid=p_grid, rho=n / np.maximum(vm, 1e-12), v_mean=vm,
         kappa_t=kap, enthalpy=hh, ess=ess,
         f_k=np.asarray(f_k, np.float64), p_k=p_k)
+
+
+def reweight_tp(e_tr, v_tr, temps_c, press_c, targets, n: int,
+                max_samples_per_state: int = 1 << 17):
+    """MBAR over BOTH thermodynamic fields at once: the continuous
+    rho(T, P) surface from one sampled (temperature, pressure) grid.
+
+    e_tr/v_tr [S, C]: production traces from `simulate_npt` run with
+    per-chain `temperatures` AND `pressure`. States are the unique
+    (T, P) pairs; the reduced potential is u_kn = beta_k (E_m +
+    P_k V_m) — exactly the isobar case (reweight_isobars) with beta
+    varying per state too; the lnV Jacobian is state-independent and
+    cancels as before. `targets`: array-like of (T, P) rows.
+
+    Returns (targets [G, 2], rho [G], v_mean [G], kappa_t [G],
+    e_mean [G], ess [G]). ESS collapses outside the sampled bracket in
+    EITHER field."""
+    from .reweight import _mbar_fixed_point
+
+    temps_c = np.asarray(temps_c, np.float64).reshape(-1)
+    press_c = np.asarray(press_c, np.float64).reshape(-1)
+    e_tr = np.asarray(e_tr, np.float64)
+    v_tr = np.asarray(v_tr, np.float64)
+    if not (e_tr.shape == v_tr.shape
+            and e_tr.shape[1] == temps_c.size == press_c.size):
+        raise ValueError("trace/temperature/pressure shapes disagree")
+    tp = np.stack([temps_c, press_c], axis=1)
+    pairs, inv = np.unique(tp, axis=0, return_inverse=True)
+    e_s, v_s = [], []
+    for k in range(len(pairs)):
+        cols = np.flatnonzero(inv == k)
+        e = e_tr[:, cols].reshape(-1)
+        v = v_tr[:, cols].reshape(-1)
+        step = max(1, -(-e.size // max_samples_per_state))
+        e_s.append(e[::step])
+        v_s.append(v[::step])
+    n_k = np.asarray([e.size for e in e_s], np.int64)
+    e_m = np.concatenate(e_s)
+    v_m = np.concatenate(v_s)
+    beta_k = 1.0 / pairs[:, 0]
+    u64 = beta_k[:, None] * (e_m[None, :]
+                             + pairs[:, 1][:, None] * v_m[None, :])
+    shift = float(u64.mean())
+    u_kn = jnp.asarray(u64 - shift, jnp.float32)
+    log_n_k = jnp.asarray(np.log(n_k), jnp.float32)
+    f_k, _, _ = _mbar_fixed_point(u_kn, log_n_k, jnp.float32(2e-6),
+                                  5_000)
+    log_denom = jax.nn.logsumexp(
+        log_n_k[:, None] + f_k[:, None] - u_kn, axis=0)
+    e_j = jnp.asarray(e_m, jnp.float32)
+    v_j = jnp.asarray(v_m, jnp.float32)
+
+    @jax.jit
+    def at(beta, p):
+        logw = -(beta * (e_j + p * v_j) - jnp.float32(shift)) \
+            - log_denom
+        logw = logw - jax.nn.logsumexp(logw)
+        w = jnp.exp(logw)
+        vm = jnp.sum(w * v_j)
+        vv = jnp.sum(w * (v_j - vm) ** 2)
+        em = jnp.sum(w * e_j)
+        return vm, vv, em, 1.0 / jnp.sum(w * w)
+
+    targets = np.atleast_2d(np.asarray(targets, np.float64))
+    g = len(targets)
+    vm = np.empty(g)
+    kap = np.empty(g)
+    em = np.empty(g)
+    ess = np.empty(g)
+    for i, (t, p) in enumerate(targets):
+        v_i, vv_i, e_i, ess_i = at(jnp.float32(1.0 / t),
+                                   jnp.float32(p))
+        vm[i] = float(v_i)
+        kap[i] = float(vv_i) / (t * max(float(v_i), 1e-12))
+        em[i] = float(e_i)
+        ess[i] = float(ess_i)
+    return targets, n / np.maximum(vm, 1e-12), vm, kap, em, ess
 
 
 def write_npt_reweight_csv(d, cfg: SMCConfig, rw: IsobarReweight):
