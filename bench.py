@@ -247,6 +247,22 @@ def _main() -> int:
         },
     })
 
+    # C baseline in a background thread: a CPU subprocess that can run
+    # while the TPU extras execute — BENCH_r03's first capture shipped
+    # the fallback constant because the baseline ran LAST and the
+    # N=16384 extra ate the remaining watchdog budget. The thread fills
+    # vs_baseline the moment the C run parses; emit_result() reads
+    # whatever has landed.
+    def _measure_c_bg():
+        rate, src = measure_c_baseline()
+        RESULT["vs_baseline"] = round(RESULT["value"] / rate, 2)
+        RESULT["extra"]["baseline_sweeps_per_s"] = round(rate, 2)
+        RESULT["extra"]["baseline_source"] = src
+        log(f"bench: C baseline {rate:.1f} sweeps/s ({src})")
+
+    c_thread = threading.Thread(target=_measure_c_bg, daemon=True)
+    c_thread.start()
+
     # Continuity extra: the dense kernel (rounds 1-2's primary engine).
     t0 = time.time()
     state_d, _ = ens.ensemble_sweeps_pallas(
@@ -297,9 +313,17 @@ def _main() -> int:
     # the persistent cache (seconds); the guard only skips when earlier
     # phases already consumed most of the driver's budget on cold
     # compiles.
+    # Budget guards are measured against the WATCHDOG deadline (540 s
+    # from process start), not against `ready`: a 160 s first dispatch
+    # once let the N=16384 extra start inside a window the watchdog was
+    # about to cut (BENCH_r03 first capture). Each guard requires the
+    # phase's measured warm cost plus slack.
+    def budget_left() -> float:
+        return START + 540.0 - time.time()
+
     agg108 = None
     warmup_108 = None
-    if time.time() - ready < 520:
+    if budget_left() > 60:
         # 200-sweep blocks, best of 3: a 50-sweep window is ~0.1 s at this
         # rate and dispatch noise made the quoted number swing +-40%
         # across rounds (VERDICT r1 #10).
@@ -334,7 +358,7 @@ def _main() -> int:
     # skipping kernel that beats dense at this size, PERF_NOTES.md).
     # Throughput only (cold lattice start); sps=8 is the measured
     # optimum at this size.
-    if time.time() - ready < 560:
+    if budget_left() > 100:
         cfg3 = SMCConfig.for_n(4096, dtype="float32")
         state3, w3 = init_ensemble_state(cfg3, jax.random.key(0), 256)
         t0 = time.time()
@@ -368,7 +392,7 @@ def _main() -> int:
     # resident planes stop fitting past N~10k; input_output_aliases keep
     # state in HBM and pair passes stream z-window j-blocks through
     # double-buffered VMEM — docs/PERF_NOTES.md round-3 addendum).
-    if time.time() - ready < 560:
+    if budget_left() > 110:
         cfg4 = SMCConfig.for_n(16384, dtype="float32")
         state4, w4 = init_ensemble_state(cfg4, jax.random.key(0), 128)
         t0 = time.time()
@@ -424,14 +448,10 @@ def _main() -> int:
             f"{n_dev} chips ({agg_mesh / agg:.1f}x one chip)")
         RESULT["extra"]["mesh_aggregate_sweeps_per_s"] = round(agg_mesh, 1)
 
-    # C baseline LAST: it is a subprocess with its own timeout and the
-    # fallback constant is always available, so nothing downstream
-    # depends on it finishing fast.
-    c_rate, c_src = measure_c_baseline()
-    log(f"bench: C baseline {c_rate:.1f} sweeps/s ({c_src})")
-    RESULT["vs_baseline"] = round(agg / c_rate, 2)
-    RESULT["extra"]["baseline_sweeps_per_s"] = round(c_rate, 2)
-    RESULT["extra"]["baseline_source"] = c_src
+    # The background C baseline normally lands within the first minute;
+    # give it whatever budget remains (the fallback constant is already
+    # in the record if it never finishes).
+    c_thread.join(timeout=max(5.0, budget_left() - 5.0))
 
     emit_result()
     return 0
