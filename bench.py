@@ -113,6 +113,12 @@ signal.signal(signal.SIGTERM, _on_term)
 signal.signal(signal.SIGINT, _on_term)
 
 
+# Single deadline shared by the hang watchdog and the per-phase budget
+# guards (ADVICE r3: two hardcoded copies of "540 s" measured from
+# different origins drift apart). Set once in _start_watchdog.
+WATCHDOG_DEADLINE = START + 540.0
+
+
 def _start_watchdog(seconds: float = 540.0) -> None:
     """Emit the record even when the backend HANGS: a dead axon tunnel
     blocks inside a C call (PJRT init / first dispatch), where Python
@@ -121,8 +127,11 @@ def _start_watchdog(seconds: float = 540.0) -> None:
     so it emits whatever the record holds (the outage placeholder, or
     the primary if it landed) just under the driver's ~600 s budget and
     exits hard."""
+    global WATCHDOG_DEADLINE
+    WATCHDOG_DEADLINE = time.time() + seconds
+
     def fire():
-        time.sleep(seconds)
+        time.sleep(max(0.0, WATCHDOG_DEADLINE - time.time()))
         log("bench: watchdog fired (backend hang?) — emitting record")
         emit_result()
         os._exit(3)
@@ -216,7 +225,7 @@ def _main() -> int:
     warmup_primary = time.time() - t0
     log(f"bench: warmup/compile {warmup_primary:.1f}s")
 
-    best = float("inf")
+    rep_dts = []
     for rep in range(3):
         t0 = time.time()
         state, trace = ens.ensemble_sweeps_zsorted(
@@ -224,11 +233,14 @@ def _main() -> int:
         )
         sync(state)
         dt = time.time() - t0
-        best = min(best, dt)
+        rep_dts.append(dt)
         log(f"bench: rep {rep}: {dt:.3f}s")
+    best = min(rep_dts)
     agg = CHAINS * ZSWEEPS / best
+    agg_median = CHAINS * ZSWEEPS / float(np.median(rep_dts))
     acc = float(np.asarray(trace.accepted).mean()) / cfg.n
-    log(f"bench: {agg:,.0f} aggregate sweeps/s at N={N}, acceptance {acc:.3f}")
+    log(f"bench: {agg:,.0f} aggregate sweeps/s at N={N}, acceptance {acc:.3f}"
+        f" (median {agg_median:,.0f} over {len(rep_dts)} reps)")
 
     # Primary is in hand: make the record emittable from this point on.
     RESULT.update({
@@ -241,6 +253,15 @@ def _main() -> int:
             "acceptance": round(acc, 4),
             "baseline_sweeps_per_s": FALLBACK_C_RATE,
             "baseline_source": "fallback (pending live C measurement)",
+            # VERDICT r3 #5: state the normalization. vs_baseline divides
+            # by ONE C core on this host (the reference is also run
+            # single-rank here); the BASELINE.json north star is framed
+            # against an MPI node — an 8-rank C run would cut the quoted
+            # ratio by ~8x (embarrassingly-parallel replicas).
+            "baseline_normalization": "single C core, this host; divide "
+                                      "by n_ranks for an MPI-node frame",
+            "primary_median_sweeps_per_s": round(agg_median, 1),
+            "primary_rep_seconds": [round(d, 3) for d in rep_dts],
             "n_devices": len(jax.devices()),
             "first_dispatch_s": round(first_dispatch, 1),
             "warmup_primary_s": round(warmup_primary, 1),
@@ -254,10 +275,25 @@ def _main() -> int:
     # vs_baseline the moment the C run parses; emit_result() reads
     # whatever has landed.
     def _measure_c_bg():
+        # ADVICE r3 (medium): this box has ONE CPU core, so gcc + the
+        # compute-bound C run contend with host-side dispatch of the
+        # timed TPU extras. os.nice in a thread reprioritizes only this
+        # thread on Linux, and forked children (gcc, the C binary)
+        # inherit it — the bench main thread keeps CPU priority.
+        try:
+            os.nice(19)
+        except OSError:
+            pass
         rate, src = measure_c_baseline()
-        RESULT["vs_baseline"] = round(RESULT["value"] / rate, 2)
-        RESULT["extra"]["baseline_sweeps_per_s"] = round(rate, 2)
-        RESULT["extra"]["baseline_source"] = src
+        # ADVICE r3 (low): compute the triple locally, then apply it
+        # atomically under _EMIT_LOCK so a concurrent watchdog/signal
+        # emit can never serialize a torn baseline.
+        with _EMIT_LOCK:
+            if not _EMITTED:
+                RESULT["vs_baseline"] = round(RESULT["value"] / rate, 2)
+                RESULT["extra"]["baseline_sweeps_per_s"] = round(rate, 2)
+                RESULT["extra"]["baseline_source"] = src
+                RESULT["extra"]["baseline_ran_concurrently_nice19"] = True
         log(f"bench: C baseline {rate:.1f} sweeps/s ({src})")
 
     c_thread = threading.Thread(target=_measure_c_bg, daemon=True)
@@ -280,6 +316,21 @@ def _main() -> int:
     log(f"bench: dense-engine extra: {agg_dense:,.0f} aggregate sweeps/s "
         f"(warmup {warmup_dense:.1f}s)")
     RESULT["extra"]["n1024_dense_sweeps_per_s"] = round(agg_dense, 1)
+    # VERDICT r3 #5: anchor the C-relative number to the hardware
+    # roofline. The dense kernel's op ledger (docs/PERF_NOTES.md "where
+    # the remaining time goes") counts ~23 f32 vector ops per pair
+    # element, 2 passes (propose + revert/accept bookkeeping) per move,
+    # N elements per pass, N moves per sweep => 46*N^2 ledger ops per
+    # chain-sweep. The theoretical ceiling is the v5e VPU issuing on
+    # all 4 ALUs every cycle (8x128 lanes * 4 ALUs * ~0.94 GHz =
+    # 3.85e12 f32 ops/s); the ledger's dependency chains (reciprocal
+    # Newton steps, masked selects, sublane reductions) bound the
+    # ACHIEVABLE issue rate lower — PERF_NOTES' per-move model puts the
+    # kernel within single-digit % of that achievable bound.
+    ledger_ops = agg_dense * 46.0 * N * N
+    RESULT["extra"]["dense_ledger_f32_ops_per_s"] = float(f"{ledger_ops:.3g}")
+    RESULT["extra"]["dense_fraction_of_vpu_4alu_peak"] = round(
+        ledger_ops / 3.85e12, 3)
 
     # Ladder extra: a 4-temperature ladder through the zsorted engine's
     # (A, T) data rows (round-3 cont.: --sampler auto routes ladders at
@@ -313,13 +364,14 @@ def _main() -> int:
     # the persistent cache (seconds); the guard only skips when earlier
     # phases already consumed most of the driver's budget on cold
     # compiles.
-    # Budget guards are measured against the WATCHDOG deadline (540 s
-    # from process start), not against `ready`: a 160 s first dispatch
-    # once let the N=16384 extra start inside a window the watchdog was
-    # about to cut (BENCH_r03 first capture). Each guard requires the
-    # phase's measured warm cost plus slack.
+    # Budget guards are measured against the WATCHDOG deadline (the
+    # same one the hang watchdog sleeps on — ADVICE r3), not against
+    # `ready`: a 160 s first dispatch once let the N=16384 extra start
+    # inside a window the watchdog was about to cut (BENCH_r03 first
+    # capture). Each guard requires the phase's measured warm cost plus
+    # slack.
     def budget_left() -> float:
-        return START + 540.0 - time.time()
+        return WATCHDOG_DEADLINE - time.time()
 
     agg108 = None
     warmup_108 = None
@@ -392,11 +444,21 @@ def _main() -> int:
     # resident planes stop fitting past N~10k; input_output_aliases keep
     # state in HBM and pair passes stream z-window j-blocks through
     # double-buffered VMEM — docs/PERF_NOTES.md round-3 addendum).
-    if budget_left() > 110:
-        cfg4 = SMCConfig.for_n(16384, dtype="float32")
+    # VERDICT r3 #4: the box is DENSITY-MATCHED to the reference's
+    # N=1024 rho = 5.7e-3 (the fixed 33x240 default box jams at this N —
+    # acceptance 0.019, an atypical skip envelope); the row now reports
+    # real dynamics, with acceptance in the record. ADVICE r3 (low):
+    # after one recorded cold-warmup hang, the extra is skippable via
+    # BENCH_SKIP_16K=1 — the hang watchdog above still bounds it.
+    if os.environ.get("BENCH_SKIP_16K") == "1":
+        log("bench: skipping N=16384 quaternary (BENCH_SKIP_16K=1)")
+    elif budget_left() > 110:
+        n4 = 16384
+        l4 = (n4 / (5.7e-3 * 240.0)) ** 0.5
+        cfg4 = SMCConfig(n=n4, box_l=l4, box_lz=240.0, dtype="float32")
         state4, w4 = init_ensemble_state(cfg4, jax.random.key(0), 128)
         t0 = time.time()
-        state4, _ = ens.ensemble_sweeps_zsorted(
+        state4, tr4 = ens.ensemble_sweeps_zsorted(
             state4, w4, cfg4, cfg4.proposal_a, 24, seed=41, c_tile=128)
         sync(state4)
         warmup_16k = time.time() - t0
@@ -404,17 +466,21 @@ def _main() -> int:
         best16k = float("inf")
         for rep in range(2):
             t0 = time.time()
-            state4, _ = ens.ensemble_sweeps_zsorted(
+            state4, tr4 = ens.ensemble_sweeps_zsorted(
                 state4, w4, cfg4, cfg4.proposal_a, 24, seed=42 + rep,
                 c_tile=128)
             sync(state4)
             best16k = min(best16k, time.time() - t0)
         agg16k = 128 * 24 / best16k
-        log(f"bench: N=16384 quaternary (hbm-streamed): {agg16k:,.0f} "
-            "aggregate sweeps/s")
+        acc16k = float(np.asarray(tr4.accepted).mean()) / n4
+        log(f"bench: N=16384 quaternary (hbm-streamed, rho-matched): "
+            f"{agg16k:,.0f} aggregate sweeps/s, acceptance {acc16k:.3f}")
         RESULT["extra"].update({
             "n16384_streamed_sweeps_per_s": round(agg16k, 1),
+            "n16384_acceptance": round(acc16k, 4),
+            "n16384_box": f"rho-matched 5.7e-3 (L={l4:.1f}, Lz=240)",
             # C core extrapolated O(N^2): 4744 * (108/16384)^2 = 0.206/s
+            # (the C pair loop is dense regardless of density)
             "n16384_vs_c_core": round(agg16k / 0.206, 1),
             "warmup_n16384_s": round(warmup_16k, 1),
         })

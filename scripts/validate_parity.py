@@ -75,7 +75,27 @@ def main() -> int:
                          "contract runs with reference_noise=True; this flag "
                          "compares the CORRECTED sampler instead (expect "
                          "~+0.5 mean energy, +0.002 acceptance vs C).")
+    ap.add_argument("--fixed-noise-c", action="store_true",
+                    help="compare against the DEFECT-CORRECTED C binary "
+                         "(build_reference_main(fixed_noise=True): standard "
+                         "Box-Muller displacement noise, stock wall "
+                         "geometry). Implies --correct-noise — both sides "
+                         "then sample the same correct ensemble, which is "
+                         "the strict contract for engines that cannot "
+                         "reproduce the F0 pair structure (the z-sorted "
+                         "production engine permutes move order and noise "
+                         "rows; docs/DEVIATIONS.md A8).")
     args = ap.parse_args()
+    if args.fixed_noise_c:
+        args.correct_noise = True
+    if args.sampler == "zsorted" and not args.correct_noise:
+        ap.error(
+            "--sampler zsorted cannot run the bug-compatible contract: "
+            "z-sorted move order permutes the reference_noise pair "
+            "structure and does NOT reproduce the C F0 ensemble "
+            "(measured +0.45 E offset, 5.1 sigma — docs/DEVIATIONS.md "
+            "A8). Run it with --fixed-noise-c (strict contract vs the "
+            "defect-corrected C binary) or --correct-noise.")
 
     import jax
 
@@ -100,8 +120,10 @@ def main() -> int:
     # code's true equilibrium we (1) run once to equilibrate and write
     # last_state, then (2) take measurement runs warm-started from it with
     # eqsteps=0 — the offset is then exactly zero.
-    print(f"[C] building reference; equilibration chain ...", flush=True)
-    exe = build_reference_main(108)
+    print(f"[C] building reference"
+          f"{' (fixed-noise variant)' if args.fixed_noise_c else ''}; "
+          "equilibration chain ...", flush=True)
+    exe = build_reference_main(108, fixed_noise=args.fixed_noise_c)
     td_obj = tempfile.TemporaryDirectory()
     td = td_obj.name
     # Long equilibration chain; every later run warm-starts from its
@@ -234,7 +256,8 @@ def main() -> int:
     resolved_acc = bool(max(c_acc_err, 1e-4) < 1e-3 / 3)
     report = {
         "c": {"mean_energy": c_e, "err": c_e_err, "acceptance": c_acc,
-              "acceptance_err": c_acc_err},
+              "acceptance_err": c_acc_err,
+              "fixed_noise_binary": args.fixed_noise_c},
         "jax": {"mean_energy": j_e, "err": j_e_err, "acceptance": j_acc,
                 "sweeps_per_s": agg.sweeps_per_second,
                 "reference_noise": ref_noise, "sampler": args.sampler},

@@ -293,6 +293,16 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     auto-routes to the HBM-streamed kernel."""
     del tuned, ladder   # both ride the (A, T) data rows — no downgrade
     if requested != "auto":
+        if requested == "zsorted" and cfg.reference_noise:
+            raise SystemExit(
+                "--sampler zsorted cannot honor reference_noise=True: "
+                "the engine's z-sorted move order permutes the "
+                "bug-compatible noise-pair structure, so it does NOT "
+                "reproduce the C reference's F0-biased ensemble "
+                "(measured +0.45 energy offset — docs/DEVIATIONS.md A8, "
+                "docs/EVIDENCE_ZSORTED_NOISE.json). Use --sampler "
+                "pallas/xla for bug-compatible parity runs, or the "
+                "default correct i.i.d. noise with zsorted.")
         return requested
     import jax
 
@@ -301,7 +311,9 @@ def _resolve_sampler(requested: str, cfg, chains: int, n_dev: int = 1,
     if not (jax.default_backend() == "tpu" and cfg.dtype == "float32"
             and local % 128 == 0):
         return "xla"
-    if cfg.n >= 1024 and not cfg.pbc_z:
+    if cfg.n >= 1024 and not cfg.pbc_z and not cfg.reference_noise:
+        # reference_noise runs stay on the dense engine: its fixed-label
+        # move order preserves the F0 pair semantics the mode exists for
         return "zsorted"
     return "pallas"
 
