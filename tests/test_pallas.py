@@ -496,6 +496,19 @@ def test_zsorted_auto_streams_when_vmem_overflows(monkeypatch):
         ens.ensemble_sweeps_zsorted(
             state, w, small, small.proposal_a, 4, c_tile=128)
     assert seen["hbm_stream"] is False
+
+    # TPU_SMC_FORCE_HBM_STREAM=1 forces the stream route at any N (the
+    # --global-ladder x hbm_stream composition escape: the stream and
+    # resident kernels are bitwise per shard, so forcing the route at
+    # small N exercises the pod-scale composition cheaply — see
+    # test_sharded_zsorted_hbm_stream_ladder_bitwise for the sharded
+    # bitwise pin and test_distributed for the cross-process ladder).
+    monkeypatch.setenv("TPU_SMC_FORCE_HBM_STREAM", "1")
+    with pytest.raises(Exception):
+        ens.ensemble_sweeps_zsorted(
+            state, w, small, small.proposal_a, 4, c_tile=128)
+    assert seen["hbm_stream"] is True
+    monkeypatch.delenv("TPU_SMC_FORCE_HBM_STREAM")
     monkeypatch.setattr(sp, "pallas_sweep_block", real)
 
 

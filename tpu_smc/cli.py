@@ -12,6 +12,7 @@ observables) without recompiling anything by hand — jit recompiles.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -339,6 +340,20 @@ def main(argv=None) -> int:
     _prompt_missing(args)
 
     import jax
+
+    if os.environ.get("TPU_SMC_PALLAS_INTERPRET") == "1":
+        # Test escape: run every pallas kernel through the interpreter
+        # so the kernel engines (dense/zsorted/stream) can be driven
+        # end-to-end through the CLI on CPU — e.g. the 2-OS-process
+        # --global-ladder x hbm_stream composition test. Interpret-mode
+        # PRNG is lane-replicated (CLAUDE.md), so only bitwise
+        # engine-vs-engine contracts are meaningful under this flag.
+        from contextlib import ExitStack
+
+        from jax.experimental.pallas import tpu as _pltpu
+
+        _stack = ExitStack()
+        _stack.enter_context(_pltpu.force_tpu_interpret_mode())
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

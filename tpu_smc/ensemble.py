@@ -22,6 +22,7 @@ device all-gathers positions over ICI and reduces its row block
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -425,7 +426,13 @@ def ensemble_sweeps_zsorted(
         # auto only streams when the config supports it — an unsupported
         # config stays resident (and Mosaic reports VMEM exhaustion at
         # sizes truly beyond it) rather than raising mid-run.
-        hbm_stream = stream_ok and resident > 13 * 2 ** 20
+        # TPU_SMC_FORCE_HBM_STREAM=1 forces the streamed route at any N
+        # (test/composition escape: the stream<->resident switch is
+        # bitwise, so forcing it at small N exercises the pod-scale
+        # composition — e.g. --global-ladder x hbm_stream — cheaply).
+        hbm_stream = stream_ok and (
+            resident > 13 * 2 ** 20
+            or os.environ.get("TPU_SMC_FORCE_HBM_STREAM") == "1")
     elif hbm_stream and not stream_ok:
         raise NotImplementedError(
             "hbm_stream engine requires walls and default (i.i.d.) noise")
