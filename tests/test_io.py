@@ -232,3 +232,27 @@ def test_ensemble_pooled_data_csv(tmp_path):
     ])
     pooled_e = _np.asarray([float(l.split(",")[0]) for l in lines[1:]])
     _np.testing.assert_allclose(pooled_e, per_rank_e.mean(axis=0), rtol=1e-6)
+
+
+def test_checkpoint_atomic_rotation(tmp_path):
+    """save_checkpoint is crash-safe for multi-hour --auto-checkpoint
+    runs: it writes a temp file, rotates the previous checkpoint to
+    <stem>.prev.npz, and renames atomically — so a kill mid-write can
+    never corrupt the only copy, and the prior generation stays
+    loadable (io.atomic_savez)."""
+    import jax
+
+    from tpu_smc.config import SMCConfig
+    from tpu_smc.state import init_ensemble_state
+
+    cfg = SMCConfig(dtype="float32")
+    st, _ = init_ensemble_state(cfg, jax.random.key(0), 4)
+    p = smcio.save_checkpoint(tmp_path / "ck.npz", st, cfg)
+    st2 = st._replace(sweeps=st.sweeps + 7)
+    smcio.save_checkpoint(p, st2, cfg)
+    assert not (tmp_path / "ck.npz.tmp").exists()
+    prev, _ = smcio.load_checkpoint(tmp_path / "ck.prev.npz")
+    cur, _ = smcio.load_checkpoint(p)
+    assert int(np.asarray(cur.sweeps).ravel()[0]) \
+        == int(np.asarray(prev.sweeps).ravel()[0]) + 7
+    np.testing.assert_array_equal(np.asarray(prev.r), np.asarray(st.r))

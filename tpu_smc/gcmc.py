@@ -558,9 +558,11 @@ def save_gcmc_checkpoint(path, state: GCMCState, cfg: SMCConfig):
     arrays["key"] = np.asarray(jax.random.key_data(state.key))
     cfg_json = json.dumps(
         {f: getattr(cfg, f) for f in cfg.__dataclass_fields__})
-    np.savez(path, __config__=np.frombuffer(cfg_json.encode(),
-                                            dtype=np.uint8),
-             __gcmc__=np.asarray(1), **arrays)
+    from .io import atomic_savez
+
+    atomic_savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                                dtype=np.uint8),
+                 __gcmc__=np.asarray(1), **arrays)
     return path
 
 

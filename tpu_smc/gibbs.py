@@ -548,9 +548,11 @@ def save_gibbs_checkpoint(path, state: GibbsState, cfg: SMCConfig):
         arrays[f] = np.asarray(jax.random.key_data(getattr(state, f)))
     cfg_json = json.dumps(
         {f: getattr(cfg, f) for f in cfg.__dataclass_fields__})
-    np.savez(path, __config__=np.frombuffer(cfg_json.encode(),
-                                            dtype=np.uint8),
-             __gibbs__=np.asarray(1), **arrays)
+    from .io import atomic_savez
+
+    atomic_savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                                dtype=np.uint8),
+                 __gibbs__=np.asarray(1), **arrays)
     return path
 
 

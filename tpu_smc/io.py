@@ -338,6 +338,24 @@ def load_last_state(d: Path, cfg: SMCConfig) -> Optional[np.ndarray]:
 # Full-state checkpointing (beyond the reference's positions-only resume)
 # ----------------------------------------------------------------------
 
+def atomic_savez(path: Path, **arrays) -> None:
+    """Crash-safe checkpoint write with one-generation rotation.
+
+    Multi-hour production runs rewrite the same --auto-checkpoint file
+    hundreds of times; an in-place np.savez corrupts the ONLY copy if
+    the process dies mid-write (SIGKILL, OOM, power). Write to a temp
+    file in the same directory, rotate any existing checkpoint to
+    `<stem>.prev.npz`, then atomically rename the temp into place — at
+    every instant either the old or the new complete checkpoint exists,
+    and the previous generation survives as .prev for manual recovery."""
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    if path.exists():
+        os.replace(path, path.with_name(path.stem + ".prev.npz"))
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str | Path, state: ChainState, cfg: SMCConfig) -> Path:
     """Persist the complete chain (or ensemble) state + config.
 
@@ -361,7 +379,8 @@ def save_checkpoint(path: str | Path, state: ChainState, cfg: SMCConfig) -> Path
     cfg_json = json.dumps(
         {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}
     )
-    np.savez(path, __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8), **arrays)
+    atomic_savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                                dtype=np.uint8), **arrays)
     return path
 
 

@@ -425,9 +425,11 @@ def save_npt_checkpoint(path, state: NPTState, cfg: SMCConfig):
     arrays["vkey"] = np.asarray(jax.random.key_data(state.vkey))
     cfg_json = json.dumps(
         {f: getattr(cfg, f) for f in cfg.__dataclass_fields__})
-    np.savez(path, __config__=np.frombuffer(cfg_json.encode(),
-                                            dtype=np.uint8),
-             __npt__=np.asarray(1), **arrays)
+    from .io import atomic_savez
+
+    atomic_savez(path, __config__=np.frombuffer(cfg_json.encode(),
+                                                dtype=np.uint8),
+                 __npt__=np.asarray(1), **arrays)
     return path
 
 
