@@ -8,7 +8,16 @@ T=1.1) driven through the production CLI on one real TPU chip with a
 128-chain ensemble — the multi-hour pipeline no test exercises end to
 end: windowed driver + watchdog chunking, full-resolution trace memory,
 checkpoint rotation (--auto-checkpoint), the KMAX-scale ACF
-(/root/reference/SMC.h:61), and the 9-artifact CSV set.
+(/root/reference/SMC.h:61), and the per-rank CSV artifact set
+(SMC.c:66-96 file model).
+
+The regexes below match the ENSEMBLE summary (cli.py "Final ensemble
+results" block) — a --chains K run routes there, not through the
+single-chain print block. Beyond the log, the harvest independently
+audits the artifacts: row counts, the rank-0 integrated ACF time, and
+the tracked-vs-exact energy drift recomputed from the final checkpoint
+(the f32 incremental-energy guarantee the reference never checks,
+SMC.c:341).
 
 Usage: python scripts/harvest_capstone.py /tmp/capstone /tmp/capstone.log
 """
@@ -23,6 +32,7 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
@@ -37,13 +47,50 @@ def main() -> int:
         m = re.search(pat, log)
         return cast(m.group(1)) if m else None
 
+    def rows(path):
+        return sum(1 for _ in path.open()) - 1
+
     csvs = sorted(p.name for p in run.glob("*.csv"))
-    data_csv = next(run.glob("data_*.csv"))
-    n_rows = sum(1 for _ in data_csv.open()) - 1
-    acf_csv = next(run.glob("autocorrelation_*.csv"), None)
-    acf_rows = (sum(1 for _ in acf_csv.open()) - 1) if acf_csv else 0
+    kinds = sorted({re.sub(r"_N108.*", "", n) for n in csvs})
+    data_csv = run / "data_N108_M3_r0.0005_T1.10_rank0.csv"
+    acf_csv = next(run.glob("autocorrelation_*rank0.csv"), None)
+    pos_csv = next(run.glob("positions_*rank0.csv"), None)
     cks = sorted(base.glob("ck*.npz"))
 
+    # rank-0 integrated autocorrelation time from the written artifact
+    # (sum of the normalized ACF — SMC.c:235 semantics)
+    tau0 = None
+    if acf_csv is not None and acf_csv.exists():
+        acf = np.loadtxt(acf_csv, skiprows=1)
+        tau0 = float(np.sum(acf))
+
+    # tracked-vs-exact energy drift from the final full-state checkpoint:
+    # the run carries E incrementally (f32) across 2e7 sweeps; recompute
+    # the exact total energy from the checkpointed positions on CPU.
+    drift = None
+    ck_final = base / "ck.npz"
+    if ck_final.exists():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from tpu_smc import io as smcio
+        from tpu_smc.potentials import total_energy
+        from tpu_smc.system import build_walls
+
+        state, cfg = smcio.load_checkpoint(str(ck_final))
+        w = build_walls(cfg)[0]
+        exact = np.asarray(
+            jax.vmap(lambda ri: total_energy(ri, w, cfg))(state.r))
+        tracked = np.asarray(state.energy)
+        drift = {
+            "max_abs": float(np.max(np.abs(tracked - exact))),
+            "max_rel": float(np.max(np.abs(tracked - exact)
+                                    / np.abs(exact))),
+            "chains_checked": int(tracked.shape[0]),
+        }
+
+    agg_sps = grab(r"Aggregate throughput: ([\d,]+) sweeps/s",
+                   lambda s: float(s.replace(",", "")))
     out = {
         "protocol": "python -m tpu_smc 4000000 16000000 400000 1.1 "
                     "--chains 128 --sampler zsorted --seed 42 --gr-bins 64 "
@@ -51,21 +98,22 @@ def main() -> int:
         "reference_anchor": "main.c:15-18 suggested production scale; "
                             "SMC.h:61 KMAX=2.5e6",
         "mean_energy": grab(r"Mean energy: ([-\d.]+)"),
-        "energy_err": grab(r"Mean energy: [-\d.]+ ± ([\d.]+)"),
-        "acceptance": grab(r"acceptance ratio: ([\d.]+)"),
-        "therm_acceptance": grab(
-            r"average acceptance ratio ([\d.]+)"),
-        "cv": grab(r"heat capacity: ([-\w.]+)", str),
-        "tau": grab(r"autocorrelation time: ([-\d.]+)"),
+        "energy_chain_spread": grab(r"Mean energy: [-\d.]+ ± ([\d.]+)"),
         "pressure": grab(r"Mean pressure: ([-\d.]+)"),
-        "sim_minutes": grab(r"completed in ([\d.]+) mins"),
-        "s_per_million": grab(r"([\d.]+) s per million steps"),
-        "artifacts": csvs,
-        "data_csv_rows": n_rows,
-        "acf_rows": acf_rows,
+        "acceptance": grab(r"Average acceptance ratio: ([\d.]+)"),
+        "aggregate_sweeps_per_s": agg_sps,
+        "per_chain_sweeps_per_s": (agg_sps / 128 if agg_sps else None),
+        "tau_rank0": tau0,
+        "energy_drift_vs_exact": drift,
+        "artifact_kinds": kinds,
+        "artifact_files": len(csvs),
+        "data_csv_rows": rows(data_csv) if data_csv.exists() else 0,
+        "acf_rows": rows(acf_csv) if acf_csv else 0,
+        "positions_rows": rows(pos_csv) if pos_csv else 0,
         "checkpoints_on_disk": [p.name for p in cks],
         "device_faults_replayed": log.count("[elastic] device fault"),
         "watchdog_kernel_faults": log.count("kernel fault"),
+        "storage_windows_logged": len(re.findall(r"Window \d+ done", log)),
         "total_sweeps_per_chain": 20_000_000,
         "chains": 128,
         "aggregate_production_sweeps": 16_000_000 * 128,
