@@ -15,10 +15,11 @@ death still leaves a record):
                 model" caveat). Records the cost-model prediction
                 (driver.gathers_per_call) next to the measured run.
   3 n4096       a recorded N=4096 full-driver CLI run with artifacts.
-                32 chains: the CNA pair-block matmul is ~1.1e15 MACs
-                per pass at this size (~44 s on the MXU) — 128 chains
-                would put a single gather call past the ~100 s runtime
-                watchdog, which can kill the tunnel permanently.
+                CNA live: one pass at 32 chains is ~180 s of MXU time
+                (p_pad*N^2 MACs/chain), so this exercises the HOISTED
+                cluster-analysis path (driver.cna_hoist) — the pass
+                leaves the fused window and runs as ~10 bounded device
+                calls, none near the ~100 s runtime watchdog.
   4 disorder    quenched wall disorder on the production engine
                 (runbook #5): warm uniform baseline, then the cold
                 per_chain_w compile + measured overhead (PERF_NOTES
@@ -147,20 +148,29 @@ def s_n1024():
 @stage("n4096")
 def s_n4096():
     from tpu_smc.config import SMCConfig
-    from tpu_smc.driver import gathers_per_call
+    from tpu_smc.driver import cna_hoist, gathers_per_call, warn_cna_spike
 
-    cfg = SMCConfig(n=4096, box_l=33.0, box_lz=240.0, dtype="float32")
-    gpc = gathers_per_call(cfg, lapse=20, chains=32, clusters=True)
+    cfg = SMCConfig(n=4096, box_l=33.0, box_lz=240.0, dtype="float32",
+                    lca_time=25)
+    # One CNA pass at N=4096 x 32 chains is ~180 s of MXU time
+    # (p_pad*N^2 MACs per chain at the measured 2.5e13 MACs/s) — far
+    # past the ~100 s watchdog as a single call, so the driver must
+    # hoist it into bounded calls (driver.cna_hoist). lca_time=25 keeps
+    # the probe to 2 passes (gathers 25 and 50).
+    assert cna_hoist(cfg, 32, True), "hoist must engage at this scale"
+    gpc = gathers_per_call(cfg, lapse=20, chains=32, clusters=False)
     text = run_cli(["200", "1000", "50", "1.1", "--n", "4096",
                     "--chains", "32", "--sampler", "auto",
+                    "--lca-time", "25",
                     "--seed", "12", "--gr-bins", "64", "--z-bins", "64",
                     "--data-dir", "/tmp/r4hw/n4096/Data"])
     return {
         "protocol": "python -m tpu_smc 200 1000 50 1.1 --n 4096 "
-                    "--chains 32 --sampler auto (CNA live: ~44 s MXU "
-                    "per pass at this size; 128 chains would breach "
-                    "the ~100 s watchdog)",
-        "gathers_per_call_predicted": gpc,
+                    "--chains 32 --sampler auto --lca-time 25 (CNA "
+                    "live through the HOISTED path: ~180 s of MXU per "
+                    "pass split into ~10 bounded device calls)",
+        "cna_pass_seconds_est": round(warn_cna_spike(cfg, 32), 1),
+        "gathers_per_call_predicted_scan": gpc,
         "aggregate_sweeps_per_s": agg_sps(text),
         "device_faults": text.count("[elastic] device fault"),
     }

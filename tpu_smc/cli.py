@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "compiled program; per-realization and "
                         "disorder-averaged results (K must divide the "
                         "chain count; every engine)")
+    p.add_argument("--lca-time", type=int, default=None, metavar="G",
+                   help="gathers between cluster analyses (LCA_TIME, "
+                        "SMC.h:48 — a compile-time macro there). At "
+                        "large N*chains one CNA pass is minutes of MXU "
+                        "time (p_pad*N^2 MACs per chain: ~5.6 s/chain "
+                        "at N=4096); the driver hoists big passes into "
+                        "watchdog-bounded device calls automatically, "
+                        "and this cadence is the knob that thins how "
+                        "often they run")
+    p.add_argument("--storage-time", type=int, default=None, metavar="G",
+                   help="gathers between position/density-window dumps "
+                        "(STORAGE_TIME, SMC.h:45)")
     p.add_argument("--gamma", type=float, default=None,
                    help="A = gamma*T (main.c:51; default 1.0, or the bulk "
                         "variant's A=4e-8 equivalent under --bulk)")
@@ -457,6 +469,10 @@ def main(argv=None) -> int:
             gkw["nonuniform_z"] = True
         if args.lj_cutoff is not None:
             gkw["lj_cutoff"] = args.lj_cutoff
+        if args.lca_time is not None:
+            gkw["lca_time"] = args.lca_time
+        if args.storage_time is not None:
+            gkw["storage_time"] = args.storage_time
         if args.rho is not None:
             if not args.bulk:
                 sys.exit("--rho sets the bulk box; it needs --bulk "

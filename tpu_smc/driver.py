@@ -21,8 +21,9 @@ Fixes over the reference, all documented in docs/DEVIATIONS.md:
 
 from __future__ import annotations
 
+import math
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -67,20 +68,127 @@ def gathers_per_call(cfg: SMCConfig, lapse: int, chains: int,
 
     Unit-cost model in pair-ops per gather: the sweep pass
     (lapse*C*N^2), the O(N^2) per-chain observables, and the CNA's
-    pair-block matmuls (C * p_pad * N, amortized over its lca_time
-    cadence) — the term that dominates at large N (an N=1024 x 512-chain
-    window measured ~1.1 s/gather of MXU time in the CNA alone and
-    tripped the ~100 s watchdog at the flat 100-gather window). The 1e12
-    budget lands calls near 30-40 s on v5e; small systems stay at the
-    configured max (200), so existing small-N call layouts are
-    unchanged."""
+    pair-block matmuls (C * p_pad * N^2 MACs, amortized over the
+    lca_time cadence; one VPU pair-op ~ 900 MXU MACs of wall time at
+    the measured rates below) — the term that dominates at large N (an
+    N=1024 x 512-chain window measured ~1.1 s/gather of MXU time in the
+    CNA alone and tripped the ~100 s watchdog at the flat 100-gather
+    window). The 1e12 budget lands calls near 30-40 s on v5e; small
+    systems stay at the configured max (200), so existing small-N call
+    layouts are unchanged. Callers that HOIST the CNA out of the fused
+    window (cna_hoist) pass clusters=False here — the scan no longer
+    carries the matmuls."""
     per_gather = (lapse + 3) * chains * cfg.n * cfg.n
     if clusters:
-        p = cfg.n * (cfg.n - 1) // 2
-        p_pad = max(8192, ((p + 8191) // 8192) * 8192)
-        per_gather += chains * p_pad * cfg.n // max(1, cfg.lca_time)
+        per_gather += (chains * _cna_pass_macs(cfg) // 900
+                       // max(1, cfg.lca_time))
     return max(1, min(cfg.max_gathers_per_call,
                       int(1e12 // max(per_gather, 1))))
+
+
+# Measured MXU anchor for the CNA's pair-block matmuls: ~11 s per pass at
+# N=1024 x 512 chains = 2.75e14 f32 MACs (p_pad * N^2 per chain) ->
+# ~2.5e13 MACs/s — consistent with the v5e MXU's f32 rate (~1/4 of the
+# 197 bf16 TFLOP/s peak). docs/PERF_NOTES.md round-4 section.
+CNA_MACS_PER_S = 2.5e13
+# Hoist the CNA out of the fused gather window when one full pass would
+# exceed this much single-call MXU time (the ~100 s runtime watchdog can
+# kill the axon tunnel permanently — CLAUDE.md).
+CNA_HOIST_SECONDS = 30.0
+# Per-call MAC budget for the hoisted path (~24 s on the anchor rate).
+CNA_CALL_MACS = 6e14
+
+
+def _cna_pass_macs(cfg: SMCConfig) -> int:
+    """f32 MACs of ONE chain's full CNA pass: the [8192, N] x [N, N]
+    common-neighbour dot per pair block, p_pad/8192 blocks."""
+    p = cfg.n * (cfg.n - 1) // 2
+    p_pad = max(8192, ((p + 8191) // 8192) * 8192)
+    return p_pad * cfg.n * cfg.n
+
+
+def cna_hoist(cfg: SMCConfig, chains: int, clusters: bool) -> bool:
+    """True when the CNA must leave the fused gather window: one pass
+    over all chains (chains * p_pad * N^2 MACs in a single program —
+    the scan's lax.cond runs every chain's pass in the one call that
+    hits the lca cadence) would exceed CNA_HOIST_SECONDS of MXU time.
+    Deterministic from (cfg, chains) only, so multi-process runs agree."""
+    if not clusters:
+        return False
+    return chains * _cna_pass_macs(cfg) / CNA_MACS_PER_S > CNA_HOIST_SECONDS
+
+
+def warn_cna_spike(cfg: SMCConfig, chains: int) -> float:
+    """Print the hoisted-CNA advisory once per run and return the
+    estimated seconds of MXU time per full cluster-analysis pass."""
+    est = chains * _cna_pass_macs(cfg) / CNA_MACS_PER_S
+    if est > CNA_HOIST_SECONDS:
+        per_pass = max(1, math.ceil(
+            chains * _cna_pass_macs(cfg) / CNA_CALL_MACS))
+        print(f"Cluster analysis at N={cfg.n} x {chains} chains is "
+              f"~{est:.0f} s of MXU time per pass — hoisted out of the "
+              f"fused gather window into ~{per_pass} bounded device "
+              f"calls per pass (raise --lca-time, now {cfg.lca_time}, "
+              f"to thin the cadence).", flush=True)
+    return est
+
+
+_CNA_JIT_CACHE: dict = {}
+
+
+def cna_hoisted_histograms(r, cfg: SMCConfig):
+    """One full cluster-analysis pass over the chain batch, split into
+    device calls bounded by CNA_CALL_MACS so no single program
+    approaches the ~100 s runtime watchdog.
+
+    r: [C, N, 3] (device array). Returns np (l1 [C], l2 [C, 7],
+    l3 [C, 7]) — exactly cluster_histograms(cluster_analysis(...)) per
+    chain (the pair-block partial sums are integer-exact; see
+    observables.cluster_histograms_block_range)."""
+    from .observables import cluster_histograms_block_range
+
+    c, n = r.shape[0], cfg.n
+    macs_chain = _cna_pass_macs(cfg)
+    blocks_total = macs_chain // (8192 * n * n)
+    if macs_chain <= CNA_CALL_MACS:
+        m = max(1, min(c, int(CNA_CALL_MACS // macs_chain)))
+        nb_main = blocks_total
+    else:
+        m = 1
+        nb_main = max(1, min(blocks_total,
+                             int(CNA_CALL_MACS // (8192 * n * n))))
+
+    def run(rc, b0, nb):
+        key = (cfg, rc.shape[0], int(nb))
+        f = _CNA_JIT_CACHE.get(key)
+        if f is None:
+            f = jax.jit(
+                lambda rr, bb: jax.vmap(
+                    lambda ri: cluster_histograms_block_range(
+                        ri, cfg, bb, nb))(rr),
+                static_argnums=(),
+            )
+            _CNA_JIT_CACHE[key] = f
+        return f(rc, jnp.int32(b0))
+
+    l1 = np.zeros((c,), np.int64)
+    l2 = np.zeros((c, 7), np.int64)
+    l3 = np.zeros((c, 7), np.int64)
+    for i in range(0, c, m):
+        rc = r[i : i + m]
+        k = rc.shape[0]
+        if k < m:  # pad the tail chunk to the compiled chain-batch shape
+            rc = jnp.concatenate(
+                [rc, jnp.broadcast_to(rc[:1], (m - k,) + rc.shape[1:])])
+        b0 = 0
+        while b0 < blocks_total:
+            nb = min(nb_main, blocks_total - b0)
+            p1, p2, p3 = run(rc, b0, nb)
+            l1[i : i + k] += np.asarray(p1)[:k]
+            l2[i : i + k] += np.asarray(p2)[:k]
+            l3[i : i + k] += np.asarray(p3)[:k]
+            b0 += nb
+    return (l1.astype(np.int32), l2.astype(np.int32), l3.astype(np.int32))
 
 
 def _sync(state: ChainState) -> ChainState:
@@ -407,6 +515,14 @@ def simulate(
     # --- main loop, windowed at the storage cadence (SMC.c:134-196) ---
     # The device-side accepted counter is int32; harvest + reset it every
     # chunk so reference-scale runs (1.6e10 moves) can't overflow it.
+    # Large CNA passes leave the fused window (cna_hoist): device calls
+    # then align with the lca cadence and the pass runs chunked in its
+    # own bounded programs on the call-boundary snapshot — identical
+    # counts (integer-exact partial histograms), no single-call spike.
+    hoist = cna_hoist(cfg, 1, opts.clusters)
+    if opts.clusters:
+        warn_cna_spike(cfg, 1)
+    scan_opts = replace(opts, clusters=False) if hoist else opts
     prod_moves = 0
     state = state._replace(accepted=jnp.zeros_like(state.accepted))
     windows: list[GatherOut] = []
@@ -424,17 +540,29 @@ def simulate(
         # replays; prod_moves only commits on window success.
         try:
             chunks = []
+            cna_rows = []
             moves_w = 0
             sub_done = 0
             while sub_done < g:
-                sub = min(gathers_per_call(cfg, lapse, 1, opts.clusters),
+                sub = min(gathers_per_call(cfg, lapse, 1,
+                                           opts.clusters and not hoist),
                           g - sub_done)
+                if hoist:
+                    # end calls at every lca-cadence point so the pass
+                    # runs on exactly the snapshot the fused scan saw
+                    sub = min(sub, cfg.lca_time
+                              - (done + sub_done) % cfg.lca_time)
                 state, part = simulate_window(
-                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts
+                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done),
+                    scan_opts
                 )
                 state = _sync(state)
                 moves_w += int(state.accepted)
                 state = state._replace(accepted=jnp.zeros_like(state.accepted))
+                if hoist and (done + sub_done + sub) % cfg.lca_time == 0:
+                    h1, h2, h3 = cna_hoisted_histograms(state.r[None], cfg)
+                    cna_rows.append((sub_done + sub - 1,
+                                     h1[0], h2[0], h3[0]))
                 chunks.append(part)
                 sub_done += sub
             # The trace readback is device work too (concat + D2H): a
@@ -443,6 +571,12 @@ def simulate(
                    else jax.tree.map(lambda *xs: jnp.concatenate(xs),
                                      *chunks))
             out = jax.tree.map(np.asarray, out)
+            if cna_rows:
+                l1n, l2n, l3n = (np.array(out.l1), np.array(out.l2),
+                                 np.array(out.l3))
+                for ridx, h1, h2, h3 in cna_rows:
+                    l1n[ridx], l2n[ridx], l3n[ridx] = h1, h2, h3
+                out = out._replace(l1=l1n, l2=l2n, l3=l3n)
         except Exception as exc:  # noqa: BLE001
             if snap is None or faults >= max_fault_retries \
                     or not is_device_fault(exc):

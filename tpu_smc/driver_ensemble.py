@@ -373,6 +373,19 @@ def simulate_ensemble(
             s = shard_ensemble(s, mesh)
         return s
 
+    # Large CNA passes leave the fused window (driver.cna_hoist): calls
+    # align with the lca cadence and each pass runs chunked in bounded
+    # device programs on the call-boundary snapshot — identical counts
+    # (integer-exact partial histograms), no single-call MXU spike near
+    # the ~100 s runtime watchdog.
+    from dataclasses import replace as _dc_replace
+
+    from .driver import cna_hoist, cna_hoisted_histograms, warn_cna_spike
+
+    hoist = cna_hoist(cfg, n_chains, opts.clusters)
+    if opts.clusters:
+        warn_cna_spike(cfg, n_chains)
+    scan_opts = _dc_replace(opts, clusters=False) if hoist else opts
     snap = snapshot_to_host(state) if max_fault_retries else None
     faults = 0
     while done < gather_steps:
@@ -383,21 +396,30 @@ def simulate_ensemble(
         # window, restores the host snapshot, and replays (see driver).
         try:
             chunks = []
+            cna_rows = []
             moves_w = np.zeros_like(prod_moves)
             sub_done = 0
             while sub_done < g:
                 from .driver import gathers_per_call
 
                 sub = min(gathers_per_call(cfg, lapse, n_chains,
-                                           opts.clusters),
+                                           opts.clusters and not hoist),
                           g - sub_done)
+                if hoist:
+                    # end calls at every lca-cadence point so the pass
+                    # runs on exactly the snapshot the fused scan saw
+                    sub = min(sub, cfg.lca_time
+                              - (done + sub_done) % cfg.lca_time)
                 state, part = simulate_window_batched(
-                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done), opts,
-                    mesh=mesh,
+                    state, w, cfg, lapse, sub, jnp.int32(done + sub_done),
+                    scan_opts, mesh=mesh,
                 )
                 state = _sync(state)
                 moves_w += np.asarray(state.accepted, np.int64)
                 state = state._replace(accepted=jnp.zeros_like(state.accepted))
+                if hoist and (done + sub_done + sub) % cfg.lca_time == 0:
+                    cna_rows.append((sub_done + sub - 1,)
+                                    + cna_hoisted_histograms(state.r, cfg))
                 chunks.append(part)
                 sub_done += sub
             # Trace readback is device work too — retryable (see driver).
@@ -405,6 +427,12 @@ def simulate_ensemble(
                    else jax.tree.map(lambda *xs: jnp.concatenate(xs),
                                      *chunks))
             out = jax.tree.map(np.asarray, out)
+            if cna_rows:
+                l1n, l2n, l3n = (np.array(out.l1), np.array(out.l2),
+                                 np.array(out.l3))
+                for ridx, h1, h2, h3 in cna_rows:
+                    l1n[ridx], l2n[ridx], l3n[ridx] = h1, h2, h3
+                out = out._replace(l1=l1n, l2=l2n, l3=l3n)
         except Exception as exc:  # noqa: BLE001
             if snap is None or faults >= max_fault_retries \
                     or not is_device_fault(exc):

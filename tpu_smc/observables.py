@@ -152,6 +152,20 @@ def pair_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return l.astype(np.int32), i.astype(np.int32)
 
 
+def _adjacency(r: jnp.ndarray, cfg: SMCConfig) -> jnp.ndarray:
+    """[N, N] bool bond matrix: within lca_cutoff with x/y min-image and
+    unwrapped z (SMC.c:987-992), diagonal removed."""
+    n = r.shape[0]
+    d = r[:, None, :] - r[None, :, :]
+    dx = d[..., 0] - cfg.box_l * jnp.round(d[..., 0] / cfg.box_l)
+    dy = d[..., 1] - cfg.box_l * jnp.round(d[..., 1] / cfg.box_l)
+    dz = d[..., 2]
+    if cfg.pbc_z:
+        dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
+    dr2 = dx * dx + dy * dy + dz * dz
+    return (dr2 < cfg.lca_cutoff * cfg.lca_cutoff) & ~jnp.eye(n, dtype=bool)
+
+
 def cluster_analysis(r: jnp.ndarray, cfg: SMCConfig) -> ClusterCounts:
     """Common Neighbour Analysis, corrected.
 
@@ -171,14 +185,7 @@ def cluster_analysis(r: jnp.ndarray, cfg: SMCConfig) -> ClusterCounts:
     docs/DEVIATIONS.md.
     """
     n = r.shape[0]
-    d = r[:, None, :] - r[None, :, :]
-    dx = d[..., 0] - cfg.box_l * jnp.round(d[..., 0] / cfg.box_l)
-    dy = d[..., 1] - cfg.box_l * jnp.round(d[..., 1] / cfg.box_l)
-    dz = d[..., 2]
-    if cfg.pbc_z:
-        dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
-    dr2 = dx * dx + dy * dy + dz * dz
-    adj = (dr2 < cfg.lca_cutoff * cfg.lca_cutoff) & ~jnp.eye(n, dtype=bool)
+    adj = _adjacency(r, cfg)
     adj_f = adj.astype(jnp.float32)
 
     lrow, icol = pair_indices(n)
@@ -236,6 +243,54 @@ def cluster_histograms(
         jnp.clip(counts.num3, 0, nbins - 1)
     ].add(bonded.astype(jnp.int32))
     return l1, l2, l3
+
+
+def cluster_histograms_block_range(
+    r: jnp.ndarray, cfg: SMCConfig, b0: jnp.ndarray, nb: int,
+    nbins: int = 7,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Partial (l1, l2, l3) over `nb` 8192-pair blocks starting at block
+    b0 (traced) — the bounded unit of device work for the hoisted-CNA
+    path (driver.cna_hoisted_histograms). Pairs padded past P are (0, 0),
+    never bonded (the diagonal is removed), so partial histograms over
+    any disjoint cover of the blocks sum EXACTLY to
+    cluster_histograms(cluster_analysis(r, cfg)): every count is an
+    integer carried in f32 far below 2^24.
+
+    The full-pass variant runs all blocks inside ONE device program; at
+    large N x chains that single call is p_pad*N^2 MACs per chain
+    (~5.6 s/chain of MXU at N=4096) and can breach the ~100 s TPU
+    runtime watchdog — this function exists so the driver can split the
+    pass across calls."""
+    n = r.shape[0]
+    adj = _adjacency(r, cfg)
+    adj_f = adj.astype(jnp.float32)
+    lrow, icol = pair_indices(n)
+    p = lrow.shape[0]
+    block = 8192
+    p_pad = ((p + block - 1) // block) * block
+    lpad = jnp.concatenate(
+        [jnp.asarray(lrow), jnp.zeros(p_pad - p, jnp.int32)])
+    ipad = jnp.concatenate(
+        [jnp.asarray(icol), jnp.zeros(p_pad - p, jnp.int32)])
+
+    def one_block(idx):
+        lb = jax.lax.dynamic_slice(lpad, (idx * block,), (block,))
+        ib = jax.lax.dynamic_slice(ipad, (idx * block,), (block,))
+        cn = adj_f[lb] * adj_f[ib]                       # [B, N]
+        num2 = jnp.sum(cn, axis=-1).astype(jnp.int32)
+        t = jnp.dot(cn, adj_f, preferred_element_type=jnp.float32)
+        num3 = (0.5 * jnp.sum(t * cn, axis=-1)).astype(jnp.int32)
+        bonded = adj[lb, ib].astype(jnp.int32)
+        l1 = jnp.sum(bonded)
+        l2 = jnp.zeros((nbins,), jnp.int32).at[
+            jnp.clip(num2, 0, nbins - 1)].add(bonded)
+        l3 = jnp.zeros((nbins,), jnp.int32).at[
+            jnp.clip(num3, 0, nbins - 1)].add(bonded)
+        return l1, l2, l3
+
+    l1s, l2s, l3s = jax.lax.map(one_block, b0 + jnp.arange(nb))
+    return l1s.sum(axis=0), l2s.sum(axis=0), l3s.sum(axis=0)
 
 
 # ----------------------------------------------------------------------
