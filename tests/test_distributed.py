@@ -353,3 +353,81 @@ def test_global_ladder_requires_coordinator(tmp_path):
         timeout=120)
     assert out.returncode != 0
     assert "--coordinator" in (out.stderr + out.stdout)
+
+
+def test_global_ladder_hbm_stream_composition_bitwise(tmp_path):
+    """--global-ladder x hbm_stream (pod-scale ladders at N beyond VMEM,
+    round-4 roadmap #5), CPU-verifiable decomposition. Interpret-mode
+    pallas synchronizes mesh devices with an IN-PROCESS
+    threading.Barrier (jax interpret_pallas_call._barrier), so the
+    kernel engines cannot be driven across OS processes on CPU at all —
+    three attempts at the direct 2-process drive deadlocked at the
+    first kernel call. The composition contract is instead pinned by
+    three bitwise legs:
+      (1) [HERE] the CLI ladder on a single-process multi-device mesh,
+          every kernel call forced onto the HBM-streamed engine
+          (TPU_SMC_FORCE_HBM_STREAM=1), equals the resident zsorted
+          engine byte for byte (tsweep_/pt_ CSVs, PT swaps > 0);
+      (2) test_pallas::test_sharded_zsorted_hbm_stream_ladder_bitwise
+          pins shard_map x stream x (A, T) ladder rows at the wrapper;
+      (3) test_global_ladder_cross_process_exchange_bitwise pins the
+          cross-process global mesh == the single-process mesh (same
+          GSPMD program, byte-identical artifacts).
+    Together: global-ladder x hbm_stream == the single-process resident
+    run, which carries the hardware record."""
+    common = ["4", "16", "4", "1.10", "--n", "12", "--seed", "9",
+              "--platform", "cpu", "--temperatures", "1.0,1.3",
+              "--chains-per-t", "8", "--pt-exchange", "4",
+              "--sampler", "zsorted"]
+
+    def run(tag: str, force_stream: bool) -> tuple:
+        env = _env(2)
+        env["TPU_SMC_PALLAS_INTERPRET"] = "1"
+        if force_stream:
+            env["TPU_SMC_FORCE_HBM_STREAM"] = "1"
+        data = tmp_path / tag / "Data"
+        proc = subprocess.run(
+            [sys.executable, "-m", "tpu_smc", *common,
+             "--data-dir", str(data)],
+            cwd=tmp_path, env=env, capture_output=True, text=True,
+            timeout=900)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "Sharding 16 ladder chains over 2 devices" in proc.stdout
+        assert "(zsorted engine)" in proc.stdout
+        return next(data.iterdir())
+
+    stream_run = run("stream", force_stream=True)
+    resident_run = run("resident", force_stream=False)
+
+    s_files = {p.name: p.read_text() for p in stream_run.glob("*.csv")}
+    r_files = {p.name: p.read_text() for p in resident_run.glob("*.csv")}
+    for stem in ("tsweep_", "pt_"):
+        names = sorted(n for n in r_files if n.startswith(stem))
+        assert names, f"no {stem} artifact in the resident run"
+        for name in names:
+            assert s_files.get(name) == r_files[name], \
+                f"{name} differs: hbm_stream vs resident on the mesh"
+    pt = np.genfromtxt(next(stream_run.glob("pt_*.csv")), delimiter=",",
+                       skip_header=1, ndmin=2)
+    assert pt[0, 3] > 0, "no PT swaps in the streamed ladder"
+
+
+def test_global_ladder_interpret_pallas_refused(tmp_path):
+    """The impossible combination (interpret-mode pallas x a global mesh
+    spanning OS processes) fails fast with a clear message BEFORE the
+    coordinator handshake — it used to deadlock at the first kernel
+    call with both processes blocked in the in-process barrier."""
+    env = _env(1)
+    env["TPU_SMC_PALLAS_INTERPRET"] = "1"
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_smc", "4", "8", "2", "1.1",
+         "--n", "12", "--temperatures", "1.0,1.2", "--chains-per-t",
+         "4", "--pt-exchange", "4", "--sampler", "zsorted",
+         "--platform", "cpu",
+         "--coordinator", f"localhost:{_free_port()}",
+         "--num-processes", "2", "--process-id", "0",
+         "--global-ladder"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=120)
+    assert out.returncode != 0
+    assert "cannot span OS processes" in (out.stderr + out.stdout)

@@ -356,10 +356,25 @@ def main(argv=None) -> int:
     if os.environ.get("TPU_SMC_PALLAS_INTERPRET") == "1":
         # Test escape: run every pallas kernel through the interpreter
         # so the kernel engines (dense/zsorted/stream) can be driven
-        # end-to-end through the CLI on CPU — e.g. the 2-OS-process
-        # --global-ladder x hbm_stream composition test. Interpret-mode
-        # PRNG is lane-replicated (CLAUDE.md), so only bitwise
-        # engine-vs-engine contracts are meaningful under this flag.
+        # end-to-end through the CLI on CPU. Interpret-mode PRNG is
+        # lane-replicated (CLAUDE.md), so only bitwise engine-vs-engine
+        # contracts are meaningful under this flag.
+        if args.global_ladder and (args.num_processes or 1) > 1 \
+                and args.sampler in ("pallas", "zsorted"):
+            # Fail fast BEFORE the coordinator handshake: interpret-mode
+            # pallas synchronizes the mesh devices with an IN-PROCESS
+            # threading.Barrier (jax interpret_pallas_call), so a global
+            # mesh spanning OS processes deadlocks at the first kernel
+            # call — each process's barrier waits forever for the other
+            # process's devices. Structural, not fixable here.
+            sys.exit(
+                "TPU_SMC_PALLAS_INTERPRET cannot span OS processes: "
+                "interpret-mode pallas uses an in-process barrier, so a "
+                "--global-ladder mesh over --num-processes > 1 would "
+                "deadlock at the first kernel call. Drive the kernel "
+                "engines multi-device in ONE process (XLA_FLAGS="
+                "--xla_force_host_platform_device_count=K), or use "
+                "--sampler xla for cross-process CPU runs.")
         from contextlib import ExitStack
 
         from jax.experimental.pallas import tpu as _pltpu

@@ -201,6 +201,12 @@ def _auto_c_tile(cfg: SMCConfig, c: int, row_block_rows: int = 512) -> int:
 
 
 def _check_c_tile(c: int, c_tile: int) -> int:
+    # A request wider than the (possibly per-shard) chain count clamps to
+    # it: small CPU/interpret ensembles (e.g. the --global-ladder x
+    # hbm_stream composition test at 8 chains/device) keep working with
+    # the drivers' hardware-optimal c_tile=128 request, and every run
+    # with c >= 128 behaves exactly as before.
+    c_tile = min(c_tile, c)
     while c % c_tile != 0 and c_tile > 128:
         c_tile //= 2
     if c % c_tile != 0:
