@@ -117,6 +117,16 @@ def main() -> int:
         "total_sweeps_per_chain": 20_000_000,
         "chains": 128,
         "aggregate_production_sweeps": 16_000_000 * 128,
+        # wall-clock: wall-table write (first artifact, at init) ->
+        # final-checkpoint mtime (the run's last write before exit)
+        "wall_clock_s": (round(ck_final.stat().st_mtime
+                               - (run / f"wall_{run.name[5:]}.csv")
+                               .stat().st_mtime, 1)
+                         if ck_final.exists() else None),
+        "start_local": grab(r"local time (\d+:\d+)", str),
+        "analysis_panels": sorted(
+            p.name for p in (run / "plots").glob("*")
+        ) if (run / "plots").exists() else [],
     }
     print(json.dumps(out, indent=2))
     (REPO / "docs" / "EVIDENCE_PRODUCTION.json").write_text(
