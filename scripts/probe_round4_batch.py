@@ -35,7 +35,15 @@ death still leaves a record):
                 (fresh large compile), so last.
 
 Run: timeout 3500 python scripts/probe_round4_batch.py
-Writes docs/EVIDENCE_ROUND4_HW.json.
+or, per-stage isolated processes (post-mortem of the 2026-08-19 batch:
+a device fault in one stage kills the in-process PJRT client, so every
+LATER stage fails instantly — per-stage processes give each stage a
+fresh client at the cost of one first-dispatch each):
+     for s in n1024x512 n4096 disorder pt_warmers stream16k_ladder; do
+       timeout -k 10 1500 python scripts/probe_round4_batch.py --stage $s
+     done
+Writes docs/EVIDENCE_ROUND4_HW.json (merged: an existing file's stage
+records are kept unless this run re-executes that stage).
 """
 
 from __future__ import annotations
@@ -54,8 +62,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 T0 = time.time()
-EV: dict = {"stages": {}}
 EV_PATH = REPO / "docs" / "EVIDENCE_ROUND4_HW.json"
+try:
+    EV: dict = json.loads(EV_PATH.read_text())
+    EV.setdefault("stages", {})
+except Exception:  # noqa: BLE001 — absent or corrupt: start fresh
+    EV = {"stages": {}}
 
 
 def log(msg: str) -> None:
@@ -268,15 +280,47 @@ def s_stream_ladder():
     }
 
 
+STAGES = {
+    "tiny": s_tiny,
+    "n1024x512": s_n1024,
+    "n4096": s_n4096,
+    "disorder": s_disorder,
+    "pt_warmers": s_pt_warmers,
+    "stream16k_ladder": s_stream_ladder,
+}
+
+
 def main() -> int:
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", action="append", choices=sorted(STAGES),
+                    help="run only this stage (repeatable); default: all. "
+                         "Each stage still runs 'tiny' first so the "
+                         "per-process first-dispatch latency is recorded "
+                         "separately from the stage wall time.")
+    args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    for s in (s_tiny, s_n1024, s_n4096, s_disorder, s_pt_warmers,
-              s_stream_ladder):
-        s()
+    names = args.stage or list(STAGES)
+    if "tiny" not in names:
+        # pay + record first dispatch before the timed stage(s); file the
+        # fresh attach under its own key so each process's latency is
+        # visible without clobbering the batch-run "tiny" record
+        prev_tiny = EV["stages"].get("tiny")
+        s_tiny()
+        EV["stages"][f"tiny_attach_{names[0]}"] = EV["stages"]["tiny"]
+        if prev_tiny is not None:
+            EV["stages"]["tiny"] = prev_tiny
+        else:
+            del EV["stages"]["tiny"]
+        flush_ev()
+    for name in names:
+        STAGES[name]()
     log("BATCH DONE")
     print(json.dumps(EV, indent=2))
     return 0
