@@ -205,24 +205,41 @@ def cluster_analysis(r: jnp.ndarray, cfg: SMCConfig) -> ClusterCounts:
     def one_block(idx):
         lb = jax.lax.dynamic_slice(lpad, (idx * block,), (block,))
         ib = jax.lax.dynamic_slice(ipad, (idx * block,), (block,))
-        cn = adj_f[lb] * adj_f[ib]                       # [B, N]
+        rl = adj_f[lb]                                   # [B, N]
+        cn = rl * adj_f[ib]                              # [B, N]
         num2 = jnp.sum(cn, axis=-1)
         t = jnp.dot(cn, adj_f, preferred_element_type=jnp.float32)
         num3 = 0.5 * jnp.sum(t * cn, axis=-1)
-        return num2, num3
+        # num1[b] = adj[lb[b], ib[b]] via iota compare-reduce on the
+        # already-gathered row — a flat 523k-element 2-D gather
+        # serializes on TPU (round-4 window-watchdog postmortem)
+        cols = jnp.arange(rl.shape[1], dtype=jnp.int32)[None, :]
+        num1 = jnp.sum(jnp.where(cols == ib[:, None], rl, 0.0), axis=1)
+        return num1, num2, num3
 
     if p_pad == block:
-        num2, num3 = one_block(jnp.int32(0))
+        num1, num2, num3 = one_block(jnp.int32(0))
     else:
-        num2, num3 = jax.lax.map(one_block, jnp.arange(p_pad // block))
+        num1, num2, num3 = jax.lax.map(one_block, jnp.arange(p_pad // block))
+        num1 = num1.reshape(-1)
         num2 = num2.reshape(-1)
         num3 = num3.reshape(-1)
 
     return ClusterCounts(
-        num1=adj[lrow, icol],
+        num1=num1[:p].astype(bool),
         num2=num2[:p].astype(jnp.int32),
         num3=num3[:p].astype(jnp.int32),
     )
+
+
+def _weighted_bincount(q: jnp.ndarray, w: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """sum of integer weights w per bin of q over [0, nb) — as a
+    broadcast-compare + reduce instead of `.at[q].add(w)` (TPU
+    scatter-adds serialize at ~5e7 elem/s; the CNA's per-pair 7-bin
+    scatters were a large slice of the round-4 window-watchdog fault).
+    Integer adds — exact, bit-identical to the scatter."""
+    hits = (q[:, None] == jnp.arange(nb, dtype=q.dtype)[None, :])
+    return jnp.sum(jnp.where(hits, w[:, None], 0), axis=0)
 
 
 def cluster_histograms(
@@ -234,14 +251,10 @@ def cluster_histograms(
     so its l2/l3 are always 0 — fixed here, SURVEY §7.4.)
 
     Returns (l1: bonded-pair count, l2: [nbins], l3: [nbins])."""
-    bonded = counts.num1
-    l1 = jnp.sum(bonded.astype(jnp.int32)).astype(jnp.int32)
-    l2 = jnp.zeros((nbins,), jnp.int32).at[
-        jnp.clip(counts.num2, 0, nbins - 1)
-    ].add(bonded.astype(jnp.int32))
-    l3 = jnp.zeros((nbins,), jnp.int32).at[
-        jnp.clip(counts.num3, 0, nbins - 1)
-    ].add(bonded.astype(jnp.int32))
+    bonded = counts.num1.astype(jnp.int32)
+    l1 = jnp.sum(bonded).astype(jnp.int32)
+    l2 = _weighted_bincount(jnp.clip(counts.num2, 0, nbins - 1), bonded, nbins)
+    l3 = _weighted_bincount(jnp.clip(counts.num3, 0, nbins - 1), bonded, nbins)
     return l1, l2, l3
 
 
@@ -277,16 +290,22 @@ def cluster_histograms_block_range(
     def one_block(idx):
         lb = jax.lax.dynamic_slice(lpad, (idx * block,), (block,))
         ib = jax.lax.dynamic_slice(ipad, (idx * block,), (block,))
-        cn = adj_f[lb] * adj_f[ib]                       # [B, N]
+        rl = adj_f[lb]                                   # [B, N]
+        cn = rl * adj_f[ib]                              # [B, N]
         num2 = jnp.sum(cn, axis=-1).astype(jnp.int32)
         t = jnp.dot(cn, adj_f, preferred_element_type=jnp.float32)
         num3 = (0.5 * jnp.sum(t * cn, axis=-1)).astype(jnp.int32)
-        bonded = adj[lb, ib].astype(jnp.int32)
+        # bonded[b] = adj[lb[b], ib[b]], read out of the already-gathered
+        # row rl by an iota compare-reduce — the 2-D element gather (and
+        # the 7-bin scatters below, via _weighted_bincount) serialize on
+        # TPU and dominated this block at 512-chain batches (round 4).
+        cols = jnp.arange(rl.shape[1], dtype=jnp.int32)[None, :]
+        bonded = jnp.sum(
+            jnp.where(cols == ib[:, None], rl, 0.0), axis=1
+        ).astype(jnp.int32)
         l1 = jnp.sum(bonded)
-        l2 = jnp.zeros((nbins,), jnp.int32).at[
-            jnp.clip(num2, 0, nbins - 1)].add(bonded)
-        l3 = jnp.zeros((nbins,), jnp.int32).at[
-            jnp.clip(num3, 0, nbins - 1)].add(bonded)
+        l2 = _weighted_bincount(jnp.clip(num2, 0, nbins - 1), bonded, nbins)
+        l3 = _weighted_bincount(jnp.clip(num3, 0, nbins - 1), bonded, nbins)
         return l1, l2, l3
 
     l1s, l2s, l3s = jax.lax.map(one_block, b0 + jnp.arange(nb))
@@ -297,6 +316,33 @@ def cluster_histograms_block_range(
 # Radial distribution function and z-profile (new capabilities required by
 # BASELINE.json's observable list; the reference has no g(r))
 # ----------------------------------------------------------------------
+
+def _bincount_rows(qm: jnp.ndarray, nb: int,
+                   row_block: int | None = None) -> jnp.ndarray:
+    """Histogram of an integer [rows, cols] matrix over bins [0, nb) by
+    compare-and-reduce — NO scatter (TPU scatter-adds serialize; the
+    round-4 g(r) window cost ~7 s/gather at N=1024 x 512 chains through
+    `.at[bins].add`). lax.map'd over row blocks so the [rb, cols, nb]
+    broadcast-compare stays bounded even if XLA materializes it under a
+    chain-vmapped caller. Values outside [0, nb) are not counted
+    (callers route masked/padded entries to an out-of-range value).
+    Returns f32 counts (exact: integer-valued, < 2^24)."""
+    n, m = qm.shape
+    rb = row_block or max(1, (1 << 21) // max(m * nb, 1))
+    bins = jnp.arange(nb, dtype=qm.dtype)
+
+    def blk(b):
+        return jnp.sum(b[:, :, None] == bins, axis=(0, 1), dtype=jnp.int32)
+
+    if n <= rb:
+        return blk(qm).astype(jnp.float32)
+    nblk = -(-n // rb)
+    pad = nblk * rb - n
+    if pad:
+        qm = jnp.concatenate([qm, jnp.full((pad, m), nb, qm.dtype)])
+    counts = jax.lax.map(blk, qm.reshape(nblk, rb, m))
+    return counts.sum(0).astype(jnp.float32)
+
 
 def radial_distribution(
     r: jnp.ndarray, cfg: SMCConfig, nbins: int = 128, rmax: float | None = None
@@ -313,10 +359,19 @@ def radial_distribution(
     if cfg.pbc_z:
         dz = dz - cfg.box_lz * jnp.round(dz / cfg.box_lz)
     dr = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    iu = jnp.triu_indices(n, k=1)
-    dr = dr[iu]
-    bins = jnp.clip((dr / rmax * nbins).astype(jnp.int32), 0, nbins)
-    hist = jnp.zeros((nbins + 1,), jnp.float32).at[bins].add(1.0)[:nbins]
+    # Bin on the full [N, N] matrix and count bins by compare-and-reduce
+    # instead of triu-gather + scatter-add: TPU scatters serialize (~7 s
+    # per gather at N=1024 x 512 chains, the round-4 window-watchdog
+    # fault), while the compare-reduce is a pure VPU fusion. dr is
+    # bitwise symmetric (negation is exact), so masking i<j keeps the
+    # counts IDENTICAL to the triu formulation; masked pairs land in the
+    # dropped overflow bin nbins. Row-blocked (lax.map over row chunks)
+    # so the [rows, N, nbins+1] compare temporary stays bounded under
+    # chain-vmapped callers.
+    q = jnp.clip((dr / rmax * nbins).astype(jnp.int32), 0, nbins)
+    iu_mask = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    qm = jnp.where(iu_mask, q, nbins)
+    hist = _bincount_rows(qm, nbins + 1)[:nbins]
     edges = jnp.linspace(0.0, rmax, nbins + 1)
     centers = 0.5 * (edges[:-1] + edges[1:])
     shell = (4.0 / 3.0) * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
