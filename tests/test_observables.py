@@ -378,3 +378,50 @@ def test_pressure_profile_bulk_isotropy():
     assert abs(p_n - p_t) < 0.1 * max(abs(scalar), 0.05), (p_n, p_t)
     assert abs((p_n + 2 * p_t) / 3 - scalar) < 0.1 * max(abs(scalar),
                                                          0.05)
+
+
+def test_bincount_helpers_match_numpy():
+    """The scatter-free histogram primitives (round-4 window-fault fix:
+    TPU scatter-adds serialize) must equal np.bincount exactly —
+    including out-of-range values being DROPPED (_bincount_rows) and
+    integer weights (_weighted_bincount)."""
+    rng = np.random.default_rng(9)
+    nb = 7
+    q = rng.integers(0, nb, size=1000).astype(np.int32)
+    w = rng.integers(0, 5, size=1000).astype(np.int32)
+    got = np.asarray(obs._weighted_bincount(jnp.asarray(q), jnp.asarray(w), nb))
+    np.testing.assert_array_equal(got, np.bincount(q, w, minlength=nb))
+
+    # rows x cols matrix, values in [0, nb+3) — entries >= nb are dropped
+    qm = rng.integers(0, nb + 3, size=(37, 53)).astype(np.int32)
+    want = np.bincount(qm.ravel(), minlength=nb + 3)[:nb]
+    got = np.asarray(obs._bincount_rows(jnp.asarray(qm), nb))
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+    # row-blocked path (forces the pad + lax.map branch)
+    got_blk = np.asarray(obs._bincount_rows(jnp.asarray(qm), nb, row_block=5))
+    np.testing.assert_array_equal(got_blk.astype(np.int64), want)
+
+
+def test_radial_distribution_matches_triu_reference():
+    """The masked full-matrix binning must reproduce the plain
+    triu-gather + np.bincount formulation bin for bin."""
+    cfg = SMCConfig(n=64, box_l=9.0, box_lz=21.0, dtype="float32")
+    r = np.random.default_rng(4).uniform(
+        [0, 0, 1.0], [9.0, 9.0, 20.0], size=(64, 3)).astype(np.float32)
+    nbins = 48
+    centers, gr = obs.radial_distribution(jnp.asarray(r), cfg, nbins=nbins)
+
+    rmax = cfg.lj_cutoff if cfg.lj_cutoff < cfg.box_l / 2 else cfg.box_l / 2
+    d = (r[:, None, :] - r[None, :, :]).astype(np.float32)
+    for ax in range(2):
+        d[..., ax] -= np.float32(cfg.box_l) * np.round(
+            d[..., ax] / np.float32(cfg.box_l))
+    dr = np.sqrt((d.astype(np.float64) ** 2).sum(-1))
+    iu = np.triu_indices(cfg.n, k=1)
+    bins = np.clip((dr[iu] / rmax * nbins).astype(np.int32), 0, nbins)
+    want = np.bincount(bins, minlength=nbins + 1)[:nbins].astype(np.float64)
+    edges = np.linspace(0.0, rmax, nbins + 1)
+    shell = (4.0 / 3.0) * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    norm = cfg.rho * shell * cfg.n / 2.0
+    np.testing.assert_allclose(np.asarray(gr), want / norm, rtol=2e-5)
+    assert float(np.asarray(centers)[-1]) < rmax
