@@ -18,7 +18,8 @@ from tpu_smc.driver import ObservableOptions
 from tpu_smc.observables import (
     cluster_analysis,
     cluster_histograms,
-    cluster_histograms_block_range,
+    cluster_histograms_tile_range,
+    cna_tile_pairs,
 )
 
 
@@ -32,22 +33,30 @@ def _dense_positions(n, lx, lz, seed):
     return jax.numpy.asarray(r, jax.numpy.float32)
 
 
-def test_block_range_partials_sum_exact():
-    """Disjoint block ranges sum EXACTLY to the full-pass histograms
-    (the pad pairs past P are (0,0) and never bonded)."""
-    cfg = SMCConfig(n=256, box_l=9.0, box_lz=18.0, dtype="float32")
-    r = _dense_positions(256, 9.0, 18.0, seed=0)   # dense: real clusters
+@pytest.mark.parametrize("n,lx,lz", [(256, 9.0, 18.0), (150, 7.5, 15.0)])
+def test_tile_range_partials_sum_exact(n, lx, lz):
+    """Disjoint tile ranges of the gather-free executor sum EXACTLY to
+    the per-pair full-pass histograms — including at N not a multiple
+    of CNA_TILE (zero-padded rows/cols are never bonded), and despite
+    the bf16 matmul inputs (0/1 entries, f32 accumulation: integer-
+    exact)."""
+    cfg = SMCConfig(n=n, box_l=lx, box_lz=lz, dtype="float32")
+    r = _dense_positions(n, lx, lz, seed=0)        # dense: real clusters
     full = cluster_histograms(cluster_analysis(r, cfg))
-    p = 256 * 255 // 2
-    blocks_total = ((p + 8191) // 8192 * 8192) // 8192
-    assert blocks_total == 4
+    tiles_total = int(cna_tile_pairs(n).shape[0])
     acc = [np.zeros((), np.int64), np.zeros(7, np.int64),
            np.zeros(7, np.int64)]
-    for b0, nb in ((0, 1), (1, 2), (3, 1)):
-        part = cluster_histograms_block_range(
-            r, cfg, jax.numpy.int32(b0), nb)
+    s0 = 0
+    for ns in (1, 2, tiles_total):                 # uneven disjoint cover
+        ns = min(ns, tiles_total - s0)
+        if ns <= 0:
+            break
+        part = cluster_histograms_tile_range(
+            r, cfg, jax.numpy.int32(s0), ns)
         for i in range(3):
             acc[i] = acc[i] + np.asarray(part[i])
+        s0 += ns
+    assert s0 == tiles_total
     assert int(full[0]) > 0, "test system must actually have bonds"
     np.testing.assert_array_equal(acc[0], np.asarray(full[0]))
     np.testing.assert_array_equal(acc[1], np.asarray(full[1]))

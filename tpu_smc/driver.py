@@ -67,41 +67,56 @@ def gathers_per_call(cfg: SMCConfig, lapse: int, chains: int,
     machine through per-call boundary rounding).
 
     Unit-cost model in pair-ops per gather: the sweep pass
-    (lapse*C*N^2), the O(N^2) per-chain observables, and the CNA's
-    pair-block matmuls (C * p_pad * N^2 MACs, amortized over the
-    lca_time cadence; one VPU pair-op ~ 900 MXU MACs of wall time at
-    the measured rates below) — the term that dominates at large N (an
-    N=1024 x 512-chain window measured ~1.1 s/gather of MXU time in the
-    CNA alone and tripped the ~100 s watchdog at the flat 100-gather
-    window). The 1e12 budget lands calls near 30-40 s on v5e; small
-    systems stay at the configured max (200), so existing small-N call
-    layouts are unchanged. Callers that HOIST the CNA out of the fused
-    window (cna_hoist) pass clusters=False here — the scan no longer
-    carries the matmuls."""
+    (lapse*C*N^2), the O(N^2) per-chain observables, and — when the CNA
+    stays fused — its per-pair pass (C * p_pad * N^2 MACs amortized over
+    the lca_time cadence, at the MEASURED fused-path rate: one VPU
+    pair-op of window budget ~ 180 gather-serialized CNA MACs of wall
+    time; CNA_FUSED_MACS_PER_S, round-4 postmortem). The 1e12 budget
+    lands calls near 30-40 s on v5e; small systems stay at the
+    configured max (200), so existing small-N call layouts are
+    unchanged. Callers that HOIST the CNA out of the fused window
+    (cna_hoist) pass clusters=False here — the scan no longer carries
+    the pass."""
     per_gather = (lapse + 3) * chains * cfg.n * cfg.n
     if clusters:
-        per_gather += (chains * _cna_pass_macs(cfg) // 900
+        per_gather += (chains * _cna_pass_macs(cfg) // 180
                        // max(1, cfg.lca_time))
     return max(1, min(cfg.max_gathers_per_call,
                       int(1e12 // max(per_gather, 1))))
 
 
-# Measured MXU anchor for the CNA's pair-block matmuls: ~11 s per pass at
-# N=1024 x 512 chains = 2.75e14 f32 MACs (p_pad * N^2 per chain) ->
-# ~2.5e13 MACs/s — consistent with the v5e MXU's f32 rate (~1/4 of the
-# 197 bf16 TFLOP/s peak). docs/PERF_NOTES.md round-4 section.
+# Measured effective rate of the FUSED in-window CNA (the per-pair
+# formulation with adj[lb] row gathers): the round-4 window-fault
+# postmortem clocked one N=1024 x 512-chain pass (2.75e14 MACs) at
+# >56 s inside the gather window — ~5e12 MACs/s, 5x below the MXU f32
+# rate, because the 1M-row gathers serialize
+# (docs/EVIDENCE_WINDOW_FAULT.json: noobs 16.1 s vs cna fault at
+# 72.6 s with ONE pass in the program). Drives the hoist decision and
+# the fused-path cost model; only small problems stay fused.
+CNA_FUSED_MACS_PER_S = 5e12
+# Rate anchor for the HOISTED gather-free tile executor (bf16 MXU
+# matmuls, observables.cluster_histograms_tile_range): provisional at
+# the f32 MXU floor until the round-4 hardware probe recalibrates it.
 CNA_MACS_PER_S = 2.5e13
 # Hoist the CNA out of the fused gather window when one full pass would
-# exceed this much single-call MXU time (the ~100 s runtime watchdog can
-# kill the axon tunnel permanently — CLAUDE.md).
-CNA_HOIST_SECONDS = 30.0
-# Per-call MAC budget for the hoisted path (~24 s on the anchor rate).
-CNA_CALL_MACS = 6e14
+# exceed this much fused-path time (the runtime watchdog killed window
+# programs at ~72 s over the axon tunnel; a kernel fault can take the
+# tunnel down permanently — CLAUDE.md).
+CNA_HOIST_SECONDS = 5.0
+# Per-call MAC budget for the hoisted path (~12 s on the anchor rate).
+CNA_CALL_MACS = 3e14
+# Per-call operand-byte budget for the hoisted path: the [T*T, npad]
+# bf16 tile tensor + its f32 dot output, times the vmapped chain count,
+# must stay well inside the 16 GB HBM (the pre-round-4 MAC-only bound
+# admitted a 16 GB operand at N=1024 x 512 chains).
+CNA_CALL_BYTES = 1 << 31
 
 
 def _cna_pass_macs(cfg: SMCConfig) -> int:
-    """f32 MACs of ONE chain's full CNA pass: the [8192, N] x [N, N]
-    common-neighbour dot per pair block, p_pad/8192 blocks."""
+    """MACs of ONE chain's full CNA pass. The fused per-pair path and
+    the hoisted tile path both spend ~p_pad * N^2 on the common-
+    neighbour dot (the tile path's lower-triangle cover is the same
+    pair count, padded to CNA_TILE tiles)."""
     p = cfg.n * (cfg.n - 1) // 2
     p_pad = max(8192, ((p + 8191) // 8192) * 8192)
     return p_pad * cfg.n * cfg.n
@@ -111,18 +126,22 @@ def cna_hoist(cfg: SMCConfig, chains: int, clusters: bool) -> bool:
     """True when the CNA must leave the fused gather window: one pass
     over all chains (chains * p_pad * N^2 MACs in a single program —
     the scan's lax.cond runs every chain's pass in the one call that
-    hits the lca cadence) would exceed CNA_HOIST_SECONDS of MXU time.
+    hits the lca cadence) would exceed CNA_HOIST_SECONDS at the
+    measured fused-path rate (CNA_FUSED_MACS_PER_S; the gathers there
+    serialize well below the MXU rate — round-4 postmortem).
     Deterministic from (cfg, chains) only, so multi-process runs agree."""
     if not clusters:
         return False
-    return chains * _cna_pass_macs(cfg) / CNA_MACS_PER_S > CNA_HOIST_SECONDS
+    return (chains * _cna_pass_macs(cfg) / CNA_FUSED_MACS_PER_S
+            > CNA_HOIST_SECONDS)
 
 
 def warn_cna_spike(cfg: SMCConfig, chains: int) -> float:
     """Print the hoisted-CNA advisory once per run and return the
-    estimated seconds of MXU time per full cluster-analysis pass."""
+    estimated seconds per full cluster-analysis pass (hoisted rate)."""
+    est_fused = chains * _cna_pass_macs(cfg) / CNA_FUSED_MACS_PER_S
     est = chains * _cna_pass_macs(cfg) / CNA_MACS_PER_S
-    if est > CNA_HOIST_SECONDS:
+    if est_fused > CNA_HOIST_SECONDS:
         per_pass = max(1, math.ceil(
             chains * _cna_pass_macs(cfg) / CNA_CALL_MACS))
         print(f"Cluster analysis at N={cfg.n} x {chains} chains is "
@@ -138,38 +157,46 @@ _CNA_JIT_CACHE: dict = {}
 
 def cna_hoisted_histograms(r, cfg: SMCConfig):
     """One full cluster-analysis pass over the chain batch, split into
-    device calls bounded by CNA_CALL_MACS so no single program
-    approaches the ~100 s runtime watchdog.
+    device calls bounded by CNA_CALL_MACS *and* CNA_CALL_BYTES so no
+    single program approaches the runtime watchdog (~72 s measured over
+    the axon tunnel) or HBM capacity.
 
     r: [C, N, 3] (device array). Returns np (l1 [C], l2 [C, 7],
     l3 [C, 7]) — exactly cluster_histograms(cluster_analysis(...)) per
-    chain (the pair-block partial sums are integer-exact; see
-    observables.cluster_histograms_block_range)."""
-    from .observables import cluster_histograms_block_range
+    chain (the gather-free tile partial sums are integer-exact; see
+    observables.cluster_histograms_tile_range)."""
+    from .observables import CNA_TILE, cluster_histograms_tile_range, \
+        cna_tile_pairs
 
     c, n = r.shape[0], cfg.n
-    macs_chain = _cna_pass_macs(cfg)
-    blocks_total = macs_chain // (8192 * n * n)
+    npad = -(-n // CNA_TILE) * CNA_TILE
+    tiles_total = int(cna_tile_pairs(n).shape[0])
+    macs_tile = CNA_TILE * CNA_TILE * npad * npad
+    # per (chain, in-flight tile): the bf16 [T*T, npad] cn tensor + its
+    # f32 dot output + the padded adjacency (f32 + bf16 copies)
+    bytes_chain = 6 * CNA_TILE * CNA_TILE * npad + 6 * npad * npad
+    macs_chain = tiles_total * macs_tile
+    m_bytes = max(1, int(CNA_CALL_BYTES // bytes_chain))
     if macs_chain <= CNA_CALL_MACS:
-        m = max(1, min(c, int(CNA_CALL_MACS // macs_chain)))
-        nb_main = blocks_total
+        m = max(1, min(c, int(CNA_CALL_MACS // macs_chain), m_bytes))
+        nt_main = tiles_total
     else:
         m = 1
-        nb_main = max(1, min(blocks_total,
-                             int(CNA_CALL_MACS // (8192 * n * n))))
+        nt_main = max(1, min(tiles_total,
+                             int(CNA_CALL_MACS // macs_tile)))
 
-    def run(rc, b0, nb):
-        key = (cfg, rc.shape[0], int(nb))
+    def run(rc, s0, nt):
+        key = (cfg, rc.shape[0], int(nt))
         f = _CNA_JIT_CACHE.get(key)
         if f is None:
             f = jax.jit(
-                lambda rr, bb: jax.vmap(
-                    lambda ri: cluster_histograms_block_range(
-                        ri, cfg, bb, nb))(rr),
+                lambda rr, ss: jax.vmap(
+                    lambda ri: cluster_histograms_tile_range(
+                        ri, cfg, ss, nt))(rr),
                 static_argnums=(),
             )
             _CNA_JIT_CACHE[key] = f
-        return f(rc, jnp.int32(b0))
+        return f(rc, jnp.int32(s0))
 
     l1 = np.zeros((c,), np.int64)
     l2 = np.zeros((c, 7), np.int64)
@@ -180,14 +207,14 @@ def cna_hoisted_histograms(r, cfg: SMCConfig):
         if k < m:  # pad the tail chunk to the compiled chain-batch shape
             rc = jnp.concatenate(
                 [rc, jnp.broadcast_to(rc[:1], (m - k,) + rc.shape[1:])])
-        b0 = 0
-        while b0 < blocks_total:
-            nb = min(nb_main, blocks_total - b0)
-            p1, p2, p3 = run(rc, b0, nb)
+        s0 = 0
+        while s0 < tiles_total:
+            nt = min(nt_main, tiles_total - s0)
+            p1, p2, p3 = run(rc, s0, nt)
             l1[i : i + k] += np.asarray(p1)[:k]
             l2[i : i + k] += np.asarray(p2)[:k]
             l3[i : i + k] += np.asarray(p3)[:k]
-            b0 += nb
+            s0 += nt
     return (l1.astype(np.int32), l2.astype(np.int32), l3.astype(np.int32))
 
 

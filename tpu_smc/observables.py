@@ -239,7 +239,10 @@ def _weighted_bincount(q: jnp.ndarray, w: jnp.ndarray, nb: int) -> jnp.ndarray:
     scatters were a large slice of the round-4 window-watchdog fault).
     Integer adds — exact, bit-identical to the scatter."""
     hits = (q[:, None] == jnp.arange(nb, dtype=q.dtype)[None, :])
-    return jnp.sum(jnp.where(hits, w[:, None], 0), axis=0)
+    # dtype pinned: under x64, jnp.sum(int32) promotes to int64 and
+    # the driver's lax.cond branches would mismatch
+    return jnp.sum(jnp.where(hits, w[:, None], 0), axis=0,
+                   dtype=jnp.int32)
 
 
 def cluster_histograms(
@@ -258,57 +261,91 @@ def cluster_histograms(
     return l1, l2, l3
 
 
-def cluster_histograms_block_range(
-    r: jnp.ndarray, cfg: SMCConfig, b0: jnp.ndarray, nb: int,
+# Row/column tile edge of the gather-free CNA pass: 64 x 64 particle
+# tiles give the common-neighbour dot a 4096-row M dimension (MXU-sized)
+# while keeping the [4096, N] tile tensors small.
+CNA_TILE = 64
+
+
+def cna_tile_pairs(n: int) -> np.ndarray:
+    """Static [S, 2] table of (l_tile, i_tile) CNA_TILE-edge tile
+    coordinates covering the lower triangle (i_tile <= l_tile) of the
+    padded [np, np] adjacency matrix, np = ceil(n/CNA_TILE)*CNA_TILE.
+    S = T(T+1)/2 tiles, T = np/CNA_TILE — the unit of bounded device
+    work for the hoisted-CNA path (driver.cna_hoisted_histograms)."""
+    t = -(-max(n, 1) // CNA_TILE)
+    lt, it = np.tril_indices(t)
+    return np.stack([lt, it], axis=1).astype(np.int32)
+
+
+def cluster_histograms_tile_range(
+    r: jnp.ndarray, cfg: SMCConfig, s0: jnp.ndarray, ns: int,
     nbins: int = 7,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Partial (l1, l2, l3) over `nb` 8192-pair blocks starting at block
-    b0 (traced) — the bounded unit of device work for the hoisted-CNA
-    path (driver.cna_hoisted_histograms). Pairs padded past P are (0, 0),
-    never bonded (the diagonal is removed), so partial histograms over
-    any disjoint cover of the blocks sum EXACTLY to
-    cluster_histograms(cluster_analysis(r, cfg)): every count is an
-    integer carried in f32 far below 2^24.
+    """Partial (l1, l2, l3) over `ns` lower-triangle tiles of
+    cna_tile_pairs(n) starting at tile s0 (traced) — the bounded unit of
+    device work for the hoisted-CNA path (driver.cna_hoisted_histograms).
 
-    The full-pass variant runs all blocks inside ONE device program; at
-    large N x chains that single call is p_pad*N^2 MACs per chain
-    (~5.6 s/chain of MXU at N=4096) and can breach the ~100 s TPU
-    runtime watchdog — this function exists so the driver can split the
-    pass across calls."""
+    GATHER-FREE by construction: the round-4 window-fault postmortem
+    measured the per-pair formulation (rl = adj[lb] row gathers, 1M
+    gathered rows per chain at N=1024) at ~5e12 effective MACs/s — 5x
+    below the MXU f32 rate — and it breached the ~72 s runtime watchdog
+    at 512 chains (docs/EVIDENCE_WINDOW_FAULT.json). Here every operand
+    is a static-size dynamic_slice of the zero-padded adjacency matrix
+    and every hot op is a bf16 MXU matmul with f32 accumulation
+    (adjacency entries are 0/1, counts < 2^24: integer-exact).
+
+    Per (l_tile, i_tile) tile, for rows l in the tile and cols i in the
+    other tile:
+      num2[l, i] = sum_j A[l, j] A[i, j]          -> al @ ai^T
+      num3[l, i] = 0.5 * cn^T A cn, cn_j = A_lj A_ij
+                                                  -> one [T*T, np] matmul
+      w[l, i]    = A[l, i] & (i < l)              -> column slice + iota
+    Padded rows/cols are all-zero, never bonded (w = 0), so partial
+    histograms over any disjoint cover of the tiles sum EXACTLY to
+    cluster_histograms(cluster_analysis(r, cfg)) — pinned in
+    tests/test_cna_hoist.py."""
     n = r.shape[0]
-    adj = _adjacency(r, cfg)
-    adj_f = adj.astype(jnp.float32)
-    lrow, icol = pair_indices(n)
-    p = lrow.shape[0]
-    block = 8192
-    p_pad = ((p + block - 1) // block) * block
-    lpad = jnp.concatenate(
-        [jnp.asarray(lrow), jnp.zeros(p_pad - p, jnp.int32)])
-    ipad = jnp.concatenate(
-        [jnp.asarray(icol), jnp.zeros(p_pad - p, jnp.int32)])
+    tile = CNA_TILE
+    npad = -(-n // tile) * tile
+    adj = _adjacency(r, cfg).astype(jnp.float32)
+    if npad != n:
+        adj = jnp.pad(adj, ((0, npad - n), (0, npad - n)))
+    adjb = adj.astype(jnp.bfloat16)
+    pairs = jnp.asarray(cna_tile_pairs(n))              # [S, 2] static
+    bins = jnp.arange(nbins, dtype=jnp.int32)
 
-    def one_block(idx):
-        lb = jax.lax.dynamic_slice(lpad, (idx * block,), (block,))
-        ib = jax.lax.dynamic_slice(ipad, (idx * block,), (block,))
-        rl = adj_f[lb]                                   # [B, N]
-        cn = rl * adj_f[ib]                              # [B, N]
-        num2 = jnp.sum(cn, axis=-1).astype(jnp.int32)
-        t = jnp.dot(cn, adj_f, preferred_element_type=jnp.float32)
-        num3 = (0.5 * jnp.sum(t * cn, axis=-1)).astype(jnp.int32)
-        # bonded[b] = adj[lb[b], ib[b]], read out of the already-gathered
-        # row rl by an iota compare-reduce — the 2-D element gather (and
-        # the 7-bin scatters below, via _weighted_bincount) serialize on
-        # TPU and dominated this block at 512-chain batches (round 4).
-        cols = jnp.arange(rl.shape[1], dtype=jnp.int32)[None, :]
-        bonded = jnp.sum(
-            jnp.where(cols == ib[:, None], rl, 0.0), axis=1
-        ).astype(jnp.int32)
-        l1 = jnp.sum(bonded)
-        l2 = _weighted_bincount(jnp.clip(num2, 0, nbins - 1), bonded, nbins)
-        l3 = _weighted_bincount(jnp.clip(num3, 0, nbins - 1), bonded, nbins)
+    def one_tile(s):
+        lt, it = pairs[s, 0], pairs[s, 1]
+        al = jax.lax.dynamic_slice(adjb, (lt * tile, jnp.int32(0)), (tile, npad))
+        ai = jax.lax.dynamic_slice(adjb, (it * tile, jnp.int32(0)), (tile, npad))
+        cn = al[:, None, :] * ai[None, :, :]            # [T, T, np] 0/1
+        t2 = jnp.dot(cn.reshape(tile * tile, npad), adjb,
+                     preferred_element_type=jnp.float32)
+        num3 = (0.5 * jnp.sum(
+            t2.reshape(tile, tile, npad) * cn.astype(jnp.float32),
+            axis=-1)).astype(jnp.int32)                 # [T, T]
+        num2 = jnp.dot(al, ai.T,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)              # [T, T]
+        # bonded & strictly-lower mask: w[l, i] = A[l, i] * (i < l)
+        asq = jax.lax.dynamic_slice(
+            al, (jnp.int32(0), it * tile), (tile, tile)).astype(jnp.int32)
+        lids = lt * tile + jnp.arange(tile, dtype=jnp.int32)
+        iids = it * tile + jnp.arange(tile, dtype=jnp.int32)
+        w = asq * (iids[None, :] < lids[:, None])
+        l1 = jnp.sum(w, dtype=jnp.int32)
+        q2 = jnp.clip(num2, 0, nbins - 1)
+        q3 = jnp.clip(num3, 0, nbins - 1)
+        l2 = jnp.sum(jnp.where(q2[:, :, None] == bins, w[:, :, None], 0),
+                     axis=(0, 1), dtype=jnp.int32)
+        l3 = jnp.sum(jnp.where(q3[:, :, None] == bins, w[:, :, None], 0),
+                     axis=(0, 1), dtype=jnp.int32)
         return l1, l2, l3
 
-    l1s, l2s, l3s = jax.lax.map(one_block, b0 + jnp.arange(nb))
+    if ns == 1:
+        return one_tile(s0)
+    l1s, l2s, l3s = jax.lax.map(one_tile, s0 + jnp.arange(ns))
     return l1s.sum(axis=0), l2s.sum(axis=0), l3s.sum(axis=0)
 
 
