@@ -95,8 +95,11 @@ def gathers_per_call(cfg: SMCConfig, lapse: int, chains: int,
 # the fused-path cost model; only small problems stay fused.
 CNA_FUSED_MACS_PER_S = 5e12
 # Rate anchor for the HOISTED gather-free tile executor (bf16 MXU
-# matmuls, observables.cluster_histograms_tile_range): provisional at
-# the f32 MXU floor until the round-4 hardware probe recalibrates it.
+# matmuls, observables.cluster_histograms_tile_range), measured on the
+# v5e (scripts/probe_cna_tiles.py, docs/EVIDENCE_CNA_TILES.json):
+# 6.87e13 MACs/s at N=4096 x 8 chains (~70% of the bf16 MXU peak) and
+# 2.17e13 at N=1024 x 512 incl. the cold compile — 2.5e13 is the
+# conservative call-sizing anchor.
 CNA_MACS_PER_S = 2.5e13
 # Hoist the CNA out of the fused gather window when one full pass would
 # exceed this much fused-path time (the runtime watchdog killed window
@@ -136,17 +139,41 @@ def cna_hoist(cfg: SMCConfig, chains: int, clusters: bool) -> bool:
             > CNA_HOIST_SECONDS)
 
 
+def _cna_call_plan(cfg: SMCConfig, chains: int):
+    """(m, nt_main, calls_per_pass) for the hoisted executor: m chains
+    per call (MAC- and byte-bounded) over nt_main-tile ranges."""
+    from .observables import CNA_TILE, cna_tile_pairs
+
+    n = cfg.n
+    npad = -(-n // CNA_TILE) * CNA_TILE
+    tiles_total = int(cna_tile_pairs(n).shape[0])
+    macs_tile = CNA_TILE * CNA_TILE * npad * npad
+    # per (chain, in-flight tile): the bf16 [T*T, npad] cn tensor + its
+    # f32 dot output + the padded adjacency (f32 + bf16 copies)
+    bytes_chain = 6 * CNA_TILE * CNA_TILE * npad + 6 * npad * npad
+    macs_chain = tiles_total * macs_tile
+    m_bytes = max(1, int(CNA_CALL_BYTES // bytes_chain))
+    if macs_chain <= CNA_CALL_MACS:
+        m = max(1, min(chains, int(CNA_CALL_MACS // macs_chain), m_bytes))
+        nt_main = tiles_total
+    else:
+        m = 1
+        nt_main = max(1, min(tiles_total,
+                             int(CNA_CALL_MACS // macs_tile)))
+    calls = math.ceil(chains / m) * math.ceil(tiles_total / nt_main)
+    return m, nt_main, calls
+
+
 def warn_cna_spike(cfg: SMCConfig, chains: int) -> float:
     """Print the hoisted-CNA advisory once per run and return the
     estimated seconds per full cluster-analysis pass (hoisted rate)."""
     est_fused = chains * _cna_pass_macs(cfg) / CNA_FUSED_MACS_PER_S
     est = chains * _cna_pass_macs(cfg) / CNA_MACS_PER_S
     if est_fused > CNA_HOIST_SECONDS:
-        per_pass = max(1, math.ceil(
-            chains * _cna_pass_macs(cfg) / CNA_CALL_MACS))
+        per_pass = _cna_call_plan(cfg, chains)[2]
         print(f"Cluster analysis at N={cfg.n} x {chains} chains is "
               f"~{est:.0f} s of MXU time per pass — hoisted out of the "
-              f"fused gather window into ~{per_pass} bounded device "
+              f"fused gather window into {per_pass} bounded device "
               f"calls per pass (raise --lca-time, now {cfg.lca_time}, "
               f"to thin the cadence).", flush=True)
     return est
@@ -165,25 +192,11 @@ def cna_hoisted_histograms(r, cfg: SMCConfig):
     l3 [C, 7]) — exactly cluster_histograms(cluster_analysis(...)) per
     chain (the gather-free tile partial sums are integer-exact; see
     observables.cluster_histograms_tile_range)."""
-    from .observables import CNA_TILE, cluster_histograms_tile_range, \
-        cna_tile_pairs
+    from .observables import cluster_histograms_tile_range, cna_tile_pairs
 
     c, n = r.shape[0], cfg.n
-    npad = -(-n // CNA_TILE) * CNA_TILE
     tiles_total = int(cna_tile_pairs(n).shape[0])
-    macs_tile = CNA_TILE * CNA_TILE * npad * npad
-    # per (chain, in-flight tile): the bf16 [T*T, npad] cn tensor + its
-    # f32 dot output + the padded adjacency (f32 + bf16 copies)
-    bytes_chain = 6 * CNA_TILE * CNA_TILE * npad + 6 * npad * npad
-    macs_chain = tiles_total * macs_tile
-    m_bytes = max(1, int(CNA_CALL_BYTES // bytes_chain))
-    if macs_chain <= CNA_CALL_MACS:
-        m = max(1, min(c, int(CNA_CALL_MACS // macs_chain), m_bytes))
-        nt_main = tiles_total
-    else:
-        m = 1
-        nt_main = max(1, min(tiles_total,
-                             int(CNA_CALL_MACS // macs_tile)))
+    m, nt_main, _ = _cna_call_plan(cfg, c)
 
     def run(rc, s0, nt):
         key = (cfg, rc.shape[0], int(nt))
