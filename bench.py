@@ -268,6 +268,37 @@ def _main() -> int:
         },
     })
 
+    # Roofline anchor for the PRIMARY engine (VERDICT r4 #3): run one
+    # sort-cadence chunk (same compiled kernel — the Mosaic static is
+    # the 16-sweep chunk) and reconstruct the zskip processed-block
+    # fraction band from the sort-point and end-of-cadence positions
+    # (profiling.zskip_processed_fraction_band). The dense ledger's
+    # 46 f32 ops per pair element then prices only the blocks the
+    # envelope scan actually admits: the band brackets the live-bounds
+    # growth within a cadence, and the effective ledger rate over the
+    # admitted blocks lands against the v5e VPU 4-ALU issue peak
+    # (3.85e12 f32 ops/s). Runs AFTER the primary is in the record so a
+    # fault here can never cost the headline number.
+    from tpu_smc.ensemble import zsort_cadence
+    from tpu_smc.profiling import zskip_processed_fraction_band
+
+    r_pre = np.asarray(state.r)
+    state, _ = ens.ensemble_sweeps_zsorted(
+        state, w, cfg, cfg.proposal_a, zsort_cadence(N), seed=5, c_tile=128)
+    sync(state)
+    zs_lo, zs_hi = zskip_processed_fraction_band(
+        r_pre, np.asarray(state.r), cfg, row_block_rows=128)
+    zs_ledger = agg * 46.0 * N * N * (0.5 * (zs_lo + zs_hi))
+    log(f"bench: zsorted processed-block fraction {zs_lo:.3f}..{zs_hi:.3f}"
+        f" -> ledger {zs_ledger:.3g} f32 ops/s "
+        f"({zs_ledger / 3.85e12:.3f} of VPU 4-ALU peak)")
+    RESULT["extra"].update({
+        "zsorted_processed_fraction_band": [round(zs_lo, 4),
+                                            round(zs_hi, 4)],
+        "zsorted_ledger_f32_ops_per_s": float(f"{zs_ledger:.3g}"),
+        "zsorted_fraction_of_vpu_4alu_peak": round(zs_ledger / 3.85e12, 3),
+    })
+
     # C baseline in a background thread: a CPU subprocess that can run
     # while the TPU extras execute — BENCH_r03's first capture shipped
     # the fallback constant because the baseline ran LAST and the
@@ -483,6 +514,28 @@ def _main() -> int:
             # (the C pair loop is dense regardless of density)
             "n16384_vs_c_core": round(agg16k / 0.206, 1),
             "warmup_n16384_s": round(warmup_16k, 1),
+        })
+        # Streamed-engine roofline anchor (VERDICT r4 #3): same
+        # reconstruction as the primary's, over one sort cadence
+        # (8 sweeps at this N) — the streamed kernel is bitwise the
+        # resident zskip kernel, so the envelope semantics are shared.
+        r_pre4 = np.asarray(state4.r)
+        state4, _ = ens.ensemble_sweeps_zsorted(
+            state4, w4, cfg4, cfg4.proposal_a, zsort_cadence(n4),
+            seed=45, c_tile=128)
+        sync(state4)
+        st_lo, st_hi = zskip_processed_fraction_band(
+            r_pre4, np.asarray(state4.r), cfg4, row_block_rows=128)
+        st_ledger = agg16k * 46.0 * n4 * n4 * (0.5 * (st_lo + st_hi))
+        log(f"bench: streamed processed-block fraction "
+            f"{st_lo:.3f}..{st_hi:.3f} -> ledger {st_ledger:.3g} f32 "
+            f"ops/s ({st_ledger / 3.85e12:.3f} of VPU 4-ALU peak)")
+        RESULT["extra"].update({
+            "stream16k_processed_fraction_band": [round(st_lo, 4),
+                                                  round(st_hi, 4)],
+            "stream16k_ledger_f32_ops_per_s": float(f"{st_ledger:.3g}"),
+            "stream16k_fraction_of_vpu_4alu_peak": round(
+                st_ledger / 3.85e12, 3),
         })
     else:
         log("bench: skipping N=16384 quaternary (time budget)")

@@ -29,7 +29,11 @@ def main() -> int:
     ap.add_argument("--interval", type=int, default=10)
     ap.add_argument("--temps", default="0.8,0.94,1.08,1.22,1.36,1.5")
     ap.add_argument("--sampler", default="pallas",
-                    choices=("pallas", "xla"))
+                    choices=("pallas", "xla", "zsorted"))
+    ap.add_argument("--n", type=int, default=108,
+                    help="system size (box from the reference's per-N "
+                         "table); VERDICT r4 #5 runs this at N=1024 "
+                         "through the zsorted production engine")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +49,7 @@ def main() -> int:
     from tpu_smc.pt import simulate_parallel_tempering
     from tpu_smc.tsweep import simulate_temperature_sweep
 
-    cfg = SMCConfig(dtype="float32")
+    cfg = SMCConfig.for_n(args.n, dtype="float32")
     temps = [float(v) for v in args.temps.split(",")]
     # numdata = maxsteps -> per-sweep energy samples (lapse 1)
     params = RunParams(eqsteps=args.eqsteps, maxsteps=args.sweeps,

@@ -31,6 +31,12 @@ def main() -> int:
     ap.add_argument("--therm", type=int, default=2000)
     ap.add_argument("--block", type=int, default=200)
     ap.add_argument("--target", type=float, default=0.6)
+    ap.add_argument("--n", type=int, default=108,
+                    help="system size (box from the reference's per-N "
+                         "table); VERDICT r4 #5 runs this at N=1024 "
+                         "through the zsorted production engine")
+    ap.add_argument("--sampler", default="pallas",
+                    choices=("pallas", "zsorted"))
     args = ap.parse_args()
 
     import jax
@@ -47,8 +53,10 @@ def main() -> int:
     from tpu_smc.state import init_ensemble_state
     from tpu_smc.tuning import tune_mobility
 
-    cfg = SMCConfig(dtype="float32")
+    cfg = SMCConfig.for_n(args.n, dtype="float32")
     t = float(cfg.temperature)
+    sweeps_fn = (ens.ensemble_sweeps_zsorted if args.sampler == "zsorted"
+                 else ens.ensemble_sweeps_pallas)
 
     def run(label, a_val):
         state, w = init_ensemble_state(cfg, jax.random.key(0), args.chains)
@@ -56,7 +64,7 @@ def main() -> int:
         done = 0
         while done < args.therm:
             k = min(args.block, args.therm - done)
-            state, _ = ens.ensemble_sweeps_pallas(
+            state, _ = sweeps_fn(
                 state, w, cfg, 0.0, k, uniform_at=(2.0 * a_val, t))
             done += k
         np.asarray(state.energy[:1])
@@ -65,7 +73,7 @@ def main() -> int:
         done = 0
         while done < args.sweeps:
             k = min(args.block, args.sweeps - done)
-            state, stats = ens.ensemble_sweeps_pallas(
+            state, stats = sweeps_fn(
                 state, w, cfg, 0.0, k, uniform_at=(a_val, t))
             traces.append(np.asarray(stats.energy))
             done += k
@@ -84,10 +92,11 @@ def main() -> int:
         return eff
 
     print(f"devices = {jax.devices()}", file=sys.stderr)
-    # tune on a small ensemble first (pallas engine, ladder-mode rows)
-    st, w0 = init_ensemble_state(cfg, jax.random.key(9), 256)
+    # tune on a small ensemble first (kernel engine, ladder-mode rows)
+    st, w0 = init_ensemble_state(cfg, jax.random.key(9),
+                                 min(256, args.chains))
     st, tr = tune_mobility(cfg, st, w0, target=args.target,
-                           sampler="pallas")
+                           sampler=args.sampler)
     print(f"tuned: A={tr.proposal_a:.4g} at acceptance "
           f"{tr.acceptance:.3f} (target {args.target})")
 

@@ -107,6 +107,22 @@ def _phase_eq(args, workdir: Path) -> None:
     exe = build_reference_main(args.n, fixed_noise=args.fixed_noise_c)
     c_run = workdir / "c_run"
     c_run.mkdir(parents=True, exist_ok=True)
+    if args.n > 150:
+        # Warm-start the C binary from OUR lattice: its own initializer
+        # leaves surplus particles overlapping at the origin for non-
+        # cubic-FCC N (SMC.c:427-428 only perror()s), and the
+        # overlapping start SIGSEGVs the 8-slot clusterAnalysis buffer
+        # at N=1024 (observed; same dodge bench.py uses). fcc_lattice
+        # and write_last_state are numpy-only — no TPU claim here.
+        from tpu_smc import io as smcio
+        from tpu_smc.config import SMCConfig, default_box
+        from tpu_smc.system import fcc_lattice
+
+        box_l, box_lz = default_box(args.n)
+        cfg = SMCConfig(n=args.n, box_l=box_l, box_lz=box_lz,
+                        temperature=t)
+        d = smcio.run_dir(cfg, c_run / "Data")
+        smcio.write_last_state(d, cfg, fcc_lattice(cfg))
     # Long equilibration chain; every later run warm-starts from its
     # last_state (and extends it — C overwrites last_state at exit).
     t0 = time.time()

@@ -52,7 +52,7 @@ QUICK_MODULES = {
     "test_potentials", "test_mathlib", "test_native", "test_observables",
     "test_io", "test_sampler", "test_pallas", "test_disorder",
     "test_umbrella", "test_widom", "test_gcmc", "test_npt",
-    "test_gibbs",
+    "test_gibbs", "test_profiling",
 }
 QUICK_EXCLUDE = {
     "test_zsorted_ensemble_bookkeeping_and_chunk_invariance",  # ~20 s
