@@ -280,21 +280,30 @@ def _main() -> int:
     # (3.85e12 f32 ops/s). Runs AFTER the primary is in the record so a
     # fault here can never cost the headline number.
     from tpu_smc.ensemble import zsort_cadence
-    from tpu_smc.profiling import zskip_processed_fraction_band
+    from tpu_smc.profiling import (zskip_kernel_fraction_band,
+                                   zskip_processed_fraction_band)
 
     r_pre = np.asarray(state.r)
     state, _ = ens.ensemble_sweeps_zsorted(
         state, w, cfg, cfg.proposal_a, zsort_cadence(N), seed=5, c_tile=128)
     sync(state)
-    zs_lo, zs_hi = zskip_processed_fraction_band(
-        r_pre, np.asarray(state.r), cfg, row_block_rows=128)
+    r_post = np.asarray(state.r)
+    # utilization anchor: the blocks the compiled kernel ACTUALLY runs
+    # (per-tile pooled SMEM bounds + block-range/row-range queries)
+    zs_lo, zs_hi = zskip_kernel_fraction_band(
+        r_pre, r_post, cfg, c_tile=128, row_block_rows=128)
+    # headroom target: the ideal per-chain per-particle envelope
+    id_lo, id_hi = zskip_processed_fraction_band(
+        r_pre, r_post, cfg, row_block_rows=128)
     zs_ledger = agg * 46.0 * N * N * (0.5 * (zs_lo + zs_hi))
-    log(f"bench: zsorted processed-block fraction {zs_lo:.3f}..{zs_hi:.3f}"
+    log(f"bench: zsorted kernel-true block fraction {zs_lo:.3f}.."
+        f"{zs_hi:.3f} (ideal per-chain {id_lo:.3f}..{id_hi:.3f})"
         f" -> ledger {zs_ledger:.3g} f32 ops/s "
         f"({zs_ledger / 3.85e12:.3f} of VPU 4-ALU peak)")
     RESULT["extra"].update({
         "zsorted_processed_fraction_band": [round(zs_lo, 4),
                                             round(zs_hi, 4)],
+        "zsorted_ideal_fraction_band": [round(id_lo, 4), round(id_hi, 4)],
         "zsorted_ledger_f32_ops_per_s": float(f"{zs_ledger:.3g}"),
         "zsorted_fraction_of_vpu_4alu_peak": round(zs_ledger / 3.85e12, 3),
     })
@@ -524,15 +533,21 @@ def _main() -> int:
             state4, w4, cfg4, cfg4.proposal_a, zsort_cadence(n4),
             seed=45, c_tile=128)
         sync(state4)
-        st_lo, st_hi = zskip_processed_fraction_band(
-            r_pre4, np.asarray(state4.r), cfg4, row_block_rows=128)
+        r_post4 = np.asarray(state4.r)
+        st_lo, st_hi = zskip_kernel_fraction_band(
+            r_pre4, r_post4, cfg4, c_tile=128, row_block_rows=128)
+        sid_lo, sid_hi = zskip_processed_fraction_band(
+            r_pre4, r_post4, cfg4, row_block_rows=128)
         st_ledger = agg16k * 46.0 * n4 * n4 * (0.5 * (st_lo + st_hi))
-        log(f"bench: streamed processed-block fraction "
-            f"{st_lo:.3f}..{st_hi:.3f} -> ledger {st_ledger:.3g} f32 "
+        log(f"bench: streamed kernel-true block fraction "
+            f"{st_lo:.3f}..{st_hi:.3f} (ideal per-chain {sid_lo:.3f}.."
+            f"{sid_hi:.3f}) -> ledger {st_ledger:.3g} f32 "
             f"ops/s ({st_ledger / 3.85e12:.3f} of VPU 4-ALU peak)")
         RESULT["extra"].update({
             "stream16k_processed_fraction_band": [round(st_lo, 4),
                                                   round(st_hi, 4)],
+            "stream16k_ideal_fraction_band": [round(sid_lo, 4),
+                                              round(sid_hi, 4)],
             "stream16k_ledger_f32_ops_per_s": float(f"{st_ledger:.3g}"),
             "stream16k_fraction_of_vpu_4alu_peak": round(
                 st_ledger / 3.85e12, 3),

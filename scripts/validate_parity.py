@@ -149,6 +149,12 @@ def _phase_jax(args, workdir: Path) -> None:
 
     import jax
 
+    # persistent compilation cache: the zsorted N>=1024 Mosaic variants
+    # are committed warm in .jax_cache/ — without this a phased campaign
+    # pays ~5 min of cold Mosaic per invocation
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if meta["dtype"] == "float64":

@@ -153,3 +153,189 @@ def zskip_processed_fraction_band(
     lo = mean_span(z0, bmin0, bmax0)
     hi = mean_span(z1, bmin1, bmax1)
     return lo, hi
+
+
+def _group_slices(c: int, c_tile: int):
+    return [(s, min(c, s + c_tile)) for s in range(0, c, c_tile)]
+
+
+def _shrink_rb(n: int, row_block_rows: int) -> int:
+    rb = min(n, max(8, (row_block_rows // 8) * 8))
+    while n % rb != 0:
+        rb -= 8
+    return rb
+
+
+def zskip_kernel_fraction_band(
+    r_pre, r_post, cfg, c_tile: int = 128, row_block_rows: int = 128,
+) -> tuple[float, float]:
+    """The KERNEL-TRUE processed-block fraction band for the zskip
+    engines — prices the blocks the compiled kernel actually executes,
+    unlike `zskip_processed_fraction_band` which prices the ideal
+    per-chain envelope (useful as the headroom target, not as the
+    utilization anchor). Two semantics differences, both from
+    kernels/sweep_pallas.py:
+
+      * the per-block scalar (zmin, zmax) bounds live in SMEM and POOL
+        over every chain column in the c_tile grid tile
+        (`sbmin[b] = min(...)` over the whole [rb, c_tile] block) — all
+        chains in a tile share one skip decision;
+      * the CURRENT-position pair pass queries the whole home block's
+        range (`pair_terms_zskip(..., sbmin[ib], sbmax[ib], ...)`), and
+        the PROPOSAL pass queries the row's min..max over the tile
+        (`jnp.min(pz)/jnp.max(pz)`), not the individual particle's z.
+
+    Per move the kernel runs both passes over their own contiguous
+    envelopes, so the per-move fraction is the mean of the two spans.
+    (lo, hi) brackets the live-bounds growth within one sort cadence
+    exactly like `zskip_processed_fraction_band`.
+    """
+    import numpy as np
+
+    rp = np.asarray(r_pre, np.float64)
+    rq = np.asarray(r_post, np.float64)
+    c, n = rp.shape[0], rp.shape[1]
+    rb = _shrink_rb(n, row_block_rows)
+    nb = n // rb
+    cut = float(cfg.lj_cutoff)
+    order = np.argsort(rp[:, :, 2], axis=1)
+    z0 = np.take_along_axis(rp[:, :, 2], order, axis=1)   # [C, N] sorted
+    z1 = np.take_along_axis(rq[:, :, 2], order, axis=1)   # same row order
+
+    # per-chain block ranges at the sort point and their union with the
+    # end-of-cadence positions (live bounds only widen over a cadence)
+    b0 = z0.reshape(c, nb, rb)
+    b1 = z1.reshape(c, nb, rb)
+    cmin0, cmax0 = b0.min(axis=2), b0.max(axis=2)          # [C, nb]
+    cmin1 = np.minimum(cmin0, b1.min(axis=2))
+    cmax1 = np.maximum(cmax0, b1.max(axis=2))
+    rlo0, rhi0 = z0, z0                                    # [C, N] rows
+    rlo1, rhi1 = np.minimum(z0, z1), np.maximum(z0, z1)
+
+    def mean_frac(cmin, cmax, rlo, rhi):
+        tot, rows = 0.0, 0
+        for s, e in _group_slices(c, c_tile):
+            g = e - s
+            bmin = cmin[s:e].min(axis=0)                   # [nb] pooled
+            bmax = cmax[s:e].max(axis=0)
+
+            def span(lo_t, hi_t):
+                need = (bmin[None, :] <= hi_t[:, None]) \
+                    & (bmax[None, :] >= lo_t[:, None])
+                any_ = need.any(axis=1)
+                first = need.argmax(axis=1)
+                last = nb - need[:, ::-1].argmax(axis=1)
+                return np.where(any_, last - first, 0)
+
+            # pass 1: per home block ib, envelope = block range +- cut
+            s1 = span(bmin - cut, bmax + cut)              # [nb]
+            # pass 2: per row i, envelope = tile row range +- cut
+            s2 = span(rlo[s:e].min(axis=0) - cut,
+                      rhi[s:e].max(axis=0) + cut)          # [N]
+            per_row = 0.5 * (np.repeat(s1, rb) + s2) / nb
+            tot += g * float(per_row.mean())
+            rows += g
+        return tot / rows
+
+    lo = mean_frac(cmin0, cmax0, rlo0, rhi0)
+    hi = mean_frac(cmin1, cmax1, rlo1, rhi1)
+    return lo, hi
+
+
+def zskip_inplane_headroom(
+    r, cfg, c_tile: int = 128, row_block_rows: int = 128,
+    sample_i: int = 256, seed: int = 0,
+) -> dict:
+    """Quantify what an in-plane (x/y) skip refinement could still save
+    on top of the z-block envelope (VERDICT r4 #4's go/no-go input).
+
+    For a kernel-admitted pair element the pair math runs whether or not
+    the element lands inside the cutoff. On an equilibrated configuration
+    this measures, per move (sampled particles, kernel-true pooled
+    envelope at the sort point):
+
+      admitted_rows   — rows the compiled kernel processes per move
+                        (pass-mean envelope span x row_block);
+      z_rows          — rows with |dz| < cutoff (a perfect row-granular
+                        PER-CHAIN z scheme's floor);
+      box_rows        — rows additionally within the min-image x/y
+                        cutoff box (what a perfect in-plane refinement
+                        could reach at row granularity);
+      sphere_rows     — rows inside the true spherical cutoff (the
+                        irreducible physics).
+
+    Returns mean counts and the ratios that price a 2-D scheme's
+    ceiling: `z_over_admitted` is reachable by per-chain row-granular z
+    alone; `box_over_admitted` adds ideal in-plane skipping. Block
+    granularity, chain pooling, and bound staleness all push a real
+    kernel above these floors, so the ratios are optimistic ceilings —
+    exactly what a no-go needs."""
+    import numpy as np
+
+    rr = np.asarray(r, np.float64)
+    c, n = rr.shape[0], rr.shape[1]
+    rb = _shrink_rb(n, row_block_rows)
+    nb = n // rb
+    cut = float(cfg.lj_cutoff)
+    box_l = float(cfg.box_l)
+    order = np.argsort(rr[:, :, 2], axis=1)
+    zs = np.take_along_axis(rr[:, :, 2], order, axis=1)
+    xs = np.take_along_axis(rr[:, :, 0], order, axis=1)
+    ys = np.take_along_axis(rr[:, :, 1], order, axis=1)
+    rng = np.random.default_rng(seed)
+    k = min(sample_i, n)
+    idx = np.sort(rng.choice(n, size=k, replace=False))
+
+    adm = z_rows = box_rows = sph_rows = 0.0
+    b0 = zs.reshape(c, nb, rb)
+    cmin, cmax = b0.min(axis=2), b0.max(axis=2)
+    for s, e in _group_slices(c, c_tile):
+        g = e - s
+        bmin = cmin[s:e].min(axis=0)
+        bmax = cmax[s:e].max(axis=0)
+
+        def span(lo_t, hi_t):
+            need = (bmin[None, :] <= hi_t[:, None]) \
+                & (bmax[None, :] >= lo_t[:, None])
+            any_ = need.any(axis=1)
+            first = need.argmax(axis=1)
+            last = nb - need[:, ::-1].argmax(axis=1)
+            return np.where(any_, last - first, 0)
+
+        s1 = span(bmin - cut, bmax + cut)                  # [nb] pass 1
+        rlo = zs[s:e].min(axis=0)[idx] - cut
+        rhi = zs[s:e].max(axis=0)[idx] + cut
+        s2 = span(rlo, rhi)                                # [k] pass 2
+        adm += g * float(
+            (0.5 * (s1[idx // rb] + s2) * rb).mean())
+
+        for ci in range(s, e):
+            dz = np.abs(zs[ci][idx, None] - zs[ci][None, :])   # [k, N]
+            dx = xs[ci][idx, None] - xs[ci][None, :]
+            dy = ys[ci][idx, None] - ys[ci][None, :]
+            dx -= box_l * np.round(dx / box_l)
+            dy -= box_l * np.round(dy / box_l)
+            zin = dz < cut
+            boxin = zin & (np.abs(dx) < cut) & (np.abs(dy) < cut)
+            z_rows += float(zin.sum(axis=1).mean())
+            box_rows += float(boxin.sum(axis=1).mean())
+            sph_rows += float(
+                ((dx * dx + dy * dy + dz * dz) < cut * cut)
+                .sum(axis=1).mean())
+    # every accumulator summed g * per-group (or per-chain) means
+    adm /= c
+    z_rows /= c
+    box_rows /= c
+    sph_rows /= c
+    return {
+        "admitted_rows": adm,
+        "z_rows": z_rows,
+        "box_rows": box_rows,
+        "sphere_rows": sph_rows,
+        "z_over_admitted": z_rows / adm,
+        "box_over_admitted": box_rows / adm,
+        "sphere_over_admitted": sph_rows / adm,
+        "sampled_particles": int(k),
+        "row_block": int(rb),
+        "c_tile": int(c_tile),
+    }
