@@ -1079,6 +1079,15 @@ def main(argv=None) -> int:
                 print(f"Full ladder state checkpointed to {ck_path}")
         if proc_id == 0:
             path = write_tsweep_csv(d, cfg, res)
+        if res.sweeps_per_second is not None:
+            # pooled results sum the per-process rates (cpt was split
+            # per process); a --global-ladder run counts its full
+            # sharded ladder once
+            n_ch = len(temps) * cpt * (1 if global_ladder else nproc)
+            print(f"\n\nAggregate throughput: "
+                  f"{res.sweeps_per_second:,.0f} sweeps/s across "
+                  f"{n_ch} chains"
+                  + (f" on {nproc} processes" if nproc > 1 else ""))
         print("\n###  Temperature sweep results  ###")
         print("T        E_mean      +-err     acc      cv")
         for i, t in enumerate(res.temps):

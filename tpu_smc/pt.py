@@ -427,11 +427,16 @@ def simulate_parallel_tempering(
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
 
     lapse = max(1, params.gather_lapse)
+    import time as _time
+
+    prod_t0 = _time.time()
     state, acc, att, samples, prod_moves, \
         (p_s, e_p, gr_s, zp_s, sk_s, wd_s, pn_s, pt_s, pr_s), _ = \
         run_phase(state, params.maxsteps, 1.0, cyc, collect=True,
                   lapse=lapse)
     prod_sweeps = -(-params.maxsteps // interval) * interval
+    # run_phase fetches per block — the wall interval is device-synced
+    prod_sps = prod_sweeps * c / max(_time.time() - prod_t0, 1e-9)
 
     e_tr = np.concatenate(samples) if samples else np.zeros((0, c))
     kinetic = 1.5 * cfg.n * temps
@@ -469,7 +474,8 @@ def simulate_parallel_tempering(
         ptensor_t_samples=(np.stack(pt_s).reshape(
             -1, n_t, chains_per_t, ptensor_bins) if pt_s else None),
         ptensor_rho_samples=(np.stack(pr_s).reshape(
-            -1, n_t, chains_per_t, ptensor_bins) if pr_s else None))
+            -1, n_t, chains_per_t, ptensor_bins) if pr_s else None),
+        sweeps_per_second=prod_sps)
     return state, PTResults(
         tsweep=ts,
         pair_t_lo=temps[:-1],

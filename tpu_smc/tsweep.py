@@ -69,6 +69,10 @@ class TSweepResults(NamedTuple):
     # a continuous mu_ex(T) — free-energy machinery with no reference
     # analog
     widom_samples: np.ndarray | None = None
+    # aggregate production throughput, chain-sweeps/s across ALL ladder
+    # chains (thermalization excluded — same semantics as
+    # SimResults.sweeps_per_second; main.c:131's "s per million" analog)
+    sweeps_per_second: float | None = None
 
 
 # canonical per-chain-wall E0 recompute (shared by cli/pt/dryrun)
@@ -264,6 +268,9 @@ def simulate_temperature_sweep(
                      or ptensor_bins) else None)
     prod_moves = np.zeros((c,), np.int64)
     done = 0
+    import time as _time
+
+    prod_t0 = _time.time()
     while done < params.maxsteps:
         k = min(params.maxsteps - done, chunk_g)
         state, stats = _ladder_block(
@@ -292,6 +299,8 @@ def simulate_temperature_sweep(
         prod_moves += fetch(state.accepted).astype(np.int64)
         state = state._replace(accepted=jnp.zeros_like(state.accepted))
         done += k
+    # the loop body fetches every block, so prod wall is device-synced
+    prod_sps = done * c / max(_time.time() - prod_t0, 1e-9)
     e_tr = np.concatenate(e_samples)         # [gathers, C]
 
     kinetic = 1.5 * cfg.n * temps            # 3NT/2 per T (SMC.c:210-211)
@@ -326,6 +335,7 @@ def simulate_temperature_sweep(
         ptensor_rho_samples=(np.stack(pr_s).reshape(*shape_f,
                                                     ptensor_bins)
                              if pr_s else None),
+        sweeps_per_second=prod_sps,
     )
 
 
@@ -456,6 +466,10 @@ def pool_tsweep_across_processes(res: TSweepResults,
         ptensor_n_samples=cat_replicas(res.ptensor_n_samples),
         ptensor_t_samples=cat_replicas(res.ptensor_t_samples),
         ptensor_rho_samples=cat_replicas(res.ptensor_rho_samples),
+        # processes run their ladders concurrently: aggregate rate sums
+        sweeps_per_second=(float(allgather_chain_axis(np.asarray(
+            [[res.sweeps_per_second]])).sum())
+            if res.sweeps_per_second is not None else None),
     )
 
 
