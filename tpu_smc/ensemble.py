@@ -360,9 +360,18 @@ def ensemble_sweeps_zsorted(
     uniform_at: tuple | None = None,
     a_per_chain: jax.Array | None = None,
     t_per_chain: jax.Array | None = None,
+    xsort_slices: int = 0,
 ) -> Tuple[ChainState, SweepStats]:
     """Large-N fast path: the whole-sweep kernel with EXACT z-block
     skipping (VERDICT r1 #4; SURVEY §5.7 — the sequence-parallel analog).
+
+    xsort_slices > 1: the EXPERIMENTAL 2-D refinement — rows are
+    additionally x-sorted within z-bands of `xsort_slices` row blocks,
+    and the kernel culls blocks by live (z, x) bounds
+    (docs/PERF_NOTES.md round-5). Same exact-skip contract as 1-D
+    (admission is conservative, results bitwise the no-skip kernel on
+    the same row order); requires the VMEM-resident kernel, i.i.d.
+    noise, and n divisible by row_block * xsort_slices.
 
     The confined systems are dilute along z (cutoff 3 sigma vs Lz
     200-240), so a dense per-move pair pass wastes most of its work on
@@ -442,6 +451,19 @@ def ensemble_sweeps_zsorted(
     elif hbm_stream and not stream_ok:
         raise NotImplementedError(
             "hbm_stream engine requires walls and default (i.i.d.) noise")
+    xsl = max(0, int(xsort_slices or 0))
+    if xsl > 1:
+        if hbm_stream:
+            raise NotImplementedError(
+                "xsort_slices: VMEM-resident kernel only (prototype)")
+        if cfg.reference_noise:
+            raise NotImplementedError("xsort_slices requires i.i.d. "
+                                      "noise (DEVIATIONS A8 scope)")
+        band_rows = row_block_rows * xsl
+        if n != n_pad or n % band_rows:
+            raise ValueError(
+                f"xsort_slices {xsl}: n {n} must be a multiple of "
+                f"row_block*xslices = {band_rows} (pad-free bands)")
     # Fixed cadence regardless of call length: n_full chunks of
     # `sweeps_per_sort`, plus one shorter final chunk for the remainder.
     # An odd gather lapse therefore costs at most one short chunk per
@@ -479,6 +501,16 @@ def ensemble_sweeps_zsorted(
     def block(x, y, z, e, idx, k0, length):
         # z-sort the real rows per chain (pads stay parked at the tail)
         perm = jnp.argsort(z[:n], axis=0)
+        if xsl > 1:
+            # 2-D order: x-sort WITHIN each z-band of xsl row blocks
+            # (band z-extents only matter through the kernel's live
+            # bounds, so equal-count bands are fine)
+            nbnd = n // band_rows
+            xz = jnp.take_along_axis(x[:n], perm, axis=0)
+            xperm = jnp.argsort(xz.reshape(nbnd, band_rows, c), axis=1)
+            perm = jnp.take_along_axis(
+                perm.reshape(nbnd, band_rows, c), xperm, axis=1
+            ).reshape(n, c)
         x = x.at[:n].set(jnp.take_along_axis(x[:n], perm, axis=0))
         y = y.at[:n].set(jnp.take_along_axis(y[:n], perm, axis=0))
         z = z.at[:n].set(jnp.take_along_axis(z[:n], perm, axis=0))
@@ -489,7 +521,8 @@ def ensemble_sweeps_zsorted(
         x, y, z, e, etr, atr = sp.pallas_sweep_block(
             x, y, z, e, wa, wb, off, sws, cfg, length, float(a),
             c_tile=c_tile, zskip=True, row_block_rows=row_block_rows,
-            hbm_stream=hbm_stream, per_chain_w=pcw, **at_kw,
+            hbm_stream=hbm_stream, per_chain_w=pcw, xslices=xsl,
+            **at_kw,
         )
         return x, y, z, e, idx, etr, atr
 

@@ -232,11 +232,26 @@ def _shared_closures(cfg: SMCConfig, c_tile: int):
 
 def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                  a: float, zskip: bool = False, row_block: int | None = None,
-                 per_chain_at: bool = False):
+                 per_chain_at: bool = False, xslices: int = 0):
     """per_chain_at: the proposal mobility A and temperature T are
     PER-CHAIN [1, C] input rows instead of compile-time scalars — one
     kernel compile covers a whole temperature ladder (tsweep/pt) AND its
-    thermalization (A-doubling changes row values, not the program)."""
+    thermalization (A-doubling changes row values, not the program).
+
+    xslices > 1: the 2-D (z-band, x-slice) refinement of the zskip
+    engine (VERDICT r4 #4). Rows arrive sorted by z-BAND (groups of
+    `xslices` consecutive row blocks) and by x WITHIN each band; blocks
+    then carry live scalar x bounds next to the z bounds, and a pair
+    pass visits only the blocks whose (z, x) bounds can reach the
+    moving particle's windows. x is periodic, so slice admission runs
+    in a doubled index space (a circular interval is one linear
+    interval there); the run is clamped to `xslices` entries so no
+    block is ever processed twice. Admission stays conservative —
+    linear min/max x bounds are a superset of the true circular arc,
+    the x window is widened by cutx*(1+1e-6) — so skips land only on
+    provably-zero contributions and the result is BITWISE the no-skip
+    kernel on the same row order (test_pallas pins this), exactly like
+    the 1-D zskip contract."""
     n = cfg.n
     reference_noise = cfg.reference_noise
     flat_pad = _round_up(3 * n, 8)  # reference-noise scratch rows
@@ -255,6 +270,21 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         n_pad // row_block + 1
     if zskip and pbc_z:
         raise NotImplementedError("zskip assumes walls (no z wrap)")
+    if xslices > 1:
+        if not zskip:
+            raise NotImplementedError("xslices refines the zskip engine")
+        if n_blocks % xslices:
+            raise ValueError(f"xslices {xslices} must divide the "
+                             f"{n_blocks} row blocks")
+        if reference_noise:
+            # reference_noise is indexed by particle id = row, and the
+            # A8 refusal already excludes re-sorted move orders from
+            # the bug-compatible contract
+            raise NotImplementedError("xslices requires i.i.d. noise")
+    # conservative x window in SCALED units (+1e-6: the admission test
+    # must never round tighter than the pair pass's own f32 cutoff)
+    cutx = (cutoff / box_l) * (1.0 + 1e-6)
+    n_bands = n_blocks // xslices if xslices > 1 else 0
     _block_terms, wall_terms, s_pad = _shared_closures(cfg, c_tile)
 
     def pair_terms(xi, yi, zi, xs, ys, zs, i=None):
@@ -311,6 +341,85 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
                 24.0 * fz)
 
+    def pair_terms_2d(xi, yi, zi, xs, ys, zs, zlo, zhi, xqlo, xqhi,
+                      sbmin, sbmax, sxmin, sxmax):
+        """2-D refined pair pass (xslices > 1): bands admitted by the z
+        window exactly like pair_terms_zskip's block scan, then within
+        each admitted band only the x-slices whose live bounds overlap
+        the (circular) x window are processed. All decisions run on the
+        scalar unit against SMEM bounds — no vector->scalar syncs beyond
+        the ones the zskip proposal pass already pays."""
+        lo_t = zlo - cutoff
+        hi_t = zhi + cutoff
+        # normalize the x window into the doubled slice space
+        # [-0.5, 1.5): wrap its lower edge into [-0.5, 0.5), clamp the
+        # width at one full period (expansions can exceed it)
+        xw = jnp.minimum(xqhi - xqlo + 2.0 * cutx, 1.0)
+        xw_lo = xqlo - cutx
+        xw_lo = xw_lo - jnp.floor(xw_lo + 0.5)
+        xw_hi = xw_lo + xw
+
+        # contiguous band envelope from the z window (bands are
+        # z-ordered; their blocks are x-ordered and share the band's z
+        # range, so band need = any of its blocks' z-need)
+        def band_scan(bd, carry):
+            bd_lo, bd_hi = carry
+
+            def blk(i, f):
+                b = bd * xslices + i
+                return f | ((sbmin[b] <= hi_t) & (sbmax[b] >= lo_t))
+
+            need = jax.lax.fori_loop(0, xslices, blk, False)
+            bd_lo = jnp.where(need, jnp.minimum(bd_lo, bd), bd_lo)
+            bd_hi = jnp.where(need, jnp.maximum(bd_hi, bd + 1), bd_hi)
+            return bd_lo, bd_hi
+
+        bd_lo, bd_hi = jax.lax.fori_loop(
+            0, n_bands, band_scan, (jnp.int32(n_bands), jnp.int32(0)))
+
+        zero = jnp.zeros((1, c_tile), jnp.float32)
+
+        def band_body(bd, acc):
+            # admitted x-slice run in DOUBLED index space: each slice s
+            # appears at s (shift 0) and s + xslices (shift +1), so any
+            # circular window is one linear interval; the envelope is
+            # clamped to xslices entries, which covers every admitted
+            # residue exactly once
+            def xscan(s, carry):
+                s_lo, s_hi = carry
+                b = bd * xslices + jnp.where(
+                    s >= xslices, s - xslices, s)
+                shift = jnp.where(s >= xslices, 1.0, 0.0)
+                need = ((sxmin[b] + shift <= xw_hi)
+                        & (sxmax[b] + shift >= xw_lo))
+                s_lo = jnp.where(need, jnp.minimum(s_lo, s), s_lo)
+                s_hi = jnp.where(need, jnp.maximum(s_hi, s + 1), s_hi)
+                return s_lo, s_hi
+
+            s_lo, s_hi = jax.lax.fori_loop(
+                0, 2 * xslices, xscan,
+                (jnp.int32(2 * xslices), jnp.int32(0)))
+            s_hi = jnp.minimum(s_hi, s_lo + xslices)
+
+            def slice_body(s, acc):
+                u, fx, fy, fz = acc
+                b = bd * xslices + jnp.where(
+                    s >= xslices, s - xslices, s)
+                j0 = b * row_block
+                du, dfx, dfy, dfz = _block_terms(
+                    xi, yi, zi,
+                    xs[pl.ds(j0, row_block), :],
+                    ys[pl.ds(j0, row_block), :],
+                    zs[pl.ds(j0, row_block), :])
+                return u + du, fx + dfx, fy + dfy, fz + dfz
+
+            return jax.lax.fori_loop(s_lo, s_hi, slice_body, acc)
+
+        u, fx, fy, fz = jax.lax.fori_loop(
+            bd_lo, bd_hi, band_body, (zero, zero, zero, zero))
+        return (4.0 * u, (24.0 * box_l) * fx, (24.0 * box_l) * fy,
+                24.0 * fz)
+
     def kernel(offsets_ref, seeds_ref, *refs):
         refs = list(refs)
         # inputs
@@ -325,6 +434,8 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
         ns = rest.pop(0) if reference_noise else None
         if zskip:
             sbmin, sbmax = rest.pop(0), rest.pop(0)  # SMEM scalar bounds
+        if xslices > 1:
+            sxmin, sxmax = rest.pop(0), rest.pop(0)  # SMEM x bounds
         (sems,) = rest
         g = pl.program_id(0)
         col = pl.ds(g * c_tile, c_tile)
@@ -404,6 +515,10 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                     real = zb < 1e14  # pad rows park at 1e15
                     sbmin[b] = jnp.min(jnp.where(real, zb, 1e15))
                     sbmax[b] = jnp.max(jnp.where(real, zb, -1e15))
+                    if xslices > 1:
+                        xb = xs[j0:j0 + rb, :]
+                        sxmin[b] = jnp.min(jnp.where(real, xb, 1e15))
+                        sxmax[b] = jnp.max(jnp.where(real, xb, -1e15))
 
             def move(nn, carry):
                 e, acc_count = carry
@@ -424,7 +539,16 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                     ys[pl.ds(i, 1), :] = parked
                     zs[pl.ds(i, 1), :] = parked
 
-                if zskip:
+                if xslices > 1:
+                    # same argument as zskip, for both axes: row i's
+                    # current position lies within block ib's live
+                    # (z, x) bounds
+                    ib = i // row_block
+                    um, fmx, fmy, fmz = pair_terms_2d(
+                        xi, yi, zi, xs, ys, zs,
+                        sbmin[ib], sbmax[ib], sxmin[ib], sxmax[ib],
+                        sbmin, sbmax, sxmin, sxmax)
+                elif zskip:
                     # row i was in block ib at sort time and every later
                     # write expanded that block's bounds, so its current
                     # z lies within the live scalar bounds of block ib
@@ -473,7 +597,18 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                 if pbc_z:
                     pz = pz - box_lz * jnp.round(pz * (1.0 / box_lz))
 
-                if zskip:
+                if xslices > 1:
+                    pz_lo = jnp.min(pz)
+                    pz_hi = jnp.max(pz)
+                    # linear min/max over lanes is a CONSERVATIVE
+                    # superset of the circular x arc (wide near the
+                    # seam, never tight)
+                    px_lo = jnp.min(px)
+                    px_hi = jnp.max(px)
+                    un, fnx, fny, fnz = pair_terms_2d(
+                        px, py, pz, xs, ys, zs, pz_lo, pz_hi,
+                        px_lo, px_hi, sbmin, sbmax, sxmin, sxmax)
+                elif zskip:
                     pz_lo = jnp.min(pz)
                     pz_hi = jnp.max(pz)
                     un, fnx, fny, fnz = pair_terms_zskip(
@@ -514,6 +649,11 @@ def _make_kernel(cfg: SMCConfig, n_pad: int, c_tile: int, n_sweeps: int,
                     # decisions stay valid)
                     sbmin[ib] = jnp.minimum(sbmin[ib], pz_lo)
                     sbmax[ib] = jnp.maximum(sbmax[ib], pz_hi)
+                if xslices > 1:
+                    # same for x; a seam-wrapping write blows the linear
+                    # interval wide, which is loose but safe
+                    sxmin[ib] = jnp.minimum(sxmin[ib], px_lo)
+                    sxmax[ib] = jnp.maximum(sxmax[ib], px_hi)
                 e = e + jnp.where(accept, un - um, 0.0)
                 acc_count = acc_count + accept.astype(jnp.float32)
                 return e, acc_count
@@ -846,7 +986,8 @@ def _make_stream_kernel(cfg: SMCConfig, n_pad: int, c_tile: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_sweeps", "a", "c_tile", "zskip",
-                     "row_block_rows", "hbm_stream", "per_chain_w"),
+                     "row_block_rows", "hbm_stream", "per_chain_w",
+                     "xslices"),
 )
 def pallas_sweep_block(
     x: jax.Array,          # [N_pad, C] f32
@@ -870,6 +1011,7 @@ def pallas_sweep_block(
     invt_row: jax.Array | None = None,
     hbm_stream: bool = False,
     per_chain_w: bool = False,
+    xslices: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run `n_sweeps` full SMC sweeps for every chain.
 
@@ -904,6 +1046,8 @@ def pallas_sweep_block(
     assert per_chain_at == (invt_row is not None), \
         "a_row and invt_row must be passed together"
     if hbm_stream:
+        assert not xslices or xslices <= 1, \
+            "xslices: streamed kernel not implemented (resident only)"
         return _pallas_sweep_block_stream(
             x, y, z, e, wa, wb, offsets, seed, cfg, n_sweeps, a,
             c_tile, row_block_rows or ROW_BLOCK, a_row, invt_row,
@@ -911,7 +1055,7 @@ def pallas_sweep_block(
     grid = (c // c_tile,)
     kernel = _make_kernel(cfg, n_pad, c_tile, n_sweeps, a,
                           zskip=zskip, row_block=row_block_rows,
-                          per_chain_at=per_chain_at)
+                          per_chain_at=per_chain_at, xslices=xslices)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     row_block = pl.BlockSpec((1, c_tile), lambda g, *_: (0, g),
@@ -948,6 +1092,9 @@ def pallas_sweep_block(
         nb = n_pad // rb
         scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live block zmin
         scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live block zmax
+        if xslices > 1:
+            scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live xmin
+            scratch.append(pltpu.SMEM((nb,), jnp.float32))  # live xmax
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     in_specs = [hbm, hbm, hbm, row_block, wall_block, wall_block]
