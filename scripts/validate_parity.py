@@ -70,11 +70,17 @@ def _c_run_dir(workdir: Path) -> Path:
 
 def _harvest_rep(workdir: Path, rep: int) -> None:
     """Copy the C run artifacts the report phase needs before the next
-    rep overwrites them (same (N,M,rho,T) -> same dir, main.c:52-58)."""
+    rep overwrites them (same (N,M,rho,T) -> same dir, main.c:52-58).
+    last_state rides along since round 5: it is the warm-start chain's
+    only carrier, and a corrupted write (observed once at N=1024: a
+    fused pair at r=0.23 entered the chain at a rep boundary and E
+    pinned at +4.4e7 for every later segment) is unrecoverable without
+    the previous rep's copy."""
     src = _c_run_dir(workdir)
     dst = workdir / f"c_rep_{rep:03d}"
     dst.mkdir(exist_ok=True)
-    for pat in ("data_*_rank0.csv", "local_N*_rank0.csv"):
+    for pat in ("data_*_rank0.csv", "local_N*_rank0.csv",
+                "last_state_*.csv"):
         for f in src.glob(pat):
             shutil.copy2(f, dst / f.name)
 
@@ -268,6 +274,20 @@ def _phase_c(args, workdir: Path) -> None:
         print(f"[C] rep {rep}: E={e:.4f} acc={acc:.5f} "
               f"({meta['sweeps'] / dt:.1f} sweeps/s)", flush=True)
         _harvest_rep(workdir, rep)
+        # Blow-up guard (round 5): a corrupted warm chain (fused pair,
+        # E pinned at ~1e7) must not silently poison every later rep.
+        # Stop the campaign and point at the last clean harvested
+        # last_state; the operator restores it or re-equilibrates.
+        clean = [r["e"] for r in results if abs(r["e"]) < 1e6]
+        if abs(e) > 1e6 or (clean and abs(e - np.mean(clean))
+                            > 0.5 * abs(np.mean(clean))):
+            results.append({"e": e, "acc": acc, "wall_s": dt,
+                            "excluded": "blow-up guard"})
+            results_path.write_text(json.dumps(results, indent=2))
+            print(f"[C] rep {rep} BLEW UP (E={e:.4g}); campaign "
+                  f"stopped — restore c_rep_{rep - 1:03d}/last_state "
+                  f"or rerun --phase eq", flush=True)
+            sys.exit(3)
         results.append({"e": e, "acc": acc, "wall_s": dt})
         results_path.write_text(json.dumps(results, indent=2))
         time.sleep(1.1)  # srand(time(NULL)) needs a fresh second
@@ -288,7 +308,7 @@ def _profile_gate(args, workdir: Path, meta: dict) -> dict:
     ncx = SMCConfig().ncx
     ncz = SMCConfig().ncz
     numdata = meta["numdata"]
-    reps = sorted(workdir.glob("c_rep_*"))
+    reps = sorted(workdir.glob("c_rep_[0-9][0-9][0-9]"))
     c_profiles = []
     for rd in reps:
         locals_ = list(rd.glob("local_N*_rank0.csv"))
@@ -351,6 +371,7 @@ def _phase_report(args, workdir: Path) -> int:
     j_e = float(jaxr["mean_energy"])
     j_e_err = float(jaxr["err"])
     j_acc = float(jaxr["acceptance"])
+    c_results = [r for r in c_results if "excluded" not in r]
     c_es = [r["e"] for r in c_results]
     c_accs = [r["acc"] for r in c_results]
     c_e = float(np.mean(c_es))
@@ -374,7 +395,8 @@ def _phase_report(args, workdir: Path) -> int:
         from tpu_smc.observables import tau_int
 
         c_samples = []
-        for dcsv in sorted(workdir.glob("c_rep_*/data_*_rank0.csv")):
+        for dcsv in sorted(workdir.glob(
+                "c_rep_[0-9][0-9][0-9]/data_*_rank0.csv")):
             rows = dcsv.read_text().strip().splitlines()[1:]
             c_samples.extend(float(rr.split(",")[0]) for rr in rows)
         c_samples = np.asarray(c_samples)
