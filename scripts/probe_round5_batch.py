@@ -298,10 +298,16 @@ def s_tungain1024():
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=sorted(STAGES), default=None,
-                    help="run ONE stage (recommended: per-stage process "
-                         "isolation); default runs all in order")
+    ap.add_argument("--stage", default=None,
+                    help="comma-separated stage names (grouping amortizes "
+                         "the per-process tunnel attach, ~1-10 min; a "
+                         "device fault still kills the rest of the "
+                         "group); default runs all in order")
     args = ap.parse_args()
+    if args.stage:
+        for name in args.stage.split(","):
+            if name not in STAGES:
+                ap.error(f"unknown stage {name!r} (have {sorted(STAGES)})")
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -311,7 +317,7 @@ def main() -> int:
         "%Y-%m-%d %H:%M:%S")
     order = ["tiny", "pt_warmers_warm", "roofline1024", "roofline16k",
              "ptgain1024", "tungain1024"]
-    for name in ([args.stage] if args.stage else order):
+    for name in (args.stage.split(",") if args.stage else order):
         STAGES[name]()
     return 0
 
