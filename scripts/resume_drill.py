@@ -109,8 +109,13 @@ def main() -> int:
 
         shutil.rmtree(wd)
     wd.mkdir(parents=True)
+    # Inherit the environment UNCHANGED. History: one harness image
+    # required PYTHONPATH to be unset for the axon plugin to register;
+    # the current image does the opposite (the plugin LOADS from
+    # PYTHONPATH=/root/.axon_site, and stripping it yields "Backend
+    # 'axon' is not in the list of known backends"). Don't touch it
+    # either way — the CLI imports tpu_smc via cwd=REPO.
     env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # PYTHONPATH kills the axon plugin
 
     common = [str(args.eqsteps), str(args.maxsteps), str(args.numdata),
               "1.10", "--n", str(args.n), "--chains", str(args.chains),

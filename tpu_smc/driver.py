@@ -354,8 +354,16 @@ def _gather_step(
     )
 
     if cfg.recompute_every:
+        # Resync cadence keyed to the ABSOLUTE chain time (state.sweeps
+        # counts thermalization too and rides the checkpoint), not the
+        # run-relative gather index: a resumed run then recomputes at
+        # the same chain times as the uninterrupted one, so the gathered
+        # E series is bitwise resume-invariant (the round-5 hardware
+        # drill caught a 1-ulp first-row difference under the old
+        # gather_index cadence). Same-lapse continuation assumed — the
+        # same scope the zsorted cadence alignment already requires.
         state = jax.lax.cond(
-            (gather_index + 1) % cfg.recompute_every == 0,
+            (state.sweeps // gather_lapse) % cfg.recompute_every == 0,
             lambda s: s._replace(energy=total_energy(s.r, w, cfg)),
             lambda s: s,
             state,
@@ -405,6 +413,13 @@ def _gather_step(
 
     if opts.collect_sweep_trace:
         e_tr, a_tr = trace.energy, trace.accepted
+        if cfg.recompute_every:
+            # Report the STATE's energy at the gather boundary
+            # (post-resync when the cadence fired; bitwise no-op
+            # otherwise) — matches what a checkpoint taken here stores,
+            # making resumed data rows byte-identical to the
+            # uninterrupted run's (round-5 hardware drill).
+            e_tr = e_tr.at[-1].set(state.energy)
     else:
         e_tr = jnp.zeros((0,), dtype)
         a_tr = jnp.zeros((0,), jnp.int32)

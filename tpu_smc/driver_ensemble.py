@@ -104,8 +104,14 @@ def _gather_step_batched(
         )
 
     if cfg.recompute_every:
+        # Resync cadence keyed to the ABSOLUTE chain time (state.sweeps
+        # rides the checkpoint; all chains advance in lockstep), not the
+        # run-relative gather index — a resumed run then resyncs at the
+        # same chain times as the uninterrupted one (round-5 hardware
+        # drill; see driver._gather_step for the full rationale).
         state = jax.lax.cond(
-            (gather_index + 1) % cfg.recompute_every == 0,
+            (state.sweeps.reshape(-1)[0] // gather_lapse)
+            % cfg.recompute_every == 0,
             lambda s: s._replace(
                 energy=_wall_obs(lambda r, wc: total_energy(r, wc, cfg),
                                  s.r, w, cfg.n)
@@ -173,6 +179,15 @@ def _gather_step_batched(
 
     if opts.collect_sweep_trace:
         e_tr, a_tr = trace.energy, trace.accepted  # [lapse, C]
+        if cfg.recompute_every:
+            # The gather-boundary trace entry reports the STATE's energy
+            # at this chain time (post-resync when the cadence fired; a
+            # bitwise no-op otherwise). This is also exactly what a
+            # checkpoint taken here stores, so a resumed run's first
+            # data row is byte-identical to the uninterrupted run's
+            # (round-5 hardware drill: the old tracked-value row
+            # differed from the resumed exact row by 1 f32 ulp).
+            e_tr = e_tr.at[-1].set(state.energy)
     else:
         e_tr = jnp.zeros((0, c), dtype)
         a_tr = jnp.zeros((0, c), jnp.int32)
